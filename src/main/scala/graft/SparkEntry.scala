@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.harness._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` registers one named query per implemented operator from
+  * SURVEY.md §2 (plus the LLM-pipeline operators); `oracleSql` carries
+  * the equivalent DuckDB SQL the driver hash-compares against.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the protein2ipr.dat export shape (SURVEY.md §7.2;
+    * reference interpro/ftp/flatfiles.py:88-122): scan the big fact
+    * (matches≈lineitem), filter, broadcast-join the entry-name dimension
+    * (part), project (protein, entry, name, start, end), sort per key.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val p = Tables.part(spark, d)
+    li.filter(col("l_quantity") > 0)
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .select(
+        col("l_orderkey").as("protein_acc"),
+        concat(lit("IPR"), col("p_partkey").cast("string")).as("entry_acc"),
+        col("p_name").as("entry_name"),
+        col("l_linenumber").as("pos_start"),
+        (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int")).as("pos_end"))
+      .orderBy(col("protein_acc"), col("entry_acc"), col("pos_start"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++ JoinQueries.queries ++
+      AggQueries.queries ++ WindowQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracle ++ JoinQueries.oracle ++
+      AggQueries.oracle ++ WindowQueries.oracle
 }

@@ -1,0 +1,255 @@
+package graft.harness
+
+import graft.Tables
+import graft.ops.RelOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operators (SURVEY.md §2.4 A1-A15). The reference's
+  * KVStoreBuilder shuffle/spill/reduce and recursive dict merges all map
+  * to Spark hash aggregation with automatic partial (map-side) combine.
+  * Collected lists are sorted + stringified so the DuckDB comparison is
+  * order-insensitive and exact.
+  */
+object AggQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec2(c: Column) = c.cast(DecimalType(12, 2))
+
+  val queries: Map[String, Q] = Map(
+    // A1: group-by-key + collect + reduce (KVStoreBuilder.build(apply=...),
+    // utils/store.py:280-359). Sorted list → string for exact compare.
+    "agg_group_collect" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(col("l_partkey"))),
+            x => x.cast("string"))).as("parts"),
+          count(lit(1)).as("n_items"))),
+
+    // A3: conditional counts (proteins-per-db via seen-sets,
+    // interpro/xrefs/taxa.py:51-73).
+    "agg_conditional_count" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") > 30, 1).otherwise(0)).as("n_hi_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(col("l_quantity")).as("sum_qty"))),
+
+    // A4: exact distinct-set aggregation (proteomes/taxa sets per entry,
+    // interpro/xrefs/clans.py:46-81).
+    "agg_distinct_set" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+          concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"))),
+
+    // A5: grouped argmin with a total order (oldest protein per domain
+    // organisation, interpro/xrefs/domorgs.py:63-91) — min_by over a
+    // struct gives lexicographic (price, key) ordering, so ties are
+    // deterministic.
+    "agg_argmin" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min_by(col("o_orderkey"),
+               struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest"),
+          min(col("o_totalprice")).as("min_price"))),
+
+    // A7: per-group sorted list of records (locations sorted by
+    // (start,end), interpro/oracle/matches.py:371-374).
+    "agg_sorted_list" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(concat_ws(";",
+          transform(
+            sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+            r => concat_ws(":", r("l_linenumber").cast("string"),
+                                r("l_partkey").cast("string")))).as("lines"))),
+
+    // A8: min-per-pair (clan links keep min e-value per (query,target),
+    // interpro/oracle/clans.py:113-126).
+    "agg_min_pair" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"),
+             count(lit(1)).as("n"))),
+
+    // A9: multi-level nested aggregation (taxon→db→entry counts,
+    // interpro/xrefs/taxa.py:44-123): inner groupBy then per-key sorted
+    // "k:v" map rendering (MapType internally; stringified for compare).
+    "agg_nested_map" -> ((s, d) => {
+      val inner = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      inner.groupBy(col("c_nationkey"))
+        .agg(concat_ws(",",
+          sort_array(collect_list(
+            concat(col("c_mktsegment"), lit(":"), col("n").cast("string")))))
+          .as("seg_counts"))
+    }),
+
+    // A10: hierarchical rollup over a precomputed lineage
+    // (per-taxon counts propagated to all ancestors,
+    // interpro/xrefs/taxa.py:195-260): explode lineage + one shuffle.
+    "agg_rollup_lineage" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val fact = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .withColumn("lineage", array(
+          concat(lit("R"), col("n_regionkey").cast("string")),
+          concat(lit("N"), col("c_nationkey").cast("string")),
+          concat(lit("C"), col("c_custkey").cast("string"))))
+      RelOps.lineageRollup(fact, col("lineage"),
+        Seq(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).as("total")))
+    }),
+
+    // A12: filtered agg with fallback regroup (EC kept if support ≥
+    // thresholds else re-tested on the 3-digit stem,
+    // interpro/xrefs/entries.py:520-551). Groups with ≥12% share pass at
+    // the fine level; failed rows regroup to the coarse level (flag).
+    "agg_having_regroup" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val fine = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      val total = li.agg(count(lit(1)).as("total"))
+      val withShare = fine.crossJoin(broadcast(total))
+      val pass = withShare.filter(col("n") >= col("total") * 0.12)
+        .select(concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("grp"),
+          lit("fine").as("lvl"), col("n"), col("sum_qty"))
+      val coarse = withShare.filter(col("n") < col("total") * 0.12)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_qty")).as("sum_qty"))
+        .select(col("l_returnflag").as("grp"), lit("coarse").as("lvl"),
+          col("n"), col("sum_qty"))
+      pass.unionByName(coarse)
+    }),
+
+    // A13: global multi-metric release stats
+    // (interpro/mysql/databases.py:122-186).
+    "agg_release_stats" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_li"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
+        sum(dec2(col("l_extendedprice"))).as("gross"))),
+
+    // A14: histogram (entries-per-type, interpro/mysql/databases.py:251-254).
+    "agg_histogram" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))),
+
+    // A15: similarity coefficients over co-occurrence pair counts
+    // (Jaccard + containment, interpro/xrefs/entries.py:103-134).
+    "agg_similarity" -> ((s, d) => {
+      val op = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("np"))
+      val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = op.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("pb"))
+      val pairs = a.join(b, a("l_orderkey") === b("ok_b") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
+      pairs
+        .join(cnt.select(col("l_partkey").as("pa"), col("np").as("na")), Seq("pa"))
+        .join(cnt.select(col("l_partkey").as("pb"), col("np").as("nb")), Seq("pb"))
+        .withColumn("jaccard",
+          round(col("nab").cast("double") / (col("na") + col("nb") - col("nab")), 6))
+        .filter(col("nab").cast("double") / (col("na") + col("nb") - col("nab")) >= 0.01)
+        .select("pa", "pb", "nab", "na", "nb", "jaccard")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_group_collect" ->
+      """SELECT l_orderkey,
+                string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts,
+                COUNT(*) AS n_items
+         FROM lineitem GROUP BY l_orderkey""",
+    "agg_conditional_count" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_qty,
+                COUNT(DISTINCT l_orderkey) AS n_orders,
+                SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
+    "agg_distinct_set" ->
+      """SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments,
+                (SELECT string_agg(seg, ',' ORDER BY seg)
+                 FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)) AS segments
+         FROM customer c GROUP BY c_nationkey""",
+    "agg_argmin" ->
+      """SELECT o_custkey, cheapest, min_price FROM (
+           SELECT o_custkey, o_orderkey AS cheapest, o_totalprice AS min_price,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice, o_orderkey) AS rn
+           FROM orders) WHERE rn = 1""",
+    "agg_sorted_list" ->
+      """SELECT l_orderkey,
+                string_agg(CAST(l_linenumber AS VARCHAR) || ':' ||
+                           CAST(l_partkey AS VARCHAR), ';'
+                           ORDER BY l_linenumber, l_partkey) AS lines
+         FROM lineitem GROUP BY l_orderkey""",
+    "agg_min_pair" ->
+      """SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_partkey, l_suppkey""",
+    "agg_nested_map" ->
+      """SELECT c_nationkey,
+                string_agg(c_mktsegment || ':' || CAST(n AS VARCHAR), ','
+                           ORDER BY c_mktsegment) AS seg_counts
+         FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+               FROM customer GROUP BY 1, 2)
+         GROUP BY c_nationkey""",
+    "agg_rollup_lineage" ->
+      """WITH fact AS (
+           SELECT o_orderkey, o_totalprice, c_custkey, c_nationkey, n_regionkey
+           FROM orders JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey)
+         SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS node_id, COUNT(*) AS n_orders,
+                SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+         FROM fact GROUP BY 1
+         UNION ALL
+         SELECT 'N' || CAST(c_nationkey AS VARCHAR), COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+         FROM fact GROUP BY 1
+         UNION ALL
+         SELECT 'C' || CAST(c_custkey AS VARCHAR), COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+         FROM fact GROUP BY 1""",
+    "agg_having_regroup" ->
+      """WITH fine AS (
+           SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+           FROM lineitem GROUP BY 1, 2),
+         tot AS (SELECT COUNT(*) AS total FROM lineitem)
+         SELECT l_returnflag || '/' || l_linestatus AS grp, 'fine' AS lvl, n, sum_qty
+         FROM fine, tot WHERE n >= total * 0.12
+         UNION ALL
+         SELECT l_returnflag AS grp, 'coarse' AS lvl, CAST(SUM(n) AS BIGINT) AS n,
+                SUM(sum_qty) AS sum_qty
+         FROM fine, tot WHERE n < total * 0.12
+         GROUP BY l_returnflag""",
+    "agg_release_stats" ->
+      """SELECT COUNT(*) AS n_li,
+                COUNT(DISTINCT l_orderkey) AS n_orders,
+                COUNT(DISTINCT l_partkey) AS n_parts,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+                SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS gross
+         FROM lineitem""",
+    "agg_histogram" ->
+      "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+    "agg_similarity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         cnt AS (SELECT l_partkey, COUNT(*) AS np FROM op GROUP BY 1),
+         pair AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS nab
+                  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                     AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2)
+         SELECT pa, pb, nab, ca.np AS na, cb.np AS nb,
+                round(CAST(nab AS DOUBLE) / (ca.np + cb.np - nab), 6) AS jaccard
+         FROM pair JOIN cnt ca ON pa = ca.l_partkey
+                   JOIN cnt cb ON pb = cb.l_partkey
+         WHERE CAST(nab AS DOUBLE) / (ca.np + cb.np - nab) >= 0.01"""
+  )
+}

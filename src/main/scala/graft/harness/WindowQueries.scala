@@ -1,0 +1,99 @@
+package graft.harness
+
+import graft.Tables
+import graft.ops.RelOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / gaps-and-islands / top-k operators (SURVEY.md §2.5 W1-W4,
+  * §2.6 O3). Every window ordering carries a unique tiebreak column so
+  * results are total-ordered and deterministic under both engines.
+  */
+object WindowQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // W1/A6: ROW_NUMBER dedup — latest order per customer (first AI name
+    // / latest signature, interpro/oracle/entries.py:96-109).
+    "window_rownum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("latest_order"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_day"))
+    }),
+
+    // W2: interval condensation via gaps-and-islands (condense_locations
+    // sweep, interpro/oracle/matches.py:60-103): islands of chained
+    // [start,end] per order, then per-island extents.
+    "window_islands" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").as("s"),
+        (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int")).as("e"))
+      RelOps.islands(iv, Seq(col("l_orderkey")), col("s"), col("e"),
+          col("l_linenumber"), "island")
+        .groupBy(col("l_orderkey"), col("island"))
+        .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+          count(lit(1)).as("n_merged"))
+    }),
+
+    // W4/O3: bounded ranked selection per group (best 20 domains by
+    // coverage, interpro/oracle/matches.py:136-141) — top 3 items per
+    // order by price with unique tiebreak.
+    "window_topk_group" -> ((s, d) =>
+      RelOps.topKPerGroup(Tables.lineitem(s, d),
+          Seq(col("l_orderkey")),
+          Seq(col("l_extendedprice").desc, col("l_linenumber")), 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rk")),
+
+    // O3 global: top-k with total order.
+    "topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "window_rownum" ->
+      """SELECT o_custkey, o_orderkey AS latest_order,
+                strftime(o_orderdate, '%Y-%m-%d') AS latest_day
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders)
+         WHERE rn = 1""",
+    "window_islands" ->
+      """WITH iv AS (
+           SELECT l_orderkey, l_linenumber, l_linenumber AS s,
+                  l_linenumber + CAST(floor(l_quantity / 10) AS INT) AS e
+           FROM lineitem),
+         flagged AS (
+           SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS nf
+           FROM (SELECT *, MAX(e) OVER (PARTITION BY l_orderkey
+                   ORDER BY s, e, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                 FROM iv)),
+         isl AS (
+           SELECT *, CAST(SUM(nf) OVER (PARTITION BY l_orderkey
+                   ORDER BY s, e, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+           FROM flagged)
+         SELECT l_orderkey, island, MIN(s) AS island_start, MAX(e) AS island_end,
+                COUNT(*) AS n_merged
+         FROM isl GROUP BY l_orderkey, island""",
+    "window_topk_group" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rk
+         FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                      row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+               FROM lineitem)
+         WHERE rk <= 3""",
+    "topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+  )
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators the reference implements by hand and
+  * Spark lacks as single built-ins, re-expressed as composable
+  * DataFrame rewrites (SURVEY.md §2.3 J7/J8, §2.5 W2).
+  *
+  * Scale posture: every helper here avoids driver-side state and keeps
+  * the heavy side of each join distributed; the only collected data are
+  * genuinely tiny dimensions (release freeze dates).
+  */
+object RelOps {
+
+  /** As-of join against a *small, naturally bounded* dimension (release
+    * freeze dates — reference maps audit timestamps to the next release
+    * freeze via bisect, interpro/oracle/entries.py:330-346).
+    *
+    * For each left row, attaches the smallest `rightKey >= leftTs` as
+    * column `as`. Implemented as a single-row broadcast of the sorted
+    * key array + a higher-order `filter(...)[0]` probe: zero shuffle of
+    * the big side, no per-row join blow-up, O(log n)-ish per row after
+    * codegen. Rows with no following key get NULL.
+    *
+    * This is the 100 TB-safe plan when the right side is a dimension
+    * (dozens of release dates); for big-big as-of, sort both sides and
+    * use a range join instead.
+    */
+  def asofNext(left: DataFrame, leftTs: Column, right: DataFrame,
+               rightKey: Column, as: String): DataFrame = {
+    val keys = right.select(rightKey.as("__k")).distinct()
+      .agg(sort_array(collect_list(col("__k"))).as("__asof_keys"))
+    left.crossJoin(broadcast(keys))
+      .withColumn(as, try_element_at(filter(col("__asof_keys"), k => k >= leftTs), lit(1)))
+      .drop("__asof_keys")
+  }
+
+  /** Interval-overlap join with equi keys (reference: match locations vs
+    * PDB chain segments keyed by pdb_chain, interpro/utils.py:21-40).
+    * Plain equi-join + range predicate: Catalyst plans SMJ/broadcast on
+    * the equi part and the overlap predicate stays a post-join filter —
+    * the right plan when the equi key is selective.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, equi: Column,
+                   lStart: Column, lEnd: Column,
+                   rStart: Column, rEnd: Column): DataFrame =
+    left.join(right, equi && lStart <= rEnd && rStart <= lEnd)
+
+  /** Key-less (or low-selectivity-key) interval-overlap join via bin
+    * bucketing: explode each interval into the W-sized bins it covers,
+    * equi-join on bin, and keep each matching pair exactly once (at the
+    * bin containing the overlap's left edge) — no `distinct` needed.
+    * Turns a broadcast-nested-loop theta join into a shuffled hash/SMJ
+    * equi-join, which is what survives at 100 TB.
+    */
+  def binnedIntervalJoin(left: DataFrame, right: DataFrame, binWidth: Long,
+                         lStart: String, lEnd: String,
+                         rStart: String, rEnd: String): DataFrame = {
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bin",
+        explode(sequence(floor(col(s) / binWidth), floor(col(e) / binWidth))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+    val lS = l(lStart); val lE = l(lEnd); val rS = r(rStart); val rE = r(rEnd)
+    l.join(r, l("__bin") === r("__bin") && lS <= rE && rS <= lE &&
+        l("__bin") === floor(greatest(lS, rS) / binWidth))
+      .drop("__bin")
+  }
+
+  /** Gaps-and-islands: assign an island id to rows whose [start,end]
+    * intervals chain together (start <= running max end) within a group
+    * (reference condense sweep, interpro/oracle/matches.py:60-103).
+    * Adds column `islandCol`. `tiebreak` must make the ordering total.
+    */
+  def islands(df: DataFrame, group: Seq[Column], start: Column, end: Column,
+              tiebreak: Column, islandCol: String): DataFrame = {
+    val w = Window.partitionBy(group: _*).orderBy(start, end, tiebreak)
+    val prevMax = max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__newIsland",
+        when(prevMax.isNull || start > prevMax, 1).otherwise(0))
+      .withColumn(islandCol,
+        sum(col("__newIsland")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__newIsland")
+  }
+
+  /** Top-k rows per group with a total order (reference keeps the best
+    * MAX_DOM_BY_GROUP=20 domains, interpro/oracle/matches.py:136-141).
+    */
+  def topKPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                   k: Int, rankCol: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Hierarchical rollup over a precomputed lineage array: one output
+    * row per (ancestor, agg) — reference propagates per-taxon counts to
+    * all ancestors by parent-pointer walking
+    * (interpro/xrefs/taxa.py:195-260); here the lineage is exploded and
+    * Spark's partial aggregation replaces the hand-rolled dict merge.
+    */
+  def lineageRollup(df: DataFrame, lineage: Column, aggs: Seq[Column],
+                    nodeCol: String = "node_id"): DataFrame =
+    df.select(explode(lineage).as(nodeCol), col("*"))
+      .groupBy(col(nodeCol)).agg(aggs.head, aggs.tail: _*)
+}

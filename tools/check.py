@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: for each query output
+written by graft.Verify into OUTDIR/<name>/ (parquet) plus
+OUTDIR/oracle_sql.json, run the oracle SQL in DuckDB over the sf tables
+and compare (columns sorted by name, rows sorted, exact values).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, os, json, glob
+import duckdb
+
+def canon(rel):
+    """Return (colnames_sorted, rows) with rows sorted for order-insensitive compare."""
+    cols = sorted(rel.columns)
+    df = rel.df()[cols]
+    # canonicalize values to strings for robust compare
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return cols, rows
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = 0
+    for name in names:
+        if only and name not in only:
+            continue
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
+        got = con.sql(f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle (rows={len(got)})"); continue
+        try:
+            want = con.sql(oracle[name])
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        gc, gr = canon(got)
+        wc, wr = canon(want)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}"); n_fail += 1; continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rowcount {len(gr)} != {len(wr)}"); n_fail += 1
+            for a in gr[:3]: print("   got :", a)
+            for b in wr[:3]: print("   want:", b)
+            continue
+        if gr != wr:
+            bad = [(a, b) for a, b in zip(gr, wr) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, e.g.:")
+            for a, b in bad:
+                print("   got :", a)
+                print("   want:", b)
+            n_fail += 1
+            continue
+        if len(gr) == 0:
+            print(f"WARN {name}: matches but EMPTY result")
+        print(f"PASS {name} ({len(gr)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
