@@ -32,14 +32,19 @@ object SparkEntry {
       .orderBy(col("protein_acc"), col("entry_acc"), col("pos_start"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * LLM-pipeline north-star ops (dedup / similarity / text / media). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++
-      AggQueries.queries ++ WindowQueries.queries
+      AggQueries.queries ++ WindowQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++
+      VectorQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ JoinQueries.oracle ++
-      AggQueries.oracle ++ WindowQueries.oracle
+      AggQueries.oracle ++ WindowQueries.oracle ++
+      TextQueries.oracle ++ DedupQueries.oracle ++
+      VectorQueries.oracle ++ MultimodalQueries.oracle
 }

@@ -1,0 +1,178 @@
+package graft.harness
+
+import graft.Tables
+import graft.ops.{TextOps, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star):
+  * exact (normalized-fingerprint groups), word-n-gram Jaccard,
+  * MinHash+LSH (shingle → signature → band → bucket-join → verify),
+  * SimHash clustering, and embedding-cosine near-dup with label
+  * blocking. Every stage is a shuffled group/join — no driver-side
+  * state — so the shapes hold at 100 TB (the LSH band join in
+  * particular replaces the quadratic all-pairs comparison).
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val N = 5           // shingle width (words)
+  private val K = 16          // minhash signature size
+  private val BANDS = 8       // LSH bands (of K/BANDS rows each)
+  private val JACC = 0.5      // near-dup verification threshold
+
+  /** Distinct (doc_id, shingle) pairs for docs with >= N tokens. */
+  private def shingleFrame(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, d)
+      .filter(size(toks) >= N)
+      .select(col("doc_id"), explode(TextOps.shingles(toks, N)).as("s"))
+      .distinct()
+  }
+
+  /** (da, db, nab, na, nb, jaccard) for candidate pairs given the
+    * shingle frame; `cand` restricts which pairs get verified (null =
+    * all pairs sharing any shingle).
+    */
+  private def jaccardPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
+    val ns = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s").as("__sb"))
+    val matched = cand match {
+      case None =>
+        a.join(b, a("s") === b("__sb") && col("da") < col("db"))
+      case Some(c) =>
+        c.join(a, Seq("da")).join(b, col("s") === col("__sb") && c("db") === b("db"))
+    }
+    matched.groupBy(col("da"), col("db")).agg(count(lit(1)).as("nab"))
+      .join(ns.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(ns.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard",
+        round(col("nab").cast("double") / (col("na") + col("nb") - col("nab")), 6))
+      .filter(col("jaccard") >= JACC)
+      .select("da", "db", "nab", "na", "nb", "jaccard")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup on the normalized fingerprint: one hash-shuffle
+    // groupBy — the canonical exact-dedup plan at any scale.
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+          concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string"))).as("ids"))
+        .filter(col("n") > 1)),
+
+    // N-gram Jaccard near-dup: shingle inverted index self-join.
+    // Shingles are 5-word grams, so the posting lists stay short and
+    // the join is ~linear in corpus size rather than quadratic.
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(shingleFrame(s, d), None)),
+
+    // MinHash + LSH: 16 md5-min hashes -> 8 bands of 2 -> bucket join
+    // for candidates -> exact Jaccard verification. The band join is
+    // the scale path: only documents sharing a band bucket ever meet.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sh = shingleFrame(s, d)
+      val aggs = TextOps.minhashAggs(col("s"), K)
+      val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val bands = sig.select(col("doc_id"),
+        explode(TextOps.bandKeys(BANDS, K / BANDS)).as("bk"))
+      val cand = bands.select(col("doc_id").as("da"), col("bk"))
+        .join(bands.select(col("doc_id").as("db"), col("bk").as("__bk2")),
+          col("bk") === col("__bk2") && col("da") < col("db"))
+        .select("da", "db").distinct()
+      jaccardPairs(sh, Some(cand))
+    }),
+
+    // SimHash: 16-bit signature from md5-digit parities; exact-signature
+    // clusters (hamming-radius search is a follow-up refinement).
+    "dedup_simhash" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      val aggs = TextOps.simhashBitAggs(col("t"), 16)
+      tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), TextOps.simhashSig(16).as("sig"))
+        .groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+          concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string"))).as("ids"))
+        .filter(col("n") > 1)
+    }),
+
+    // Embedding near-dup: label-blocked cosine pairs (blocking key =
+    // label; at scale the key becomes an LSH bucket / coarse centroid).
+    "dedup_embedding" -> ((s, d) =>
+      VectorOps.blockedPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label")
+        .filter(col("sim") >= 0.4)
+        .select(col("label"), col("ida"), col("idb"), col("sim")))
+  )
+
+  // ---- oracle SQL (programmatically assembled where repetitive) ----
+
+  private val fpSql =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' '))"
+
+  /** Shared CTEs: shingle set, per-doc shingle counts. */
+  private val shCte =
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                 WHERE len(string_split(text,' ')) >= $N),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${N - 1}],' ') AS s
+               FROM toks, UNNEST(range(1, len(t)-${N - 2})) AS u(i)),
+        ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+
+  private def verifySql(candCte: String, from: String) =
+    s"""WITH $shCte, $candCte
+        pr AS (SELECT da, db, COUNT(*) AS nab FROM $from GROUP BY da, db)
+        SELECT da, db, nab, x.n AS na, y.n AS nb,
+               round(CAST(nab AS DOUBLE)/(x.n+y.n-nab), 6) AS jaccard
+        FROM pr JOIN ns x ON da = x.doc_id JOIN ns y ON db = y.doc_id
+        WHERE round(CAST(nab AS DOUBLE)/(x.n+y.n-nab), 6) >= $JACC"""
+
+  private val minhashCols = (1 to K)
+    .map(i => s"MIN(md5('s$i' || s)) AS h$i").mkString(", ")
+  private val bandList = (0 until BANDS)
+    .map(b => s"'$b:' || md5(h${2 * b + 1} || h${2 * b + 2})").mkString(", ")
+
+  private val simhashBits = (1 to 16).map { i =>
+    s"""CASE WHEN SUM(CASE WHEN substr(md5(t), $i, 1) IN
+        ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) > 0
+        THEN '1' ELSE '0' END"""
+  }.mkString(" || ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT fp, MIN(doc_id) AS rep, COUNT(*) AS n,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+          FROM (SELECT doc_id, $fpSql AS fp FROM documents)
+          GROUP BY fp HAVING COUNT(*) > 1""",
+    "dedup_ngram_jaccard" -> verifySql(
+      "m AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),",
+      "m"),
+    "dedup_minhash_lsh" -> verifySql(
+      s"""sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+          bands AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+          m AS (SELECT c.da, c.db FROM cand c
+                JOIN sh a ON a.doc_id = c.da
+                JOIN sh b ON b.doc_id = c.db AND b.s = a.s),""",
+      "m"),
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+          sig AS (SELECT doc_id, $simhashBits AS sig FROM tok GROUP BY doc_id)
+          SELECT sig, MIN(doc_id) AS rep, COUNT(*) AS n,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+          FROM sig GROUP BY sig HAVING COUNT(*) > 1""",
+    "dedup_embedding" ->
+      """SELECT a.label, a.vec_id AS ida, b.vec_id AS idb,
+                round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 6) AS sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) >= 0.4"""
+  )
+}

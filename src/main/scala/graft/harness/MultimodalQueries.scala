@@ -1,0 +1,48 @@
+package graft.harness
+
+import graft.Tables
+import graft.ops.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star): media as opaque `binary`
+  * columns with typed metadata. The test tables carry no real media,
+  * so the blob is derived (utf-8 bytes of `text`) and the decode step
+  * is a deterministic stub (see `graft.ops.Multimodal`) — the schema,
+  * partitioning and batch shape are the real, tested parts.
+  */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Blob metadata extraction, pure expressions (oracle-checkable):
+    // byte length, first-8-bytes hex, content digest.
+    "multimodal_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .select(
+          col("doc_id"),
+          length(col("blob")).cast("long").as("n_bytes"),
+          upper(hex(substring(col("blob"), 1, 8))).as("prefix_hex"),
+          md5(col("blob")).as("content_md5"))),
+
+    // Decode/feature-extract over the binary column via the stubbed
+    // per-partition decoder: rows-only check (the kernel itself is
+    // deterministic and unit-tested, but not SQL-expressible).
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+                octet_length(encode(text)) AS n_bytes,
+                upper(hex(encode(substring(text, 1, 8)))) AS prefix_hex,
+                md5(text) AS content_md5
+         FROM documents"""
+    // multimodal_decode: intentionally no oracle (stubbed media decode
+    // is not SQL-expressible) -> driver records rows-only check.
+  )
+}

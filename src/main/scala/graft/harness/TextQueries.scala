@@ -1,0 +1,108 @@
+package graft.harness
+
+import graft.Tables
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star ops
+  * beyond the reference's surface): token stats, quality scoring,
+  * stopword-profile language id, normalized fingerprinting. All pure
+  * Catalyst expressions over the `documents` table.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stop = Seq("the", "a")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + distinct tokens + non-space chars.
+    "text_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(TextOps.tokens(col("text")))).cast("long")
+          .as("n_distinct_tok"),
+        length(translate(col("text"), " ", "")).cast("long").as("alpha_chars"))),
+
+    // Quality scoring: stopword ratio, mean token length, bounded
+    // length prior — deterministic double arithmetic on both engines.
+    "text_quality" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      val nStop = TextOps.stopwordCount(toks, stop)
+      val alpha = length(translate(col("text"), " ", ""))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tok"),
+        round(nStop / nTok, 6).as("stop_ratio"),
+        round(alpha / nTok, 6).as("avg_tok_len"),
+        round(least(lit(1.0), nTok / lit(50.0)) * (lit(1.0) - nStop / nTok), 6)
+          .as("quality"))
+    }),
+
+    // Language id: stopword-profile scores per language, argmax with a
+    // fixed tie order (en > es > fr) — the n-gram-heuristic operator
+    // shape, kept SQL-expressible for the oracle.
+    "text_langid" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      val sEn = TextOps.stopwordCount(toks, Seq("the", "a", "of", "and")) / nTok
+      val sEs = TextOps.stopwordCount(toks, Seq("el", "la", "de", "y")) / nTok
+      val sFr = TextOps.stopwordCount(toks, Seq("le", "la", "et", "de")) / nTok
+      val pred = when(sEn >= sEs && sEn >= sFr, "en")
+        .when(sEs >= sFr, "es").otherwise("fr")
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        round(sEn, 6).as("s_en"), round(sEs, 6).as("s_es"), round(sFr, 6).as("s_fr"),
+        pred.as("pred_lang"), (pred === col("lang")).as("is_match"))
+    }),
+
+    // Document fingerprint: md5 over the sorted distinct token set.
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp")))
+  )
+
+  private val sqlToks = "string_split(text, ' ')"
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+                 len($sqlToks) AS n_tok,
+                 len(list_distinct($sqlToks)) AS n_distinct_tok,
+                 length(replace(text, ' ', '')) AS alpha_chars
+          FROM documents""",
+    "text_quality" ->
+      s"""SELECT doc_id,
+                 len($sqlToks) AS n_tok,
+                 round(len(list_filter($sqlToks, t -> t IN ('the','a')))
+                       / len($sqlToks), 6) AS stop_ratio,
+                 round(length(replace(text, ' ', '')) / len($sqlToks), 6) AS avg_tok_len,
+                 round(least(1.0, len($sqlToks) / 50.0) *
+                       (1.0 - len(list_filter($sqlToks, t -> t IN ('the','a')))
+                              / len($sqlToks)), 6) AS quality
+          FROM documents""",
+    "text_langid" ->
+      s"""WITH sc AS (
+            SELECT doc_id, lang,
+                   len(list_filter($sqlToks, t -> t IN ('the','a','of','and')))
+                     / len($sqlToks) AS re,
+                   len(list_filter($sqlToks, t -> t IN ('el','la','de','y')))
+                     / len($sqlToks) AS rs,
+                   len(list_filter($sqlToks, t -> t IN ('le','la','et','de')))
+                     / len($sqlToks) AS rf
+            FROM documents)
+          SELECT doc_id, lang, round(re,6) AS s_en, round(rs,6) AS s_es,
+                 round(rf,6) AS s_fr,
+                 CASE WHEN re >= rs AND re >= rf THEN 'en'
+                      WHEN rs >= rf THEN 'es' ELSE 'fr' END AS pred_lang,
+                 (CASE WHEN re >= rs AND re >= rf THEN 'en'
+                       WHEN rs >= rf THEN 'es' ELSE 'fr' END) = lang AS is_match
+          FROM sc""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp
+          FROM documents"""
+  )
+}

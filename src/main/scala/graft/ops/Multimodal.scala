@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media travels as an opaque `binary`
+  * column; decode / feature-extract runs per partition so a real codec
+  * (image decode, audio resample, frame sampling) drops in without
+  * changing the plan shape. The container ships no media libraries, so
+  * the decoder is a clearly-marked deterministic STUB — everything
+  * around it (schema, encoders, per-partition batching, null handling)
+  * is real and tested.
+  */
+object Multimodal {
+
+  /** Typed decode output: media metadata + a fixed-length feature
+    * vector (stand-in for e.g. a thumbnail embedding or audio MFCCs).
+    */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+                           height: Int, features: Array[Float])
+
+  val featuresSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** STUB media decode. A real implementation would parse the codec
+    * header and decode pixels/samples; this derives deterministic fake
+    * dimensions and features from the bytes so tests are stable. The
+    * `???`-shaped seam is exactly this function.
+    */
+  private[ops] def decodeStub(blob: Array[Byte]): (Int, Int, Array[Float]) = {
+    val n = blob.length
+    val w = 16 + (if (n == 0) 0 else java.lang.Byte.toUnsignedInt(blob(0)) % 64)
+    val h = 16 + (if (n < 2) 0 else java.lang.Byte.toUnsignedInt(blob(1)) % 64)
+    val feats = Array.tabulate(8) { i =>
+      var acc = 0L
+      var j = i
+      while (j < n) { acc += java.lang.Byte.toUnsignedInt(blob(j)); j += 8 }
+      (acc % 1000).toFloat / 1000f
+    }
+    (w, h, feats)
+  }
+
+  /** Per-partition decode: one pass over each partition's rows, no
+    * shuffle; input columns (doc_id, blob). The partition boundary is
+    * where a real decoder would amortize codec/model initialization.
+    */
+  def decodeFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
+    df.select("doc_id", "blob").as(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { it =>
+        // real impl: initialize codec/model once per partition here
+        it.map { case (id, blob) =>
+          val bytes = if (blob == null) Array.empty[Byte] else blob
+          val (w, h, f) = decodeStub(bytes)
+          MediaFeatures(id, bytes.length, w, h, f)
+        }
+      }
+      .toDF()
+  }
+}

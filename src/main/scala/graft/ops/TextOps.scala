@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication primitives for large-scale training
+  * -data pipelines (north-star ops beyond the reference's own surface).
+  * Everything is a Catalyst expression pipeline — codegen-friendly, no
+  * UDFs — so filters/projections around them still push down and the
+  * same semantics are expressible as DuckDB oracle SQL.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (distinct not applied; caller decides).
+    * Caller must ensure size(tokens) >= n (empty otherwise is NOT
+    * guaranteed: Spark's sequence(1,0) is descending, not empty).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Normalized document fingerprint: md5 over the sorted distinct
+    * token set (the exact-dedup key after bag-of-words normalization;
+    * cf. reference IDA sha1 fingerprint, interpro/xrefs/domorgs.py:61).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+
+  /** MinHash signature columns over a (doc, shingle) exploded frame:
+    * h_i = min(md5("s<i>" || shingle)) — lexicographic min over hex
+    * strings is engine-portable (same md5, same ASCII collation).
+    */
+  def minhashAggs(shingle: Column, k: Int): Seq[Column] =
+    (1 to k).map(i => min(md5(concat(lit(s"s$i"), shingle))).as(s"h$i"))
+
+  /** LSH band keys from a minhash signature: band j hashes rows
+    * (h_{rj+1}..h_{rj+r}); the band index is embedded so equal hashes
+    * in different bands never collide.
+    */
+  def bandKeys(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      concat(lit(s"$b:"), md5(concat(hs: _*)))
+    }: _*)
+
+  /** 16-bit SimHash bit sums over an exploded token column: per bit i,
+    * +1 when the i-th hex digit of md5(token) is odd, -1 otherwise;
+    * the signature bit is 1 iff the sum is positive.
+    */
+  val simhashOddDigits: Seq[String] = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  def simhashBitAggs(tok: Column, bits: Int): Seq[Column] =
+    (1 to bits).map { i =>
+      sum(when(substring(md5(tok), i, 1).isin(simhashOddDigits: _*), 1)
+        .otherwise(-1)).as(s"s$i")
+    }
+
+  def simhashSig(bits: Int): Column =
+    concat((1 to bits).map(i => when(col(s"s$i") > 0, "1").otherwise("0"))
+      .map(c => c.cast("string")): _*)
+}
