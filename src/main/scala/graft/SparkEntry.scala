@@ -38,7 +38,8 @@ object SparkEntry {
     CoreQueries.queries ++ JoinQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      VectorQueries.queries ++ MultimodalQueries.queries
+      VectorQueries.queries ++ MultimodalQueries.queries ++
+      KernelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
     CoreQueries.oracle ++ JoinQueries.oracle ++
       AggQueries.oracle ++ WindowQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
-      VectorQueries.oracle ++ MultimodalQueries.oracle
+      VectorQueries.oracle ++ MultimodalQueries.oracle ++
+      KernelQueries.oracle
 }

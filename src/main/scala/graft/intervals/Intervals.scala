@@ -1,0 +1,73 @@
+package graft.intervals
+
+/** Pure interval algebra used by the match-merging kernels.
+  *
+  * Semantics derived from the reference's behavior (not ported code):
+  *  - fragment strings "start-end-status,..." (interpro/oracle/matches.py:33-53)
+  *  - condensation sweep merging when the overlap covers >= 10% of the
+  *    shorter interval (interpro/oracle/matches.py:60-103)
+  *  - overlap test / length (interpro/utils.py:21-40)
+  *
+  * All intervals are inclusive [start, end] residue coordinates.
+  */
+object Intervals {
+
+  final case class Fragment(start: Int, end: Int, status: String)
+
+  /** Inclusive overlap length; <= 0 means disjoint. */
+  def overlapLen(s1: Int, e1: Int, s2: Int, e2: Int): Int =
+    math.min(e1, e2) - math.max(s1, s2) + 1
+
+  def overlaps(s1: Int, e1: Int, s2: Int, e2: Int): Boolean =
+    overlapLen(s1, e1, s2, e2) > 0
+
+  /** Fraction of the shorter interval covered by the overlap. */
+  def overlapRatioShorter(s1: Int, e1: Int, s2: Int, e2: Int): Double = {
+    val ov = overlapLen(s1, e1, s2, e2)
+    if (ov <= 0) 0.0
+    else ov.toDouble / math.min(e1 - s1 + 1, e2 - s2 + 1)
+  }
+
+  /** Parse "s-e-S,s-e-N" fragment strings; fragments sorted by
+    * (start, end). Unparseable input yields an empty result rather
+    * than throwing (source rows are untrusted).
+    */
+  def parseFragments(s: String): Seq[Fragment] =
+    if (s == null || s.isEmpty) Seq.empty
+    else s.split(',').toSeq.flatMap { part =>
+      part.split('-') match {
+        case Array(a, b, st) =>
+          try Some(Fragment(a.trim.toInt, b.trim.toInt, st.trim)) catch {
+            case _: NumberFormatException => None
+          }
+        case _ => None
+      }
+    }.sortBy(f => (f.start, f.end))
+
+  /** Condense a bag of intervals into a minimal set: sort by
+    * (start, end), sweep left to right, merge the next interval into
+    * the running one when their overlap covers at least `minRatio` of
+    * the shorter of the two. With minRatio = 0 this merges anything
+    * touching; the reference uses 0.1.
+    */
+  def condense(ivs: Seq[(Int, Int)], minRatio: Double = 0.1): Seq[(Int, Int)] = {
+    if (ivs.isEmpty) return Seq.empty
+    val sorted = ivs.sortBy(identity)
+    val out = Seq.newBuilder[(Int, Int)]
+    var (cs, ce) = sorted.head
+    for ((s, e) <- sorted.tail) {
+      val ov = overlapLen(cs, ce, s, e)
+      val shorter = math.min(ce - cs + 1, e - s + 1)
+      if (ov > 0 && ov >= minRatio * shorter) ce = math.max(ce, e)
+      else { out += ((cs, ce)); cs = s; ce = e }
+    }
+    out += ((cs, ce))
+    out.result()
+  }
+
+  /** Total residue coverage of a set of (possibly overlapping)
+    * intervals — union length, computed by a zero-ratio condense.
+    */
+  def coverage(ivs: Seq[(Int, Int)]): Long =
+    condense(ivs, 0.0).map { case (s, e) => (e - s + 1).toLong }.sum
+}
