@@ -103,7 +103,8 @@ object AggQueries {
           concat(lit("N"), col("c_nationkey").cast("string")),
           concat(lit("C"), col("c_custkey").cast("string"))))
       RelOps.lineageRollup(fact, col("lineage"),
-        Seq(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).as("total")))
+        Seq(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total")))
     }),
 
     // A12: filtered agg with fallback regroup (EC kept if support ≥
@@ -135,7 +136,7 @@ object AggQueries {
         countDistinct(col("l_orderkey")).as("n_orders"),
         countDistinct(col("l_partkey")).as("n_parts"),
         sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
-        sum(dec2(col("l_extendedprice"))).as("gross"))),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("gross"))),
 
     // A14: histogram (entries-per-type, interpro/mysql/databases.py:251-254).
     "agg_histogram" -> ((s, d) =>
@@ -208,15 +209,15 @@ object AggQueries {
            FROM orders JOIN customer ON o_custkey = c_custkey
                        JOIN nation ON c_nationkey = n_nationkey)
          SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS node_id, COUNT(*) AS n_orders,
-                SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
          FROM fact GROUP BY 1
          UNION ALL
          SELECT 'N' || CAST(c_nationkey AS VARCHAR), COUNT(*),
-                SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
          FROM fact GROUP BY 1
          UNION ALL
          SELECT 'C' || CAST(c_custkey AS VARCHAR), COUNT(*),
-                SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
          FROM fact GROUP BY 1""",
     "agg_having_regroup" ->
       """WITH fine AS (
@@ -235,7 +236,7 @@ object AggQueries {
                 COUNT(DISTINCT l_orderkey) AS n_orders,
                 COUNT(DISTINCT l_partkey) AS n_parts,
                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
-                SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS gross
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross
          FROM lineitem""",
     "agg_histogram" ->
       "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",

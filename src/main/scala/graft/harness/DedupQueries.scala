@@ -42,7 +42,11 @@ object DedupQueries {
       case None =>
         a.join(b, a("s") === b("__sb") && col("da") < col("db"))
       case Some(c) =>
-        c.join(a, Seq("da")).join(b, col("s") === col("__sb") && c("db") === b("db"))
+        // disambiguate: the candidate pair's right id joins b's id, then
+        // the surviving column is renamed back to db for the groupBy
+        c.select(col("da"), col("db").as("__db"))
+          .join(a, Seq("da"))
+          .join(b, col("s") === col("__sb") && col("__db") === col("db"))
     }
     matched.groupBy(col("da"), col("db")).agg(count(lit(1)).as("nab"))
       .join(ns.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))

@@ -42,10 +42,13 @@ object JoinQueries {
     "join_broadcast" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
+      // exact decimal sum, then one cast to double so the value renders
+      // identically in Spark parquet and the DuckDB oracle (a Decimal
+      // "123.40" vs float "123.4" hash-mismatch otherwise)
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"),
-             sum(dec2(col("l_extendedprice"))).as("revenue"))
+             sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
     }),
 
     // J4: multiway sort-merge join over co-keyed datasets (7-store zip
@@ -61,7 +64,7 @@ object JoinQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_items"),
              sum(dec2(col("l_extendedprice")) *
-                 dec2(lit(1.0) - col("l_discount"))).as("revenue"))
+                 dec2(lit(1.0) - col("l_discount"))).cast("double").as("revenue"))
     }),
 
     // J5: left semi join (keep rows whose key exists in dim,
@@ -137,13 +140,13 @@ object JoinQueries {
            ON o.o_custkey = c.c_custkey""",
     "join_broadcast" ->
       """SELECT p_brand, COUNT(*) AS n,
-                SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
     "join_multiway" ->
       """SELECT r_name, n_name, COUNT(*) AS n_items,
-                SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                    CAST(1.0 - l_discount AS DECIMAL(12,2))) AS revenue
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey

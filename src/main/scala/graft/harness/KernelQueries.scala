@@ -17,8 +17,9 @@ object KernelQueries {
   val queries: Map[String, Q] = Map(
     // K1/K2/K3 over synthetic matches derived from lineitem:
     // protein=order, signature=part%20, entry=part%7 for 1/3 of rows,
-    // fragments from (linenumber, quantity). Rows-only check (the 10%
-    // condense sweep and subset search are not SQL-expressible).
+    // kind/rank from (linenumber, suppkey), fragments from
+    // (linenumber, quantity). Rows-only check (the 10% condense sweep
+    // and subset search are not SQL-expressible).
     "kernel_match_merge" -> ((s, d) => {
       import s.implicits._
       val raw = Tables.lineitem(s, d).select(
@@ -26,7 +27,10 @@ object KernelQueries {
         concat(lit("SIG"), (col("l_partkey") % 20).cast("string")).as("signatureAcc"),
         when(col("l_partkey") % 3 === 0,
           concat(lit("IPR"), (col("l_partkey") % 7).cast("string"))).as("entryAcc"),
-        (col("l_linenumber") % 2 === 0).as("isDomain"),
+        when(col("l_linenumber") % 3 === 0, "domain")
+          .when(col("l_linenumber") % 3 === 1, "family")
+          .otherwise("region").as("kind"),
+        (col("l_suppkey") % 3).cast("int").as("rank"),
         col("l_extendedprice").as("score"),
         array(struct(
           col("l_linenumber").as("start"),

@@ -28,11 +28,17 @@ object MultimodalQueries {
 
     // Decode/feature-extract over the binary column via the stubbed
     // per-partition decoder: rows-only check (the kernel itself is
-    // deterministic and unit-tested, but not SQL-expressible).
+    // deterministic and unit-tested, but not SQL-expressible). The
+    // feature vector is serialized to a string so the driver's
+    // canonicalization can sort/compare rows (raw array<float> columns
+    // crash its pandas sort).
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFeatures(
         Tables.documents(s, d)
-          .select(col("doc_id"), col("text").cast("binary").as("blob"))))
+          .select(col("doc_id"), col("text").cast("binary").as("blob")))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          concat_ws(",", transform(col("features"),
+            f => f.cast("decimal(6,3)").cast("string"))).as("features_csv")))
   )
 
   val oracle: Map[String, String] = Map(

@@ -70,4 +70,36 @@ object Intervals {
     */
   def coverage(ivs: Seq[(Int, Int)]): Long =
     condense(ivs, 0.0).map { case (s, e) => (e - s + 1).toLong }.sum
+
+  /** Condense multi-fragment locations the way the reference's entry
+    * synthesis does (interpro/oracle/matches.py:60-103): locations are
+    * sorted by their leftmost fragment's (start, end), but each
+    * location's effective span ends at the MAX fragment end (the
+    * reference explicitly corrects the last-sorted-fragment quirk
+    * here, matches.py:79-81). A location contained in the running span
+    * is absorbed; an overlapping one merges only when the overlap
+    * covers >= `minRatio` of the shorter span, otherwise a new span
+    * starts (so outputs may overlap, as in the reference). Fragments
+    * within each location must already be sorted by (start, end).
+    */
+  def condenseLocations(locations: Seq[Seq[Fragment]],
+                        minRatio: Double = 0.1): Seq[(Int, Int)] = {
+    if (locations.isEmpty) return Seq.empty
+    val sorted = locations.sortBy(l => (l.head.start, l.head.end))
+    val out = Seq.newBuilder[(Int, Int)]
+    var cs = sorted.head.head.start
+    var ce = sorted.head.map(_.end).max
+    for (frags <- sorted.tail) {
+      val s = frags.head.start
+      val e = frags.map(_.end).max
+      if (e <= ce) () // contained in the running span: absorbed
+      else if (s <= ce &&
+               math.min(ce, e) - math.max(cs, s) + 1 >=
+                 (math.min(ce - cs, e - s) + 1) * minRatio) {
+        ce = e
+      } else { out += ((cs, ce)); cs = s; ce = e }
+    }
+    out += ((cs, ce))
+    out.result()
+  }
 }

@@ -3,6 +3,8 @@ package graft.kernels
 import graft.intervals.Intervals
 import graft.intervals.Intervals.Fragment
 
+import scala.collection.immutable.BitSet
+
 /** The irreducible business-logic kernels of the reference's match
   * pipeline (SURVEY.md §2.10 K1-K3), re-implemented fresh in Scala and
   * confined to typed `mapGroups` islands — everything around them stays
@@ -11,15 +13,26 @@ import graft.intervals.Intervals.Fragment
   * Shapes derived from the reference's behavior:
   *  - per-protein merge of signature matches + synthesized InterPro
   *    entry matches with condensed locations
-  *    (interpro/oracle/matches.py:287-393)
-  *  - representative-domain selection over an overlap graph, bounded
-  *    enumeration (interpro/oracle/matches.py:106-232, bound = 20)
+  *    (interpro/oracle/matches.py:287-393): matches are classified
+  *    into domains / families / regions; representative selection runs
+  *    ONCE over all of the protein's domains and once over all its
+  *    families — across signatures — never per signature.
+  *  - representative-domain selection over an overlap graph with
+  *    residue-set coverage, bounded subset enumeration
+  *    (interpro/oracle/matches.py:106-232; MAX_DOM_BY_GROUP=20,
+  *    DOM_OVERLAP_THRESHOLD=0.3).
   */
 object MatchMerge {
 
-  /** One raw match row (one model hit with its fragment list). */
+  /** One raw match row (one model hit with its fragment list).
+    * `kind` mirrors the reference's classification by signature
+    * database+type into "domain" / "family" / "region"
+    * (interpro/oracle/matches.py:304-310); `rank` is the database's
+    * priority index within its kind (0 = most preferred, e.g. Pfam
+    * for domains).
+    */
   final case class RawMatch(proteinAcc: String, signatureAcc: String,
-                            entryAcc: Option[String], isDomain: Boolean,
+                            entryAcc: Option[String], kind: String, rank: Int,
                             score: Double, fragments: Seq[Fragment])
 
   /** One merged location: the fragment span of a single hit. Location
@@ -39,26 +52,41 @@ object MatchMerge {
   }
 
   /** K1: merge all raw matches of one protein into per-signature
-    * matches (locations sorted by (start, end)) plus one synthesized
-    * match per integrated InterPro entry whose locations are the
-    * condensed union of its member signatures' locations.
+    * matches (locations sorted by the leftmost fragment) plus one
+    * synthesized match per integrated InterPro entry whose locations
+    * are the condensed union of its member signatures' locations.
     */
   def mergeProtein(proteinAcc: String, raw: Seq[RawMatch]): Seq[MergedMatch] = {
-    val withLoc = raw.filter(_.fragments.nonEmpty).map(m => (m, locationOf(m)))
+    val valid = raw.filter(_.fragments.nonEmpty)
+      .map(m => m.copy(fragments = m.fragments.sortBy(f => (f.start, f.end))))
 
-    val perSig = withLoc.groupBy(_._1.signatureAcc).toSeq.map {
+    // classify, keeping input order within each class
+    // (interpro/oracle/matches.py:288-310)
+    val domains = valid.filter(_.kind == "domain")
+    val families = valid.filter(_.kind == "family")
+    val regions = valid.filterNot(m => m.kind == "domain" || m.kind == "family")
+
+    // one representative pass over ALL domains of the protein, and a
+    // second over ALL families (interpro/oracle/matches.py:312-316)
+    val reprDom = selectRepresentatives(domains.map(m => (m.fragments, m.rank)))
+    val reprFam = selectRepresentatives(families.map(m => (m.fragments, m.rank)))
+
+    val flagged: Seq[(RawMatch, Boolean)] =
+      domains.zipWithIndex.map { case (m, i) => (m, reprDom(i)) } ++
+        families.zipWithIndex.map { case (m, i) => (m, reprFam(i)) } ++
+        regions.map(m => (m, false))
+
+    val perSig = flagged.groupBy(_._1.signatureAcc).toSeq.map {
       case (sig, ms) =>
-        val domainLocs = ms.filter(_._1.isDomain).map(_._2)
-        val repr = selectRepresentatives(domainLocs)
-        val locs = ms.map { case (_, l) =>
-          l.copy(representative = repr.contains((l.start, l.end)))
-        }.sortBy(l => (l.start, l.end))
+        val locs = ms.map { case (m, repr) =>
+          locationOf(m).copy(representative = repr)
+        }.sortBy(l => (l.fragments.head.start, l.fragments.head.end))
         MergedMatch(proteinAcc, sig, isEntry = false, locs)
     }
 
-    val perEntry = withLoc.flatMap { case (m, l) => m.entryAcc.map(e => (e, l)) }
-      .groupBy(_._1).toSeq.map { case (entry, ls) =>
-        val condensed = Intervals.condense(ls.map(x => (x._2.start, x._2.end)))
+    val perEntry = flagged.flatMap { case (m, _) => m.entryAcc.map(e => (e, m)) }
+      .groupBy(_._1).toSeq.map { case (entry, ms) =>
+        val condensed = Intervals.condenseLocations(ms.map(_._2.fragments))
         val locs = condensed.map { case (s, e) =>
           Location(s, e, Seq(Fragment(s, e, "CONTINUOUS")), 0.0,
             representative = false)
@@ -70,57 +98,81 @@ object MatchMerge {
   }
 
   val MaxDomainsPerGroup = 20
+  val OverlapThreshold = 0.3
 
-  /** K2: representative selection — group domain locations into
-    * overlap islands; within each island (capped at the 20 best by
-    * (coverage desc, start)) enumerate conflict-free subsets (two
-    * locations conflict when their overlap covers >= 30% of the
-    * shorter) and keep the subset with maximal residue coverage,
-    * tiebreak (more locations, leftmost). Returns the (start, end)
-    * keys of representative locations.
-    */
-  def selectRepresentatives(locs: Seq[Location]): Set[(Int, Int)] = {
-    if (locs.isEmpty) return Set.empty
-    // islands of transitively-overlapping locations
-    val sorted = locs.map(l => (l.start, l.end)).distinct.sortBy(identity)
-    val islands = Seq.newBuilder[Seq[(Int, Int)]]
-    var cur = Vector(sorted.head)
-    var curEnd = sorted.head._2
-    for (iv <- sorted.tail) {
-      if (iv._1 <= curEnd) { cur :+= iv; curEnd = math.max(curEnd, iv._2) }
-      else { islands += cur; cur = Vector(iv); curEnd = iv._2 }
-    }
-    islands += cur
-
-    islands.result().flatMap { group =>
-      val best = group
-        .sortBy { case (s, e) => (-(e - s + 1), s) }
-        .take(MaxDomainsPerGroup)
-      bestSubset(best.toVector)
-    }.toSet
+  private final case class Dom(idx: Int, frags: Seq[Fragment], rank: Int) {
+    val residues: BitSet =
+      frags.foldLeft(BitSet.empty)((b, f) => b ++ (f.start to f.end))
+    def firstStart: Int = frags.head.start
+    def lastEnd: Int = frags.last.end
   }
 
-  private def conflicts(a: (Int, Int), b: (Int, Int)): Boolean =
-    Intervals.overlapRatioShorter(a._1, a._2, b._1, b._2) >= 0.3
-
-  /** Bounded exact search for the max-coverage conflict-free subset.
-    * 2^n bounded by MaxDomainsPerGroup (reference keeps the same bound
-    * to contain the exponential enumeration).
+  /** K2: representative selection over one class of matches (domains
+    * OR families) of a single protein. Group transitively-overlapping
+    * locations into islands (running stop = max last-fragment end);
+    * within each island keep the best 20 by (residue coverage desc,
+    * rank asc), build the conflict graph — two locations conflict when
+    * their shared residues cover >= 30% of the smaller residue set —
+    * enumerate conflict-free subsets in the reference's DFS order and
+    * keep its pick. Returns the representative flag per input
+    * position.
     */
-  private def bestSubset(cands: Vector[(Int, Int)]): Seq[(Int, Int)] = {
-    import scala.math.Ordering.Implicits._
-    var best: Seq[(Int, Int)] = Seq.empty
-    // maximize (coverage, count, leftmost-start) — leftmost = larger -start
-    var bestKey: (Long, Int, Int) = (Long.MinValue, 0, Int.MinValue)
-    def rec(i: Int, chosen: List[(Int, Int)]): Unit = {
-      if (i == cands.length) {
-        if (chosen.nonEmpty) {
-          val key = (Intervals.coverage(chosen), chosen.length, -chosen.map(_._1).min)
-          if (key > bestKey) { best = chosen.sortBy(identity); bestKey = key }
-        }
-      } else {
+  def selectRepresentatives(locs: Seq[(Seq[Fragment], Int)]): IndexedSeq[Boolean] = {
+    val repr = Array.fill(locs.length)(false)
+    if (locs.isEmpty) return repr.toIndexedSeq
+
+    val doms = locs.zipWithIndex
+      .map { case ((fs, r), i) => Dom(i, fs, r) }
+      .sortBy(d => (d.firstStart, d.lastEnd))
+
+    // overlap islands (interpro/oracle/matches.py:111-130)
+    val groups = Vector.newBuilder[Vector[Dom]]
+    var group = Vector(doms.head)
+    var stop = doms.head.lastEnd
+    for (d <- doms.tail) {
+      if (d.firstStart <= stop) { group :+= d; stop = math.max(stop, d.lastEnd) }
+      else { groups += group; group = Vector(d); stop = d.lastEnd }
+    }
+    groups += group
+
+    for (g <- groups.result()) {
+      val best = g.sortBy(d => (-d.residues.size, d.rank)).take(MaxDomainsPerGroup)
+      for (d <- bestSubset(best)) repr(d.idx) = true
+    }
+    repr.toIndexedSeq
+  }
+
+  private def conflicts(a: BitSet, b: BitSet): Boolean = {
+    val ov = (a & b).size
+    ov > 0 && ov.toDouble / math.min(a.size, b.size) >= OverlapThreshold
+  }
+
+  /** Bounded exact search for the chosen conflict-free subset.
+    * Enumerates subsets in the reference's DFS order (include-current
+    * branch first, interpro/oracle/matches.py:205-232) and applies its
+    * exact update rule — skip when coverage drops, replace on strictly
+    * higher coverage OR more rank-0 domains
+    * (interpro/oracle/matches.py:156-182) — so ties resolve
+    * identically. 2^n bounded by MaxDomainsPerGroup.
+    */
+  private def bestSubset(cands: Vector[Dom]): Seq[Dom] = {
+    var best: Seq[Dom] = Seq.empty
+    var maxCoverage = 0
+    var maxRank0 = 0
+    def eval(subset: Seq[Dom]): Unit = {
+      val coverage = subset.foldLeft(BitSet.empty)(_ ++ _.residues).size
+      val rank0 = subset.count(_.rank == 0)
+      if (coverage >= maxCoverage &&
+          (coverage > maxCoverage || rank0 > maxRank0)) {
+        maxCoverage = coverage; maxRank0 = rank0; best = subset
+      }
+    }
+    def rec(i: Int, chosen: List[Dom]): Unit = {
+      if (i == cands.length) eval(chosen.reverse)
+      else {
         val c = cands(i)
-        if (!chosen.exists(conflicts(_, c))) rec(i + 1, c :: chosen)
+        if (!chosen.exists(x => conflicts(x.residues, c.residues)))
+          rec(i + 1, c :: chosen)
         rec(i + 1, chosen)
       }
     }

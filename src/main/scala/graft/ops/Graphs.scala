@@ -23,11 +23,17 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cur = edges.select(col("__id"), array(col("__id")).as("lineage"),
       col("__p").as("__cursor"))
+    var prev: DataFrame = null
     var depth = 0
     var remaining = 1L
     while (remaining > 0 && depth < maxDepth) {
       cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
       remaining = cur.filter(col("__cursor").isNotNull).count()
+      // cur is materialized now; the previous iteration's cache (its
+      // only parent) can go — otherwise each invocation leaks
+      // depth+1 cached RDDs for the session's lifetime
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = cur
       if (remaining > 0) {
         val up = edges.select(col("__id").as("__pid"), col("__p").as("__pp"))
         cur = cur.join(up, cur("__cursor") === col("__pid"), "left_outer")
@@ -40,6 +46,9 @@ object Graphs {
         depth += 1
       }
     }
+    // the final frame stays cached (it backs the returned result); the
+    // edges cache is no longer needed once the loop has materialized it
+    edges.unpersist(blocking = false)
     cur.select(col("__id").as(idCol), col("lineage"))
   }
 }

@@ -1,22 +1,25 @@
 package graft
 
+import graft.intervals.Intervals
 import graft.intervals.Intervals.Fragment
 import graft.kernels.MatchMerge
-import graft.kernels.MatchMerge.{Location, RawMatch}
+import graft.kernels.MatchMerge.RawMatch
 import org.scalatest.funsuite.AnyFunSuite
 
 class MatchMergeSpec extends AnyFunSuite {
 
-  private def rm(sig: String, entry: Option[String], dom: Boolean,
-                 frags: (Int, Int)*): RawMatch =
-    RawMatch("P1", sig, entry, dom, 1.0,
-      frags.map { case (s, e) => Fragment(s, e, "CONTINUOUS") })
+  private def frags(fs: (Int, Int)*): Seq[Fragment] =
+    fs.map { case (s, e) => Fragment(s, e, "CONTINUOUS") }
+
+  private def rm(sig: String, entry: Option[String], kind: String,
+                 fs: (Int, Int)*): RawMatch =
+    RawMatch("P1", sig, entry, kind, rank = 0, score = 1.0, fragments = frags(fs: _*))
 
   test("location end is the last fragment's end in (start,end) order, not the max") {
     // fragments (1,100) and (50,60): sorted order puts (50,60) last,
     // so end = 60 even though 100 is the rightmost coordinate
     // (reference quirk, interpro/oracle/matches.py:71-79).
-    val loc = MatchMerge.locationOf(rm("S1", None, dom = false, (1, 100), (50, 60)))
+    val loc = MatchMerge.locationOf(rm("S1", None, "region", (1, 100), (50, 60)))
     assert(loc.start === 1)
     assert(loc.end === 60)
     assert(loc.fragments.map(f => (f.start, f.end)) === Seq((1, 100), (50, 60)))
@@ -24,9 +27,9 @@ class MatchMergeSpec extends AnyFunSuite {
 
   test("mergeProtein groups per signature and sorts locations") {
     val merged = MatchMerge.mergeProtein("P1", Seq(
-      rm("S1", None, dom = false, (200, 300)),
-      rm("S1", None, dom = false, (10, 50)),
-      rm("S2", None, dom = false, (5, 8))))
+      rm("S1", None, "region", (200, 300)),
+      rm("S1", None, "region", (10, 50)),
+      rm("S2", None, "region", (5, 8))))
     val bySig = merged.map(m => m.acc -> m).toMap
     assert(bySig("S1").locations.map(l => (l.start, l.end)) === Seq((10, 50), (200, 300)))
     assert(bySig("S2").locations.map(l => (l.start, l.end)) === Seq((5, 8)))
@@ -35,35 +38,78 @@ class MatchMergeSpec extends AnyFunSuite {
 
   test("integrated signatures synthesize a condensed entry match") {
     val merged = MatchMerge.mergeProtein("P1", Seq(
-      rm("S1", Some("IPR1"), dom = false, (1, 100)),
-      rm("S2", Some("IPR1"), dom = false, (90, 200)),   // 11% of shorter -> merge
-      rm("S3", Some("IPR1"), dom = false, (400, 500))))
+      rm("S1", Some("IPR1"), "region", (1, 100)),
+      rm("S2", Some("IPR1"), "region", (90, 200)),   // 11% of shorter -> merge
+      rm("S3", Some("IPR1"), "region", (400, 500))))
     val entry = merged.find(_.isEntry).get
     assert(entry.acc === "IPR1")
     assert(entry.locations.map(l => (l.start, l.end)) === Seq((1, 200), (400, 500)))
   }
 
+  test("entry condensation uses the MAX fragment end, not the last-sorted end") {
+    // discontinuous match [(1,100),(50,60)]: location 'end' is 60 (the
+    // quirk) but the reference's condense corrects to max end = 100
+    // (interpro/oracle/matches.py:79-81), so the entry span is (1,100).
+    val merged = MatchMerge.mergeProtein("P1", Seq(
+      rm("S1", Some("IPR1"), "region", (1, 100), (50, 60))))
+    val entry = merged.find(_.isEntry).get
+    assert(entry.locations.map(l => (l.start, l.end)) === Seq((1, 100)))
+  }
+
+  test("condenseLocations absorbs contained spans and splits low-overlap ones") {
+    // contained: (10,200) absorbs (20,30); low overlap: (195,400)
+    // overlaps (10,200) by 6 < 10% of shorter(191+1) -> new span even
+    // though they overlap.
+    val out = Intervals.condenseLocations(Seq(
+      frags((10, 200)), frags((20, 30)), frags((195, 400))))
+    assert(out === Seq((10, 200), (195, 400)))
+  }
+
+  test("representative selection runs globally across signatures, once per kind") {
+    // Two heavily-overlapping domains from DIFFERENT signatures: only
+    // one may be representative (the reference forbids both).
+    val merged = MatchMerge.mergeProtein("P1", Seq(
+      rm("S1", None, "domain", (1, 100)),
+      rm("S2", None, "domain", (10, 110))))
+    val reps = merged.flatMap(_.locations).filter(_.representative)
+    assert(reps.map(l => (l.start, l.end)) === Seq((10, 110)))  // larger coverage wins
+  }
+
+  test("domains and families get separate representative passes") {
+    // a domain and a family that overlap fully: each is representative
+    // within its own class (reference runs select_repr_domains twice).
+    val merged = MatchMerge.mergeProtein("P1", Seq(
+      rm("S1", None, "domain", (1, 100)),
+      rm("S2", None, "family", (1, 100))))
+    val reps = merged.flatMap(_.locations).filter(_.representative)
+    assert(reps.size === 2)
+  }
+
+  test("regions never get the representative flag") {
+    val merged = MatchMerge.mergeProtein("P1", Seq(
+      rm("S1", None, "region", (1, 100))))
+    assert(merged.flatMap(_.locations).forall(!_.representative))
+  }
+
   test("representative selection keeps max-coverage conflict-free subset") {
     // A (1,100) conflicts with B (50,150) (>=30% of shorter overlap);
     // C (140,240): overlap with B = 11 over shorter 101 -> ~11% -> no
-    // conflict. Best subset by coverage is {A, C} (200) over {B, C}
-    // (~201? B=101+C=101-overlap... conflict-free means both allowed).
-    val reps = MatchMerge.selectRepresentatives(Seq(
-      Location(1, 100, Seq.empty, 0, representative = false),
-      Location(50, 150, Seq.empty, 0, representative = false),
-      Location(140, 240, Seq.empty, 0, representative = false)))
-    // {B,C} coverage = union(50..150,140..240)=191; {A,C} = 100+101=201
-    assert(reps === Set((1, 100), (140, 240)))
+    // conflict. {A,C} coverage 201 beats {B,C} 191.
+    val flags = MatchMerge.selectRepresentatives(Seq(
+      (frags((1, 100)), 0), (frags((50, 150)), 0), (frags((140, 240)), 0)))
+    assert(flags === IndexedSeq(true, false, true))
   }
 
-  test("flags representatives only on domain locations of the chosen subset") {
-    val merged = MatchMerge.mergeProtein("P1", Seq(
-      rm("S1", None, dom = true, (1, 100)),
-      rm("S1", None, dom = true, (50, 150)),
-      rm("S1", None, dom = false, (300, 400))))
-    val locs = merged.head.locations
-    // (1,100) vs (50,150): conflict; singleton max coverage ties at 101
-    // (50,150) wins coverage (101 > 100)
-    assert(locs.filter(_.representative).map(l => (l.start, l.end)) === Seq((50, 150)))
+  test("rank breaks coverage ties with more rank-0 members") {
+    // two singleton subsets tie on coverage 100; the reference replaces
+    // the incumbent only when rank-0 count increases. First-sorted wins
+    // unless the other adds a rank-0 domain.
+    val flags = MatchMerge.selectRepresentatives(Seq(
+      (frags((1, 100)), 1),        // sorted first (same coverage, rank 1... )
+      (frags((1, 100)), 0)))       // rank 0 sorts first by (coverage, rank)
+    // best-20 ordering puts rank 0 first; subsets enumerated
+    // include-first, so {rank0} sets max first; {rank1} ties and does
+    // NOT replace (no extra coverage, no extra rank-0).
+    assert(flags === IndexedSeq(false, true))
   }
 }
