@@ -145,16 +145,25 @@ object AggQueries {
 
     // A15: similarity coefficients over co-occurrence pair counts
     // (Jaccard + containment, interpro/xrefs/entries.py:103-134).
+    // Dedupe + group happen in ONE shuffle (collect_set), and the
+    // ordered pair expansion runs inside the array — no self-join of
+    // the exploded fact, which at scale would re-shuffle the whole
+    // posting list twice.
     "agg_similarity" -> ((s, d) => {
-      val op = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-      val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("np"))
-      val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      val b = op.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("pb"))
-      val pairs = a.join(b, a("l_orderkey") === b("ok_b") && col("pa") < col("pb"))
+      val sets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      val cnt = sets.select(explode(col("ps")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("np"))
+      val pairs = sets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+            y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
       pairs
-        .join(cnt.select(col("l_partkey").as("pa"), col("np").as("na")), Seq("pa"))
-        .join(cnt.select(col("l_partkey").as("pb"), col("np").as("nb")), Seq("pb"))
+        .join(cnt.select(col("pk").as("pa"), col("np").as("na")), Seq("pa"))
+        .join(cnt.select(col("pk").as("pb"), col("np").as("nb")), Seq("pb"))
         .withColumn("jaccard",
           round(col("nab").cast("double") / (col("na") + col("nb") - col("nab")), 6))
         .filter(col("nab").cast("double") / (col("na") + col("nb") - col("nab")) >= 0.01)

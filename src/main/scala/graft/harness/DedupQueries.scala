@@ -96,7 +96,8 @@ object DedupQueries {
     "dedup_simhash" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      val aggs = TextOps.simhashBitAggs(col("t"), 16)
+        .select(col("doc_id"), md5(col("t")).as("h"))
+      val aggs = TextOps.simhashBitAggs(col("h"), 16)
       tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
         .select(col("doc_id"), TextOps.simhashSig(16).as("sig"))
         .groupBy(col("sig"))

@@ -51,14 +51,17 @@ object TextOps {
     }: _*)
 
   /** 16-bit SimHash bit sums over an exploded token column: per bit i,
-    * +1 when the i-th hex digit of md5(token) is odd, -1 otherwise;
-    * the signature bit is 1 iff the sum is positive.
+    * +1 when the i-th hex digit of the token's md5 is odd, -1
+    * otherwise; the signature bit is 1 iff the sum is positive.
+    * `digest` must be a precomputed md5(token) column — hoisting the
+    * hash into the pre-agg projection computes it once per token
+    * instead of once per (token, bit).
     */
   val simhashOddDigits: Seq[String] = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
-  def simhashBitAggs(tok: Column, bits: Int): Seq[Column] =
+  def simhashBitAggs(digest: Column, bits: Int): Seq[Column] =
     (1 to bits).map { i =>
-      sum(when(substring(md5(tok), i, 1).isin(simhashOddDigits: _*), 1)
+      sum(when(substring(digest, i, 1).isin(simhashOddDigits: _*), 1)
         .otherwise(-1)).as(s"s$i")
     }
 

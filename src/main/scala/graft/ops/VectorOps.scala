@@ -6,17 +6,22 @@ import org.apache.spark.sql.functions._
 
 /** Embedding-similarity primitives (ANN / near-dup, north-star ops).
   *
-  * All arithmetic is element-wise double with a left-to-right fold, so
-  * the result is bit-identical to any engine that evaluates the same
-  * IEEE-754 sequence (DuckDB's list_cosine_similarity over DOUBLE[]).
-  * Higher-order functions stay inside codegen; no UDFs.
+  * All arithmetic is element-wise double with an ascending-index
+  * single-accumulator loop, so the result is bit-identical to any
+  * engine that evaluates the same IEEE-754 sequence (DuckDB's
+  * list_cosine_similarity over DOUBLE[]).
+  *
+  * The dot product is the native codegen expression
+  * `graft.functions.ArrayDot` (registered by GraftExtensions); norms
+  * are computed ONCE per input row before any join — never inside the
+  * pair loop — which is what makes the all-pairs/top-k shapes hold up
+  * at scale.
   */
 object VectorOps {
 
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -26,19 +31,31 @@ object VectorOps {
     * against the full corpus — the correctness baseline. Scale path:
     * block the corpus (e.g. coarse quantization / LSH buckets) so each
     * query only meets its bucket, then apply the same ranking; see
-    * `blockedPairs`.
+    * `blockedPairs` and the LSH bucketing in VectorQueries.
     *
+    * Vectors are cast to double and norms precomputed per input row
+    * (cast+norm run below the join, once per row, not once per pair).
     * Similarity is rounded to 6 dp *before* ranking and tie-broken by
     * corpus id, so the top-k set is stable across engines.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
                      cId: String, qVec: String, cVec: String, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val q = queries
+      .withColumn("__qv", asDouble(col(qVec)))
+      .withColumn("__qn", norm(col("__qv")))
+      .drop(qVec)
+    val c = corpus
+      .withColumn("__cv", asDouble(col(cVec)))
+      .withColumn("__cn", norm(col("__cv")))
+      .drop(cVec)
+    val joined = c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId))
+      // same FP sequence as cosine(): dot / (norm_q * norm_c)
       .withColumn("sim",
-        round(cosine(asDouble(col(qVec)), asDouble(col(cVec))), 6))
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .drop("__qv", "__qn", "__cv", "__cn")
   }
 
   /** Blocked all-pairs similarity: equi-join on a blocking key (label,
@@ -47,10 +64,16 @@ object VectorOps {
     * emitted once (leftId < rightId).
     */
   def blockedPairs(df: DataFrame, id: String, vec: String, block: String): DataFrame = {
-    val a = df.select(col(block), col(id).as("ida"), col(vec).as("va"))
-    val b = df.select(col(block).as("__blk"), col(id).as("idb"), col(vec).as("vb"))
+    val prepped = df
+      .withColumn("__v", asDouble(col(vec)))
+      .withColumn("__n", norm(col("__v")))
+    val a = prepped.select(col(block), col(id).as("ida"),
+      col("__v").as("va"), col("__n").as("na"))
+    val b = prepped.select(col(block).as("__blk"), col(id).as("idb"),
+      col("__v").as("vb"), col("__n").as("nb"))
     a.join(b, a(block) === b("__blk") && col("ida") < col("idb"))
-      .withColumn("sim", round(cosine(asDouble(col("va")), asDouble(col("vb"))), 6))
-      .drop("__blk", "va", "vb")
+      .withColumn("sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .drop("__blk", "va", "vb", "na", "nb")
   }
 }

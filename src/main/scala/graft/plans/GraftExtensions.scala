@@ -1,0 +1,15 @@
+package graft.plans
+
+import graft.functions.ArrayDot
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session extensions for the engine's custom Catalyst surface —
+  * registered with `.config("spark.sql.extensions",
+  * "graft.plans.GraftExtensions")` (or `withExtensions`) so both
+  * `spark.sql` and `call_function` resolve the native expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(ArrayDot.descriptor)
+  }
+}
