@@ -39,7 +39,8 @@ object SparkEntry {
       AggQueries.queries ++ WindowQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       VectorQueries.queries ++ MultimodalQueries.queries ++
-      KernelQueries.queries
+      KernelQueries.queries ++ SinkQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       AggQueries.oracle ++ WindowQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
       VectorQueries.oracle ++ MultimodalQueries.oracle ++
-      KernelQueries.oracle
+      KernelQueries.oracle ++ SinkQueries.oracle ++
+      StreamQueries.oracle
 }

@@ -107,6 +107,30 @@ object AggQueries {
           sum(dec2(col("o_totalprice"))).cast("double").as("total")))
     }),
 
+    // A11/K5: tree-construction aggregation — build a JSON hierarchy
+    // (region → nations with counts) entirely inside group
+    // aggregations, the shape of the reference's per-entry taxonomy
+    // distribution tree (interpro/xrefs/entries.py:349-466). JSON is
+    // string-built so both engines render byte-identically.
+    "agg_tree_json" -> ((s, d) => {
+      val counts = Tables.customer(s, d)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      counts
+        .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name"),
+          concat(lit("{\"name\":\""), col("n_name"), lit("\",\"n\":"),
+            col("cnt").cast("string"), lit("}")).as("nj"), col("n_name"))
+        .groupBy(col("r_name"))
+        .agg(concat(lit("{\"name\":\""), col("r_name"), lit("\",\"children\":["),
+          concat_ws(",", transform(
+            sort_array(collect_list(struct(col("n_name"), col("nj")))),
+            x => x("nj"))),
+          lit("]}")).as("tree"))
+    }),
+
     // A12: filtered agg with fallback regroup (EC kept if support ≥
     // thresholds else re-tested on the 3-digit stem,
     // interpro/xrefs/entries.py:520-551). Groups with ≥12% share pass at
@@ -228,6 +252,17 @@ object AggQueries {
          SELECT 'C' || CAST(c_custkey AS VARCHAR), COUNT(*),
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
          FROM fact GROUP BY 1""",
+    "agg_tree_json" ->
+      """WITH nc AS (SELECT r_name, n_name, COUNT(*) AS cnt
+                     FROM customer JOIN nation ON c_nationkey = n_nationkey
+                                   JOIN region ON n_regionkey = r_regionkey
+                     GROUP BY r_name, n_name)
+         SELECT r_name,
+                '{"name":"' || r_name || '","children":[' ||
+                string_agg('{"name":"' || n_name || '","n":' ||
+                           CAST(cnt AS VARCHAR) || '}', ',' ORDER BY n_name) ||
+                ']}' AS tree
+         FROM nc GROUP BY r_name""",
     "agg_having_regroup" ->
       """WITH fine AS (
            SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty

@@ -147,6 +147,23 @@ object CoreQueries {
         .groupBy("l_orderkey")
         .agg(countDistinct(col("pos")).as("coverage"))),
 
+    // F9: map construction + merge + lookup (nested dict build
+    // map[db][acc], interpro/xrefs/taxa.py:55-73): MapType built from
+    // collected entries, probed with try_element_at.
+    "fn_map" -> ((s, d) => {
+      val inner = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      inner.groupBy(col("c_nationkey"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("c_mktsegment"), col("n")))))
+          .as("m"))
+        .select(col("c_nationkey"),
+          size(col("m")).as("n_keys"),
+          try_element_at(col("m"), lit("BUILDING")).as("building_n"),
+          try_element_at(col("m"), lit("MACHINERY")).as("machinery_n"))
+    }),
+
     // F10: JSON extraction (json.loads of clan alignments,
     // interpro/oracle/clans.py:56-74).
     "fn_json" -> ((s, d) =>
@@ -234,6 +251,13 @@ object CoreQueries {
                         l_linenumber + CAST(floor(l_quantity / 5) AS INT))) AS pos
                FROM lineitem)
          GROUP BY l_orderkey""",
+    "fn_map" ->
+      """SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_keys,
+                MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS building_n,
+                MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN n END) AS machinery_n
+         FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+               FROM customer GROUP BY 1, 2)
+         GROUP BY c_nationkey""",
     "fn_json" ->
       """SELECT event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

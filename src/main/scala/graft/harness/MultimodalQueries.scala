@@ -38,7 +38,22 @@ object MultimodalQueries {
           .select(col("doc_id"), col("text").cast("binary").as("blob")))
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           concat_ws(",", transform(col("features"),
-            f => f.cast("decimal(6,3)").cast("string"))).as("features_csv")))
+            f => f.cast("decimal(6,3)").cast("string"))).as("features_csv"))),
+
+    // F11: gzip codec roundtrip through the custom GzipCompress /
+    // GzipDecompress expressions (reference gzips sequences/HMM blobs,
+    // interpro/oracle/proteins.py:68). The compressed bytes are
+    // implementation-specific, so the oracle checks the roundtrip
+    // identity plus a sanity ratio.
+    "fn_gzip_roundtrip" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          call_function("gzip_compress", col("text").cast("binary")).as("gz"),
+          col("text"))
+        .select(col("doc_id"),
+          call_function("gzip_decompress", col("gz")).cast("string").as("text"),
+          (length(col("gz")) > 0 && length(col("gz")) < length(col("text")) + 64)
+            .as("compressed_ok")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -47,8 +62,10 @@ object MultimodalQueries {
                 octet_length(encode(text)) AS n_bytes,
                 upper(hex(encode(substring(text, 1, 8)))) AS prefix_hex,
                 md5(text) AS content_md5
-         FROM documents"""
+         FROM documents""",
     // multimodal_decode: intentionally no oracle (stubbed media decode
     // is not SQL-expressible) -> driver records rows-only check.
+    "fn_gzip_roundtrip" ->
+      """SELECT doc_id, text, TRUE AS compressed_ok FROM documents"""
   )
 }

@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  private val Dim = 64
+  private val Planes = 4
+
+  /** Deterministic ±1 random-hyperplane components, derived from md5
+    * so the identical constants are embeddable in the DuckDB oracle
+    * SQL (no shared RNG needed).
+    */
+  private def planeSign(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p:$i".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1.0 else -1.0
+  }
+  private val planes: Seq[Seq[Double]] =
+    (0 until Planes).map(p => (0 until Dim).map(i => planeSign(p, i)))
+
   val queries: Map[String, Q] = Map(
     // ANN baseline: 50 query vectors against the full corpus, top-5
     // by (rounded cosine desc, vec_id) — the query side is broadcast,
@@ -24,6 +39,33 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       VectorOps.bruteForceTopK(q, emb, "qid", "vec_id", "qe", "embedding", 5)
         .select("qid", "vec_id", "sim", "rk")
+    }),
+
+    // ANN scale path: random-hyperplane LSH buckets (sign bits of 4
+    // fixed ±1 planes), then top-k *within the bucket only* — each
+    // query meets ~1/16 of the corpus instead of all of it, and the
+    // bucket join is a plain shuffled equi-join that scales out.
+    "ann_lsh_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.embeddings(s, d)
+        .withColumn("v", VectorOps.asDouble(col("embedding")))
+        .withColumn("nv", VectorOps.norm(col("v")))
+        .withColumn("bk", concat(planes.map { pl =>
+          val plane = array(pl.map(lit): _*)
+          when(VectorOps.dot(col("v"), plane) >= 0, "1").otherwise("0")
+        }: _*))
+        .select("vec_id", "v", "nv", "bk")
+      val q = b.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nv").as("qn"), col("bk"))
+      b.join(q, Seq("bk"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim",
+          round(VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nv")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select("qid", "vec_id", "bk", "sim", "rk")
     })
   )
 
@@ -38,6 +80,22 @@ object VectorQueries {
           SELECT qid, vec_id, sim, rk
           FROM (SELECT *, row_number() OVER (PARTITION BY qid
                   ORDER BY sim DESC, vec_id) AS rk FROM s)
+          WHERE rk <= 5""",
+    "ann_lsh_topk" -> {
+      val bkExpr = planes.map { pl =>
+        val lits = pl.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+        s"(CASE WHEN list_dot_product(v, [$lits]) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          b AS (SELECT vec_id, v, $bkExpr AS bk FROM e),
+          q AS (SELECT vec_id AS qid, v AS qv, bk FROM b WHERE vec_id < 50),
+          s AS (SELECT qid, b.vec_id, b.bk,
+                       round(list_cosine_similarity(qv, v), 6) AS sim
+                FROM q JOIN b USING (bk) WHERE b.vec_id <> qid)
+          SELECT qid, vec_id, bk, sim, rk
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, vec_id) AS rk FROM s)
           WHERE rk <= 5"""
+    }
   )
 }

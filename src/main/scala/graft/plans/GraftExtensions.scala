@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.ArrayDot
+import graft.functions.{ArrayDot, GzipCodec}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session extensions for the engine's custom Catalyst surface —
@@ -11,5 +11,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ArrayDot.descriptor)
+    ext.injectFunction(GzipCodec.compressDescriptor)
+    ext.injectFunction(GzipCodec.decompressDescriptor)
   }
 }

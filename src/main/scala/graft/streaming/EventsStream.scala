@@ -23,20 +23,36 @@ object EventsStream {
     raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Watermarked tumbling-window counts per event type. Works on both
-    * batch and streaming frames (watermark is a no-op in batch).
+    * batch and streaming frames (watermark is a no-op in batch). The
+    * value sum runs in exact decimal so results are deterministic
+    * across partition orders, then renders as double.
     */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"),
         col("total_value"))
 
-  /** Open events as a file stream (one-file-per-dir test layout). */
+  /** Open events as a file stream. Spark's file source watches a
+    * DIRECTORY (the inbox pattern — exactly the reference's
+    * `.load`/`.done` sentinel-file handoff, interpro/elastic/
+    * config.py:4-6); the test layout is one file per table in a shared
+    * dir, so the file is staged once into a per-sf inbox under /tmp.
+    * In production the upstream job writes straight into the inbox.
+    */
   def readStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.readStream.schema(rawSchema)
-      .parquet(s"$dir/events.parquet"))
+    val inbox = new java.io.File(
+      s"/tmp/graft-stream-inbox-${new java.io.File(dir).getName}")
+    inbox.mkdirs()
+    val staged = new java.io.File(inbox, "events.parquet")
+    if (!staged.exists()) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath)
+    }
+    normalize(spark.readStream.schema(rawSchema).parquet(inbox.getAbsolutePath))
   }
 }
