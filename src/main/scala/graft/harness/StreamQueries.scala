@@ -33,6 +33,28 @@ object StreamQueries {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name)
+    }),
+
+    // Custom stateful streaming: gap sessionization per user via
+    // flatMapGroupsWithState over the events file stream, drained with
+    // AvailableNow (30-minute gap; timestamps as exact micros).
+    "stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val name = "stream_sessionize_mem"
+      s.catalog.dropTempView(name)
+      val events = EventsStream.readStream(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[graft.streaming.Sessionize.SessionEvent]
+      val sessions = graft.streaming.Sessionize.sessionize(events, gapMinutes = 30)
+      val q = sessions.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
     })
   )
 
@@ -41,6 +63,21 @@ object StreamQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
                 event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "stream_sessionize" ->
+      """WITH l AS (SELECT user_id, ts,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END AS brk
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           g AS (SELECT user_id, ts,
+                        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM l)
+         SELECT user_id,
+                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                COUNT(*) AS n_events
+         FROM g GROUP BY user_id, sid"""
   )
 }

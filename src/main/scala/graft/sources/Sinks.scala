@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Sink surface (SURVEY.md §2.1 S9/S10/S15/S16).
+  *
+  * The distributed part of every reference sink is the same: format
+  * rows in executors, write one file per partition, signal completion.
+  * These helpers keep all row work on executors; only tiny
+  * header/footer/sentinel writes happen on the driver.
+  */
+object Sinks {
+
+  /** S15: gzip TSV flat file (reference protein2ipr.dat.gz,
+    * interpro/ftp/flatfiles.py:88-122). `lines` must be a single
+    * string column; one gzip part-file per partition.
+    */
+  def writeTsvGz(lines: DataFrame, dir: String): Unit =
+    lines.write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip").text(dir)
+
+  /** S16: XML document sink (reference interpro.xml: parallel chunk
+    * writers + driver concatenation, interpro/ftp/xmlfiles.py:556-656).
+    * Fragments are written distributed as text parts; the driver then
+    * stitches header + parts + footer into one well-formed file —
+    * the only driver-side bytes are the envelope.
+    */
+  def writeXml(fragments: DataFrame, dir: String, outFile: String,
+               header: String, footer: String): Unit = {
+    fragments.write.mode(SaveMode.Overwrite).text(dir)
+    val out = Paths.get(outFile)
+    Files.write(out, header.getBytes("UTF-8"))
+    val parts = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.contains("part-")).sorted
+    parts.foreach { p =>
+      Files.write(out, Files.readAllBytes(Paths.get(p)), StandardOpenOption.APPEND)
+    }
+    Files.write(out, footer.getBytes("UTF-8"), StandardOpenOption.APPEND)
+  }
+
+  /** S10: bulk-doc sink with completion sentinels (reference ES export
+    * writes doc batch files then `.done` markers so the indexer can
+    * tail the directory, interpro/elastic/export.py:44-67,318-321).
+    * Docs are written as JSON-lines parts; the `_DONE` sentinel is the
+    * handoff signal (Spark's `_SUCCESS` plays the same role for the
+    * whole directory).
+    */
+  def writeJsonDocsWithSentinel(docs: DataFrame, dir: String): Unit = {
+    docs.select(to_json(struct(col("*"))).as("doc"))
+      .write.mode(SaveMode.Overwrite).text(dir)
+    Files.write(Paths.get(dir, "_DONE"), Array.emptyByteArray)
+  }
+}
