@@ -14,7 +14,12 @@ object Bench {
     // warm the JVM/codegen/parquet paths so the first measured query
     // doesn't absorb session startup
     Tables.lineitem(spark, sfDir).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

