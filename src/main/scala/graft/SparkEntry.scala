@@ -40,7 +40,7 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       VectorQueries.queries ++ MultimodalQueries.queries ++
       KernelQueries.queries ++ SinkQueries.queries ++
-      StreamQueries.queries
+      StreamQueries.queries ++ XrefQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +50,5 @@ object SparkEntry {
       TextQueries.oracle ++ DedupQueries.oracle ++
       VectorQueries.oracle ++ MultimodalQueries.oracle ++
       KernelQueries.oracle ++ SinkQueries.oracle ++
-      StreamQueries.oracle
+      StreamQueries.oracle ++ XrefQueries.oracle
 }

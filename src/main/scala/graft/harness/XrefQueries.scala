@@ -1,0 +1,128 @@
+package graft.harness
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship aggregation reproduced end-to-end
+  * (SURVEY.md §3.3, interpro/xrefs/entries.py:258-505): multiway join
+  * of protein-keyed datasets → invert the keying to entry → one wide
+  * aggregation producing counts, distinct sets and nested per-category
+  * maps — the whole fork/queue/spill machinery of the reference
+  * collapses into one shuffle. Plus the skew-safe two-phase (salted)
+  * variant of the ancestor rollup (SURVEY.md §4.6: the taxonomy root
+  * receives every row; salting splits the hot key across reducers).
+  */
+object XrefQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // entry2xrefs bundle: lineitem=matches, orders=proteins,
+    // customer=taxa, nation/region=lineage dims. Inverts
+    // protein-keyed rows to entry-keyed xref bundles in one shuffle.
+    "xref_entry_bundle" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey"),
+          concat(lit("IPR"), (col("l_partkey") % 7).cast("string")).as("entry_acc"),
+          col("l_quantity"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("entry_acc"))
+        .agg(
+          count(lit(1)).as("n_matches"),
+          countDistinct(col("l_orderkey")).as("n_proteins"),
+          countDistinct(col("c_nationkey")).as("n_taxa"),
+          concat_ws(",", sort_array(collect_set(col("n_name")))).as("taxa"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // the same per-category nested map the taxa xrefs build
+    // (interpro/xrefs/taxa.py:44-123), entry-keyed: db→count rendered
+    // as a sorted "k:v" list inside the aggregation
+    "xref_entry_dbmap" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") % 3 === 0)
+        .select(
+          concat(lit("IPR"), (col("l_partkey") % 7).cast("string")).as("entry_acc"),
+          col("l_returnflag").as("db"))
+      val inner = li.groupBy(col("entry_acc"), col("db")).agg(count(lit(1)).as("n"))
+      inner.groupBy(col("entry_acc"))
+        .agg(concat_ws(",",
+          sort_array(collect_list(
+            concat(col("db"), lit(":"), col("n").cast("string"))))).as("db_counts"))
+    }),
+
+    // A10 under skew: two-phase salted rollup — partial aggregate on
+    // (node, salt), final on node. Same result as agg_rollup_lineage;
+    // the extra narrow shuffle is what keeps the root taxon from
+    // pinning a single reducer at 10^9 rows.
+    "agg_rollup_salted" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val fact = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .withColumn("lineage", array(
+          concat(lit("R"), col("n_regionkey").cast("string")),
+          concat(lit("N"), col("c_nationkey").cast("string")),
+          concat(lit("C"), col("c_custkey").cast("string"))))
+        .select(explode(col("lineage")).as("node_id"), col("o_totalprice"))
+        .withColumn("__salt", pmod(hash(col("o_totalprice")), lit(16)))
+      val partial = fact.groupBy(col("node_id"), col("__salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).as("pt"))
+      partial.groupBy(col("node_id"))
+        .agg(sum(col("pn")).as("n_orders"),
+          sum(col("pt")).cast("double").as("total"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "xref_entry_bundle" ->
+      """WITH f AS (
+           SELECT 'IPR' || CAST(l_partkey % 7 AS VARCHAR) AS entry_acc,
+                  l_orderkey, l_quantity, c_nationkey, n_name
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+           WHERE l_partkey % 3 = 0),
+         t AS (
+           SELECT entry_acc, string_agg(nm, ',' ORDER BY nm) AS taxa
+           FROM (SELECT DISTINCT entry_acc, n_name AS nm FROM f)
+           GROUP BY entry_acc)
+         SELECT f.entry_acc, COUNT(*) AS n_matches,
+                COUNT(DISTINCT l_orderkey) AS n_proteins,
+                COUNT(DISTINCT c_nationkey) AS n_taxa,
+                ANY_VALUE(t.taxa) AS taxa,
+                SUM(l_quantity) AS sum_qty
+         FROM f JOIN t ON f.entry_acc = t.entry_acc
+         GROUP BY f.entry_acc""",
+    "xref_entry_dbmap" ->
+      """SELECT entry_acc,
+                string_agg(db || ':' || CAST(n AS VARCHAR), ',' ORDER BY db) AS db_counts
+         FROM (SELECT 'IPR' || CAST(l_partkey % 7 AS VARCHAR) AS entry_acc,
+                      l_returnflag AS db, COUNT(*) AS n
+               FROM lineitem WHERE l_partkey % 3 = 0
+               GROUP BY 1, 2)
+         GROUP BY entry_acc""",
+    "agg_rollup_salted" ->
+      """WITH fact AS (
+           SELECT o_orderkey, o_totalprice, c_custkey, c_nationkey, n_regionkey
+           FROM orders JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey)
+         SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS node_id, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM fact GROUP BY 1
+         UNION ALL
+         SELECT 'N' || CAST(c_nationkey AS VARCHAR), COUNT(*),
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         FROM fact GROUP BY 1
+         UNION ALL
+         SELECT 'C' || CAST(c_custkey AS VARCHAR), COUNT(*),
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         FROM fact GROUP BY 1"""
+  )
+}
