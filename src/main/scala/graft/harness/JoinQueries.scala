@@ -116,6 +116,26 @@ object JoinQueries {
             .as("overlap_len"))
     }),
 
+    // J8b: KEYLESS interval-overlap join via bin bucketing
+    // (SURVEY.md §4.1): each interval explodes into its covering
+    // W-wide bins, bins equi-join, each pair kept once at the overlap's
+    // left-edge bin — a shuffled equi-join instead of the
+    // broadcast-nested-loop a raw theta join would plan.
+    "join_interval_binned" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 1000).cast("long").as("ls"))
+        .withColumn("le", col("ls") + (col("l_linenumber") * 10).cast("long"))
+      val o = Tables.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") % 1000).cast("long").as("os"))
+        .withColumn("oe", col("os") + 5L)
+      RelOps.binnedIntervalJoin(li, o, binWidth = 100, "ls", "le", "os", "oe")
+        .select(col("l_orderkey"), col("l_linenumber"), col("ls"), col("le"),
+          col("o_orderkey"), col("os"), col("oe"),
+          (least(col("le"), col("oe")) - greatest(col("ls"), col("os")) + 1)
+            .as("overlap_len"))
+    }),
+
     // J9: self-join with key inequality for pair enumeration
     // (entry-vs-entry overlap pairs, interpro/xrefs/entries.py:62-64).
     "join_self_pairs" -> ((s, d) => {
@@ -179,6 +199,18 @@ object JoinQueries {
          SELECT l_orderkey, l_linenumber, ls, le, os, oe,
                 least(le, oe) - greatest(ls, os) + 1 AS overlap_len
          FROM li JOIN o ON l_orderkey = o_orderkey AND ls <= oe AND os <= le""",
+    "join_interval_binned" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+                            CAST(l_partkey % 1000 AS BIGINT) AS ls,
+                            CAST(l_partkey % 1000 + l_linenumber * 10 AS BIGINT) AS le
+                     FROM lineitem WHERE l_orderkey % 100 = 0),
+              o AS (SELECT o_orderkey,
+                           CAST(o_custkey % 1000 AS BIGINT) AS os,
+                           CAST(o_custkey % 1000 + 5 AS BIGINT) AS oe
+                    FROM orders WHERE o_orderkey % 50 = 0)
+         SELECT l_orderkey, l_linenumber, ls, le, o_orderkey, os, oe,
+                least(le, oe) - greatest(ls, os) + 1 AS overlap_len
+         FROM li JOIN o ON ls <= oe AND os <= le""",
     "join_self_pairs" ->
       """SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
                 a.l_partkey AS pk_a, b.l_partkey AS pk_b
