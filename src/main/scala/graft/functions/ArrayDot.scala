@@ -17,11 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * fold, so results are bit-identical to the HOF formulation and to
   * DuckDB's list_* kernels used by the oracle.
   *
-  * Arrays shorter than the other side are handled by truncation to the
-  * common prefix (embeddings are fixed-length; this is just a guard).
-  * Null elements are treated as 0.0 contribution guards are skipped —
-  * inputs are codegen'd as primitive arrays (containsNull=false after
-  * the float→double cast).
+  * Null semantics mirror the HOF exactly (so the optimizer rewrite in
+  * RewriteHofDotProduct is transparent): a length mismatch or a null
+  * element anywhere yields NULL — zip_with pads the shorter side with
+  * nulls and a null product nulls the whole running sum.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,15 +38,20 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null on length mismatch or null element, even with non-null inputs
+  override def nullable: Boolean = true
+
   override def prettyName: String = "array_dot"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -60,10 +64,15 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

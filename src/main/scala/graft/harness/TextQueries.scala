@@ -61,7 +61,18 @@ object TextQueries {
     // Document fingerprint: md5 over the sorted distinct token set.
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
-        col("doc_id"), TextOps.fingerprint(col("text")).as("fp")))
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // BPE-ish token counting: GPT2-style pre-tokenizer regex (letters /
+    // digits / punctuation runs with leading-space absorption) next to
+    // plain whitespace tokens — the cost-estimation operator of a
+    // training-data pipeline.
+    "text_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TextOps.BpeishPattern), lit(0)))
+          .cast("long").as("n_bpe"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_ws")))
   )
 
   private val sqlToks = "string_split(text, ' ')"
@@ -103,6 +114,11 @@ object TextQueries {
     "text_fingerprint" ->
       s"""SELECT doc_id,
                  md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp
+          FROM documents""",
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id,
+                 len(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS n_bpe,
+                 len($sqlToks) AS n_ws
           FROM documents"""
   )
 }

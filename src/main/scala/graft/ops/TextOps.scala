@@ -14,6 +14,12 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** GPT2-style pre-tokenizer pattern, ASCII-restricted so Java regex
+    * (Spark) and RE2 (DuckDB) agree: a leading space is absorbed into
+    * letter/digit/punctuation runs, residual spaces form runs.
+    */
+  val BpeishPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
   /** Word n-gram shingles (distinct not applied; caller decides).
     * Caller must ensure size(tokens) >= n (empty otherwise is NOT
     * guaranteed: Spark's sequence(1,0) is descending, not empty).

@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ArrayDot.descriptor)
     ext.injectFunction(GzipCodec.compressDescriptor)
     ext.injectFunction(GzipCodec.decompressDescriptor)
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }
