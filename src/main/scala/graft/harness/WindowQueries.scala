@@ -50,6 +50,16 @@ object WindowQueries {
           Seq(col("l_extendedprice").desc, col("l_linenumber")), 3)
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "rk")),
 
+    // W4 through the custom whole-operator (LocalTopKPerGroup →
+    // TopKPerGroupExec via the injected planner strategy): bounded
+    // per-group heap instead of a full partition sort — same contract,
+    // same oracle shape as window_topk_group.
+    "window_topk_custom" -> ((s, d) =>
+      RelOps.topKPerGroupExact(Tables.lineitem(s, d),
+          Seq(col("l_orderkey")),
+          Seq(col("l_extendedprice").desc, col("l_linenumber")), 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rk")),
+
     // O3 global: top-k with total order.
     "topk" -> ((s, d) =>
       Tables.orders(s, d)
@@ -86,6 +96,13 @@ object WindowQueries {
                 COUNT(*) AS n_merged
          FROM isl GROUP BY l_orderkey, island""",
     "window_topk_group" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rk
+         FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                      row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+               FROM lineitem)
+         WHERE rk <= 3""",
+    "window_topk_custom" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, rk
          FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
                       row_number() OVER (PARTITION BY l_orderkey

@@ -94,6 +94,28 @@ object RelOps {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Same contract through the custom whole-operator
+    * (graft.plans.LocalTopKPerGroup → TopKPerGroupExec): one hash
+    * shuffle on the group keys, then a bounded k-row heap per group —
+    * O(n log k) and O(groups·k) memory instead of the window
+    * formulation's full partition sort. `order` must be a total order
+    * for deterministic ranks.
+    */
+  def topKPerGroupExact(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                        k: Int, rankCol: String = "rk"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val child = df.queryExecution.analyzed
+    val sortOrders = order.map(c => GraftSqlBridge.resolvedExpr(c, child) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    GraftSqlBridge.ofRows(df.sparkSession,
+      graft.plans.LocalTopKPerGroup(k,
+        part.map(GraftSqlBridge.resolvedExpr(_, child)), sortOrders,
+        rankCol, child))
+  }
+
   /** Hierarchical rollup over a precomputed lineage array: one output
     * row per (ancestor, agg) — reference propagates per-taxon counts to
     * all ancestors by parent-pointer walking

@@ -14,5 +14,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GzipCodec.compressDescriptor)
     ext.injectFunction(GzipCodec.decompressDescriptor)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

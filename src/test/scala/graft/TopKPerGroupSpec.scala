@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.RelOps
+import org.apache.spark.sql.functions._
+
+/** The custom LocalTopKPerGroup operator must plan through
+  * TopKPerGroupExec with exactly one shuffle and agree row-for-row
+  * with the window row_number formulation.
+  */
+class TopKPerGroupSpec extends SparkSpec {
+
+  test("plans as TopKPerGroupExec with a single hash exchange") {
+    val df = RelOps.topKPerGroupExact(Tables.lineitem(spark, sf),
+      Seq(col("l_orderkey")),
+      Seq(col("l_extendedprice").desc, col("l_linenumber")), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("matches the window row_number formulation exactly") {
+    val part = Seq(col("l_orderkey"))
+    val order = Seq(col("l_extendedprice").desc, col("l_linenumber"))
+    val viaWindow = RelOps.topKPerGroup(Tables.lineitem(spark, sf), part, order, 3)
+      .select("l_orderkey", "l_linenumber", "rk")
+    val viaCustom = RelOps.topKPerGroupExact(Tables.lineitem(spark, sf), part, order, 3)
+      .select("l_orderkey", "l_linenumber", "rk")
+    assert(viaCustom.count() === viaWindow.count())
+    assert(viaWindow.exceptAll(viaCustom).count() === 0)
+    assert(viaCustom.exceptAll(viaWindow).count() === 0)
+  }
+
+  test("groups smaller than k emit all rows ranked") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
+    val out = RelOps.topKPerGroupExact(df, Seq(col("g")), Seq(col("v")), 10)
+      .select("g", "v", "rk").as[(String, Int, Int)].collect().toSet
+    assert(out === Set(("a", 1, 1), ("a", 2, 2), ("b", 5, 1)))
+  }
+}
