@@ -43,8 +43,11 @@ object DedupQueries {
     * shingle frame; `cand` restricts which pairs get verified (null =
     * all pairs sharing any shingle).
     */
-  private def jaccardPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
-    val ns = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  private def jaccardPairs(sh: DataFrame, cand: Option[DataFrame],
+                           nsIn: Option[DataFrame] = None): DataFrame = {
+    // per-doc shingle counts: reuse the caller's aggregation when it
+    // already grouped by doc_id (one less pass over the shingle frame)
+    val ns = nsIn.getOrElse(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s").as("__sb"))
     val matched = cand match {
@@ -89,7 +92,7 @@ object DedupQueries {
     // the scale path: only documents sharing a band bucket ever meet.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = shingleFrame(s, d)
-      val aggs = TextOps.minhashAggs(col("s"), K)
+      val aggs = TextOps.minhashAggs(col("s"), K) :+ count(lit(1)).as("n")
       val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       val bands = sig.select(col("doc_id"),
         explode(TextOps.bandKeys(BANDS, K / BANDS)).as("bk"))
@@ -97,7 +100,7 @@ object DedupQueries {
         .join(bands.select(col("doc_id").as("db"), col("bk").as("__bk2")),
           col("bk") === col("__bk2") && col("da") < col("db"))
         .select("da", "db").distinct()
-      jaccardPairs(sh, Some(cand))
+      jaccardPairs(sh, Some(cand), Some(sig.select(col("doc_id"), col("n"))))
     }),
 
     // SimHash: 16-bit signature from md5-digit parities; exact-signature

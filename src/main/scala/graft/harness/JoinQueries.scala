@@ -98,6 +98,31 @@ object JoinQueries {
           date_format(col("freeze_ts"), "yyyy-MM-dd").as("freeze_day"))
     }),
 
+    // J7b: BIG-BIG as-of join via union + running window — when the
+    // right side is not a broadcastable dimension, tag both sides,
+    // union, and carry the latest right-side timestamp down each
+    // (key, time)-sorted partition: one shuffle, no per-row probe.
+    // Here: every event gets the most recent 'purchase' ts (<=) of
+    // its user.
+    "join_asof_union" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("src"),
+          lit(null).cast("long").as("event_id"))
+      val all = e.select(col("user_id"), col("ts"), lit(1).as("src"),
+        col("event_id")).unionByName(purchases)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("src"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      all.withColumn("last_purchase_ts",
+          last(when(col("src") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("src") === 1)
+        .select(col("event_id"),
+          date_format(col("last_purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("last_purchase"))
+    }),
+
     // J8: interval-overlap join with an equi key (match locations vs PDB
     // chain segments, interpro/utils.py:21-40). Catalyst plans the equi
     // part as SMJ; the overlap predicate is a residual filter.
@@ -187,6 +212,13 @@ object JoinQueries {
          SELECT event_id, strftime(MIN(f), '%Y-%m-%d') AS freeze_day
          FROM events JOIN freezes ON f >= ts
          GROUP BY event_id""",
+    "join_asof_union" ->
+      """SELECT e.event_id,
+                (SELECT strftime(MAX(p.ts), '%Y-%m-%d %H:%M:%S')
+                 FROM events p
+                 WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                   AND p.ts <= e.ts) AS last_purchase
+         FROM events e""",
     "join_interval" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber,
                             l_linenumber AS ls,

@@ -64,6 +64,30 @@ object SinkQueries {
           col("inner"), lit("</protein>")).as("xml"))
     }),
 
+    // K9: per-database match formatter dispatch (InterProScan lookup
+    // reshapes each library's matches differently — format_cdd /
+    // format_panther / ..., interpro/lookup.py:136-420): a when()
+    // dispatch emitting a per-db JSON document shape, string-built so
+    // both engines render identically.
+    "fmt_dispatch" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_returnflag").as("db"), col("l_quantity"))
+      li.select(col("l_orderkey"), col("l_linenumber"), col("db"),
+        when(col("db") === "A",
+          concat(lit("{\"lib\":\"cdd\",\"acc\":\"P"), col("l_partkey").cast("string"),
+            lit("\",\"sites\":"), col("l_quantity").cast("int").cast("string"),
+            lit("}")))
+        .when(col("db") === "N",
+          concat(lit("{\"lib\":\"panther\",\"acc\":\"P"), col("l_partkey").cast("string"),
+            lit("\",\"subfam\":\"SF"), (col("l_partkey") % 10).cast("string"),
+            lit("\"}")))
+        .otherwise(
+          concat(lit("{\"lib\":\"pfam\",\"acc\":\"P"), col("l_partkey").cast("string"),
+            lit("\",\"clan\":\"CL"), (col("l_partkey") % 5).cast("string"),
+            lit("\"}"))).as("doc"))
+    }),
+
     // K8: relationship-document denormalizer with fallback docs
     // (interpro/elastic/export.py:478-701): one doc per
     // (order × lineitem), plus a fallback doc for orders with no
@@ -108,6 +132,19 @@ object SinkQueries {
                 '</protein>' AS xml
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY l_orderkey""",
+    "fmt_dispatch" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag AS db,
+                CASE WHEN l_returnflag = 'A' THEN
+                       '{"lib":"cdd","acc":"P' || CAST(l_partkey AS VARCHAR) ||
+                       '","sites":' || CAST(CAST(l_quantity AS INT) AS VARCHAR) || '}'
+                     WHEN l_returnflag = 'N' THEN
+                       '{"lib":"panther","acc":"P' || CAST(l_partkey AS VARCHAR) ||
+                       '","subfam":"SF' || CAST(l_partkey % 10 AS VARCHAR) || '"}'
+                     ELSE
+                       '{"lib":"pfam","acc":"P' || CAST(l_partkey AS VARCHAR) ||
+                       '","clan":"CL' || CAST(l_partkey % 5 AS VARCHAR) || '"}'
+                END AS doc
+         FROM lineitem""",
     "fanout_docs" ->
       """SELECT CAST(o_orderkey AS VARCHAR) || '-' ||
                 COALESCE(CAST(l_linenumber AS VARCHAR), 'none') AS doc_id,
