@@ -63,8 +63,28 @@ object MultimodalQueries {
                 upper(hex(encode(substring(text, 1, 8)))) AS prefix_hex,
                 md5(text) AS content_md5
          FROM documents""",
-    // multimodal_decode: intentionally no oracle (stubbed media decode
-    // is not SQL-expressible) -> driver records rows-only check.
+    // multimodal_decode: the stub decoder is deterministic byte math,
+    // so it IS SQL-expressible for the (all-ASCII) test corpus:
+    // width/height from the first two bytes, feature i = sum of bytes
+    // at positions ≡ i (mod 8), mod 1000, as thousandths.
+    "multimodal_decode" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+                    FROM documents),
+          pos AS (SELECT doc_id, CAST(u.p AS INT) AS p
+                  FROM b, UNNEST(range(0, n)) AS u(p)),
+          f AS (SELECT pos.doc_id, p % 8 AS i,
+                       SUM(ascii(substring(text, p + 1, 1))) AS s
+                FROM pos JOIN b USING (doc_id) GROUP BY pos.doc_id, p % 8),
+          feats AS (SELECT doc_id,
+                           string_agg(CAST(CAST(CAST(s % 1000 AS DOUBLE) / 1000
+                                     AS DECIMAL(6,3)) AS VARCHAR), ',' ORDER BY i)
+                      AS features_csv
+                    FROM f GROUP BY doc_id)
+          SELECT b.doc_id, CAST(n AS INTEGER) AS n_bytes,
+                 16 + ascii(substring(text, 1, 1)) % 64 AS width,
+                 16 + ascii(substring(text, 2, 1)) % 64 AS height,
+                 features_csv
+          FROM b JOIN feats USING (doc_id)""",
     "fn_gzip_roundtrip" ->
       """SELECT doc_id, text, TRUE AS compressed_ok FROM documents"""
   )
