@@ -1,6 +1,7 @@
 package graft.harness
 
 import graft.Tables
+import graft.ops.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -147,6 +148,40 @@ object CoreQueries {
         .groupBy("l_orderkey")
         .agg(countDistinct(col("pos")).as("coverage"))),
 
+    // F3: case / trim / pad (LOWER(DBSHORT), TRIM(NAME), LPAD CRC64,
+    // interpro/oracle/entries.py:65-68,307-313).
+    "fn_case_trim" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("padded"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"))),
+
+    // F12: ordered sequence rebuild (residue one-letter concat into a
+    // chain sequence, interpro7dw/pdbe.py:449-484).
+    "fn_seq_rebuild" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(concat_ws("", transform(
+          sort_array(collect_list(struct(col("l_linenumber"), col("l_returnflag")))),
+          r => r("l_returnflag"))).as("chain"))),
+
+    // U2/U3: array-level set algebra (coverage |= set(...), residue
+    // intersection, interpro/oracle/matches.py:186-201).
+    "fn_array_setops" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), slice(toks, 1, 4).as("a"), slice(toks, -4, 4).as("b"))
+        .select(col("doc_id"),
+          concat_ws(",", array_sort(array_distinct(array_union(col("a"), col("b")))))
+            .as("u"),
+          concat_ws(",", array_sort(array_distinct(array_intersect(col("a"), col("b")))))
+            .as("i"),
+          concat_ws(",", array_sort(array_distinct(array_except(col("a"), col("b")))))
+            .as("x"))
+    }),
+
     // F9: map construction + merge + lookup (nested dict build
     // map[db][acc], interpro/xrefs/taxa.py:55-73): MapType built from
     // collected entries, probed with try_element_at.
@@ -251,6 +286,27 @@ object CoreQueries {
                         l_linenumber + CAST(floor(l_quantity / 5) AS INT))) AS pos
                FROM lineitem)
          GROUP BY l_orderkey""",
+    "fn_case_trim" ->
+      """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+                lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+                trim('  ' || p_name || '  ') AS trimmed
+         FROM part""",
+    "fn_seq_rebuild" ->
+      """SELECT l_orderkey,
+                string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag)
+                  AS chain
+         FROM lineitem GROUP BY l_orderkey""",
+    "fn_array_setops" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              ab AS (SELECT doc_id, tk[1:4] AS a, tk[-4:] AS b FROM t)
+         SELECT doc_id,
+                COALESCE(array_to_string(list_sort(list_distinct(list_cat(a, b))), ','),
+                         '') AS u,
+                COALESCE(array_to_string(list_sort(list_distinct(
+                  list_filter(a, x -> list_contains(b, x)))), ','), '') AS i,
+                COALESCE(array_to_string(list_sort(list_distinct(
+                  list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS x
+         FROM ab""",
     "fn_map" ->
       """SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_keys,
                 MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS building_n,

@@ -35,6 +35,23 @@ object StreamQueries {
       s.table(name)
     }),
 
+    // Streaming dedup: dropDuplicates keyed on event_id with a
+    // watermark bounding the dedup state — the streaming form of
+    // exact dedup (state evicts beyond the watermark horizon).
+    "stream_dedup" -> ((s, d) => {
+      val name = "stream_dedup_mem"
+      s.catalog.dropTempView(name)
+      val agg = EventsStream.readStream(s, d)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // Custom stateful streaming: gap sessionization per user via
     // flatMapGroupsWithState over the events file stream, drained with
     // AvailableNow (30-minute gap; timestamps as exact micros).
@@ -64,6 +81,9 @@ object StreamQueries {
                 event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+         FROM events GROUP BY event_type""",
     "stream_sessionize" ->
       """WITH l AS (SELECT user_id, ts,
                            CASE WHEN lag(ts) OVER w IS NULL

@@ -56,6 +56,26 @@ object XrefQueries {
             concat(col("db"), lit(":"), col("n").cast("string"))))).as("db_counts"))
     }),
 
+    // Mart: the webfront counts-JSON per entry
+    // (interpro/mysql/entries.py:374-389) — the xref bundle rendered
+    // as the JSON document the warehouse tables store.
+    "mart_entry_counts" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey"),
+          concat(lit("IPR"), (col("l_partkey") % 7).cast("string")).as("entry_acc"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("entry_acc"))
+        .agg(count(lit(1)).as("m"), countDistinct(col("l_orderkey")).as("p"),
+          countDistinct(col("c_nationkey")).as("t"))
+        .select(col("entry_acc"),
+          concat(lit("{\"matches\":"), col("m").cast("string"),
+            lit(",\"proteins\":"), col("p").cast("string"),
+            lit(",\"taxa\":"), col("t").cast("string"), lit("}")).as("counts"))
+    }),
+
     // A10 under skew: two-phase salted rollup — partial aggregate on
     // (node, salt), final on node. Same result as agg_rollup_lineage;
     // the extra narrow shuffle is what keeps the root taxon from
@@ -107,6 +127,18 @@ object XrefQueries {
                       l_returnflag AS db, COUNT(*) AS n
                FROM lineitem WHERE l_partkey % 3 = 0
                GROUP BY 1, 2)
+         GROUP BY entry_acc""",
+    "mart_entry_counts" ->
+      """SELECT entry_acc,
+                '{"matches":' || CAST(COUNT(*) AS VARCHAR) ||
+                ',"proteins":' || CAST(COUNT(DISTINCT l_orderkey) AS VARCHAR) ||
+                ',"taxa":' || CAST(COUNT(DISTINCT c_nationkey) AS VARCHAR) || '}'
+                  AS counts
+         FROM (SELECT 'IPR' || CAST(l_partkey % 7 AS VARCHAR) AS entry_acc,
+                      l_orderkey, c_nationkey
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+               WHERE l_partkey % 3 = 0)
          GROUP BY entry_acc""",
     "agg_rollup_salted" ->
       """WITH fact AS (
