@@ -122,6 +122,15 @@ object DedupQueries {
         .filter(col("n") > 1)
     }),
 
+    // Near-dup cluster assembly: the verified pair list becomes
+    // connected components via min-label propagation (the dedup
+    // endgame — pick one representative per component). O(diameter)
+    // keyed shuffles, no driver-side union-find.
+    "dedup_components" -> ((s, d) => {
+      val pairs = jaccardPairs(shingleFrame(s, d), None).select(col("da"), col("db"))
+      graft.ops.Graphs.connectedComponents(pairs, "da", "db")
+    }),
+
     // Embedding near-dup: label-blocked cosine pairs (blocking key =
     // label; at scale the key becomes an LSH bucket / coarse centroid).
     "dedup_embedding" -> ((s, d) =>
@@ -186,6 +195,21 @@ object DedupQueries {
           SELECT sig, MIN(doc_id) AS rep, COUNT(*) AS n,
                  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
           FROM sig GROUP BY sig HAVING COUNT(*) > 1""",
+    "dedup_components" ->
+      s"""WITH RECURSIVE $shCte,
+          m AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+          pr AS (SELECT da, db, COUNT(*) AS nab FROM m GROUP BY da, db),
+          pairs AS (SELECT da, db FROM pr
+                    JOIN ns x ON da = x.doc_id JOIN ns y ON db = y.doc_id
+                    WHERE round(CAST(nab AS DOUBLE)/(x.n+y.n-nab), 6) >= $JACC),
+          e AS (SELECT da AS a, db AS b FROM pairs
+                UNION SELECT db, da FROM pairs),
+          reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+          SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a""",
     "dedup_embedding" ->
       """SELECT a.label, a.vec_id AS ida, b.vec_id AS idb,
                 round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -66,6 +66,40 @@ object VectorQueries {
           Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
         .filter(col("rk") <= 5)
         .select("qid", "vec_id", "bk", "sim", "rk")
+    }),
+
+    // ANN scale path #2, IVF-style: coarse cells from deterministic
+    // seed centroids (first 8 vectors), every vector assigned to its
+    // nearest centroid (argmax cosine, tie → lowest cell id), queries
+    // probe their own cell only (nprobe=1). The assignment cross join
+    // is |corpus| × n_cells — linear, broadcastable; the search join
+    // is cell-blocked.
+    "ann_ivf_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+        .withColumn("v", VectorOps.asDouble(col("embedding")))
+        .withColumn("nv", VectorOps.norm(col("v")))
+        .select("vec_id", "v", "nv")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("cn"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("simc",
+          round(VectorOps.dot(col("v"), col("cv")) / (col("nv") * col("cn")), 6))
+        .withColumn("rc", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("simc").desc, col("cid"))))
+        .filter(col("rc") === 1)
+        .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cell"))
+      val q = assigned.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nv").as("qn"), col("cell"))
+      assigned.join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim",
+          round(VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nv")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select("qid", "vec_id", "cell", "sim", "rk")
     })
   )
 
@@ -96,6 +130,23 @@ object VectorQueries {
           FROM (SELECT *, row_number() OVER (PARTITION BY qid
                   ORDER BY sim DESC, vec_id) AS rk FROM s)
           WHERE rk <= 5"""
-    }
+    },
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          a AS (SELECT vec_id, v, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+                                  cid) AS rc
+                FROM e CROSS JOIN c),
+          asg AS (SELECT vec_id, v, cid AS cell FROM a WHERE rc = 1),
+          q AS (SELECT vec_id AS qid, v AS qv, cell FROM asg WHERE vec_id < 50),
+          s AS (SELECT qid, b.vec_id, b.cell,
+                       round(list_cosine_similarity(qv, b.v), 6) AS sim
+                FROM q JOIN asg b USING (cell) WHERE b.vec_id <> qid)
+          SELECT qid, vec_id, cell, sim, rk
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, vec_id) AS rk FROM s)
+          WHERE rk <= 5"""
   )
 }

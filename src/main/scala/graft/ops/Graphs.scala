@@ -51,4 +51,41 @@ object Graphs {
     edges.unpersist(blocking = false)
     cur.select(col("__id").as(idCol), col("lineage"))
   }
+
+  /** Connected components by min-label propagation: every node starts
+    * labeled with itself; each round joins labels across (undirected)
+    * edges and keeps the minimum; stops at fixpoint. O(diameter)
+    * shuffles, all keyed — the standard large-scale formulation (a
+    * large-star/small-star variant would cut rounds further; diameter
+    * here is tiny). Returns (node, component) with component = the
+    * minimum node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 32): DataFrame = {
+    val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("__a").as("__n")).distinct()
+      .withColumn("__l", col("__n"))
+    var prev: DataFrame = null
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("__b") === labels("__n"))
+        .groupBy(col("__a")).agg(min(col("__l")).as("__nl"))
+      val next = labels.join(nbrMin, labels("__n") === nbrMin("__a"), "left_outer")
+        .select(col("__n"),
+          least(col("__l"), coalesce(col("__nl"), col("__l"))).as("__l"),
+          col("__l").as("__old"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("__l") =!= col("__old")).count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = next
+      labels = next.select(col("__n"), col("__l"))
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.select(col("__n").as("node"), col("__l").as("component"))
+  }
 }
