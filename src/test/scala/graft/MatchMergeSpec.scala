@@ -100,6 +100,34 @@ class MatchMergeSpec extends AnyFunSuite {
     assert(flags === IndexedSeq(true, false, true))
   }
 
+  test("property: representatives are non-conflicting and cover every island") {
+    // single-fragment locations only: for discontinuous matches the
+    // reference's island grouping keys on the LAST-sorted fragment end
+    // (not the max), so overlapping locations can land in different
+    // islands and both be flagged — faithful behavior, verified by the
+    // differential spec. The no-conflict invariant holds when
+    // last-sorted end == max end, i.e. single-fragment locations.
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 100) {
+      val locs = Seq.fill(rnd.nextInt(12) + 1) {
+        val s = rnd.nextInt(300)
+        (Seq(Fragment(s, s + rnd.nextInt(120), "S")), rnd.nextInt(3))
+      }
+      val flags = MatchMerge.selectRepresentatives(locs)
+      assert(flags.count(identity) >= 1, s"no representative for $locs")
+      // no two representatives overlap >= 30% of the smaller residue set
+      def residues(fs: Seq[Fragment]): Set[Int] =
+        fs.flatMap(f => f.start to f.end).toSet
+      val reps = locs.zipWithIndex.filter { case (_, i) => flags(i) }
+        .map { case ((fs, _), _) => residues(fs) }
+      for (Seq(a, b) <- reps.combinations(2)) {
+        val ov = (a & b).size
+        assert(ov == 0 || ov.toDouble / math.min(a.size, b.size) < 0.3,
+          s"conflicting representatives in $locs")
+      }
+    }
+  }
+
   test("rank breaks coverage ties with more rank-0 members") {
     // two singleton subsets tie on coverage 100; the reference replaces
     // the incumbent only when rank-0 count increases. First-sorted wins
