@@ -12,8 +12,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet paths so the first measured query
-    // doesn't absorb session startup
-    Tables.lineitem(spark, sfDir).count()
+    // doesn't absorb session startup or first-touch footer reads
+    Tables.names.foreach { t =>
+      try {
+        (if (t == "events") Tables.events(spark, sfDir)
+         else Tables.load(spark, sfDir, t)).count()
+      } catch { case _: Throwable => }
+    }
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSet).getOrElse(Set.empty[String])

@@ -28,17 +28,24 @@ object WindowQueries {
 
     // W2: interval condensation via gaps-and-islands (condense_locations
     // sweep, interpro/oracle/matches.py:60-103): islands of chained
-    // [start,end] per order, then per-island extents.
+    // [start,end] per order, then per-island extents. Duplicate
+    // intervals collapse to one weighted row FIRST — the synthetic
+    // data has fully-identical rows, and a window order with
+    // indistinguishable ties lets different engines (or different
+    // window operators in the same engine) number island-boundary
+    // rows differently; distinct (s, e) restores a total order.
     "window_islands" -> ((s, d) => {
       val iv = Tables.lineitem(s, d).select(
-        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey"),
         col("l_linenumber").as("s"),
         (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int")).as("e"))
+        .groupBy(col("l_orderkey"), col("s"), col("e"))
+        .agg(count(lit(1)).as("cnt"))
       RelOps.islands(iv, Seq(col("l_orderkey")), col("s"), col("e"),
-          col("l_linenumber"), "island")
+          col("e"), "island")
         .groupBy(col("l_orderkey"), col("island"))
         .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
-          count(lit(1)).as("n_merged"))
+          sum(col("cnt")).as("n_merged"))
     }),
 
     // W4/O3: bounded ranked selection per group (best 20 domains by
@@ -78,22 +85,24 @@ object WindowQueries {
          WHERE rn = 1""",
     "window_islands" ->
       """WITH iv AS (
-           SELECT l_orderkey, l_linenumber, l_linenumber AS s,
-                  l_linenumber + CAST(floor(l_quantity / 10) AS INT) AS e
-           FROM lineitem),
+           SELECT l_orderkey, s, e, COUNT(*) AS cnt
+           FROM (SELECT l_orderkey, l_linenumber AS s,
+                        l_linenumber + CAST(floor(l_quantity / 10) AS INT) AS e
+                 FROM lineitem)
+           GROUP BY 1, 2, 3),
          flagged AS (
            SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS nf
            FROM (SELECT *, MAX(e) OVER (PARTITION BY l_orderkey
-                   ORDER BY s, e, l_linenumber
+                   ORDER BY s, e
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
                  FROM iv)),
          isl AS (
            SELECT *, CAST(SUM(nf) OVER (PARTITION BY l_orderkey
-                   ORDER BY s, e, l_linenumber
+                   ORDER BY s, e
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
            FROM flagged)
          SELECT l_orderkey, island, MIN(s) AS island_start, MAX(e) AS island_end,
-                COUNT(*) AS n_merged
+                CAST(SUM(cnt) AS BIGINT) AS n_merged
          FROM isl GROUP BY l_orderkey, island""",
     "window_topk_group" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, rk
