@@ -40,6 +40,15 @@ object MultimodalQueries {
           concat_ws(",", transform(col("features"),
             f => f.cast("decimal(6,3)").cast("string"))).as("features_csv"))),
 
+    // Frame sampling over "video" blobs: the one-to-many fan-out
+    // (doc → 4 frames) with per-frame byte spans — the flatMap shape
+    // a real keyframe sampler would use; stub is deterministic byte
+    // math (oracle below).
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("blob")), 4)),
+
     // F11: gzip codec roundtrip through the custom GzipCompress /
     // GzipDecompress expressions (reference gzips sequences/HMM blobs,
     // interpro/oracle/proteins.py:68). The compressed bytes are
@@ -85,6 +94,18 @@ object MultimodalQueries {
                  16 + ascii(substring(text, 2, 1)) % 64 AS height,
                  features_csv
           FROM b JOIN feats USING (doc_id)""",
+    "multimodal_frames" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+                    FROM documents WHERE octet_length(encode(text)) > 0),
+          pos AS (SELECT doc_id, CAST(u.p AS INT) AS p
+                  FROM b, UNNEST(range(0, n)) AS u(p)),
+          f AS (SELECT pos.doc_id,
+                       CAST((CAST(p AS BIGINT) * 4) // n AS INT) AS frame_no,
+                       ascii(substring(text, p + 1, 1)) AS byte
+                FROM pos JOIN b USING (doc_id))
+          SELECT doc_id, frame_no, CAST(COUNT(*) AS INT) AS n_bytes,
+                 CAST(SUM(byte) % 1000 AS BIGINT) AS checksum
+          FROM f GROUP BY doc_id, frame_no""",
     "fn_gzip_roundtrip" ->
       """SELECT doc_id, text, TRUE AS compressed_ok FROM documents"""
   )

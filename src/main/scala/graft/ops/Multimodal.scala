@@ -44,6 +44,46 @@ object Multimodal {
     (w, h, feats)
   }
 
+  /** One sampled "frame" of a media blob: the video-style one-to-many
+    * fan-out (doc → k frames), each frame summarized by its byte span.
+    */
+  case class FrameSample(doc_id: Long, frame_no: Int, n_bytes: Int,
+                         checksum: Long)
+
+  /** STUB frame sampling: position p belongs to frame p*k/n (integer
+    * math), mirroring what a real sampler's time-bucketing would do;
+    * a real implementation would seek keyframes and decode. The
+    * flatMap one-to-many shape, schema and partition-local batching
+    * are the real parts.
+    */
+  def frameSample(df: DataFrame, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    implicit val enc = org.apache.spark.sql.Encoders.product[FrameSample]
+    df.select("doc_id", "blob").as(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (id, blob) =>
+        val bytes = if (blob == null) Array.empty[Byte] else blob
+        val n = bytes.length
+        if (n == 0) Iterator.empty
+        else {
+          val counts = Array.fill(k)(0)
+          val sums = Array.fill(k)(0L)
+          var p = 0
+          while (p < n) {
+            val f = (p.toLong * k / n).toInt
+            counts(f) += 1
+            sums(f) += java.lang.Byte.toUnsignedInt(bytes(p))
+            p += 1
+          }
+          (0 until k).iterator.filter(counts(_) > 0)
+            .map(f => FrameSample(id, f, counts(f), sums(f) % 1000))
+        }
+      }
+      .toDF()
+  }
+
   /** Per-partition decode: one pass over each partition's rows, no
     * shuffle; input columns (doc_id, blob). The partition boundary is
     * where a real decoder would amortize codec/model initialization.
