@@ -32,9 +32,14 @@ object ReleasePipeline {
     val matches = stage("protein2matches")(
       KernelQueries.queries("kernel_match_merge")(spark, sfDir))
 
-    // 2. entry2xrefs: the flagship inverted aggregation (§3.3)
+    // 2. entry2xrefs: the flagship inverted aggregation (§3.3), plus
+    //    domain organisations and the ancestor rollup
     val xrefs = stage("entry2xrefs")(
       XrefQueries.queries("xref_entry_bundle")(spark, sfDir))
+    stage("domain_orgs")(
+      XrefQueries.queries("xref_domorg")(spark, sfDir))
+    stage("taxa_rollup")(
+      XrefQueries.queries("agg_rollup_salted")(spark, sfDir))
 
     // 3. webfront marts: counts-JSON per entry + release stats
     val mart = stage("webfront_entry")(

@@ -12,6 +12,8 @@ class ReleasePipelineSpec extends SparkSpec {
     val stages = ReleasePipeline.build(spark, sf, out).toMap
     assert(stages("protein2matches") > 0)
     assert(stages("entry2xrefs") === 7)  // IPR0..IPR6
+    assert(stages("domain_orgs") > 0)
+    assert(stages("taxa_rollup") > 0)
     assert(stages("webfront_entry") === 7)
     assert(stages("release_stats") === 1)
     assert(stages("protein2ipr") > 0)
