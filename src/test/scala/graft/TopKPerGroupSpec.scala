@@ -31,6 +31,21 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(viaCustom.exceptAll(viaWindow).count() === 0)
   }
 
+  test("k=1 picks exactly the per-group argmin") {
+    import spark.implicits._
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
+    val out = RelOps.topKPerGroupExact(df, Seq(col("g")), Seq(col("v")), 1)
+      .select("g", "v", "rk").as[(String, Int, Int)].collect().toSet
+    assert(out === Set(("a", 1, 1), ("b", 9, 1)))
+  }
+
+  test("empty input emits nothing") {
+    import spark.implicits._
+    val df = Seq.empty[(String, Int)].toDF("g", "v")
+    val out = RelOps.topKPerGroupExact(df, Seq(col("g")), Seq(col("v")), 3)
+    assert(out.count() === 0)
+  }
+
   test("groups smaller than k emit all rows ranked") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
