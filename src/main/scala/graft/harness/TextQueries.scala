@@ -63,6 +63,16 @@ object TextQueries {
       Tables.documents(s, d).select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // Rolling-hash fingerprint (Rabin-Karp polynomial fold over the
+    // character stream, base 31 mod 1e9+7) — the streaming-friendly
+    // fingerprint next to the bag-of-words md5; same left-to-right
+    // fold on both engines.
+    "text_rolling_hash" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        aggregate(transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
+          lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L).as("rhash"))),
+
     // BPE-ish token counting: GPT2-style pre-tokenizer regex (letters /
     // digits / punctuation runs with leading-space absorption) next to
     // plain whitespace tokens — the cost-estimation operator of a
@@ -115,6 +125,13 @@ object TextQueries {
       s"""SELECT doc_id,
                  md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp
           FROM documents""",
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+                CAST(list_reduce([CAST(ascii(c) AS BIGINT)
+                                  FOR c IN string_split(text, '')],
+                                 (a, b) -> (a*31 + b) % 1000000007) AS BIGINT)
+                  AS rhash
+         FROM documents""",
     "text_bpe_tokens" ->
       s"""SELECT doc_id,
                  len(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS n_bpe,
