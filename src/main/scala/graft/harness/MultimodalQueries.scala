@@ -40,6 +40,13 @@ object MultimodalQueries {
           concat_ws(",", transform(col("features"),
             f => f.cast("decimal(6,3)").cast("string"))).as("features_csv"))),
 
+    // Resize: stride-downsampling stub ("8x8 thumbnail") with the
+    // per-partition plumbing a real scaler would use.
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resize(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("blob")))),
+
     // Frame sampling over "video" blobs: the one-to-many fan-out
     // (doc → 4 frames) with per-frame byte spans — the flatMap shape
     // a real keyframe sampler would use; stub is deterministic byte
@@ -94,6 +101,18 @@ object MultimodalQueries {
                  16 + ascii(substring(text, 2, 1)) % 64 AS height,
                  features_csv
           FROM b JOIN feats USING (doc_id)""",
+    "multimodal_resize" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+                           GREATEST(1, (octet_length(encode(text)) + 63) // 64) AS k
+                    FROM documents),
+          pos AS (SELECT doc_id, CAST(u.p AS INT) AS p
+                  FROM b, UNNEST(range(0, n, k)) AS u(p))
+          SELECT pos.doc_id, 8 AS out_w, 8 AS out_h,
+                 CAST(COUNT(*) AS INT) AS n_sampled,
+                 CAST(SUM(ascii(substring(text, p + 1, 1))) % 1000 AS BIGINT)
+                   AS checksum
+          FROM pos JOIN b USING (doc_id)
+          GROUP BY pos.doc_id""",
     "multimodal_frames" ->
       """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
                     FROM documents WHERE octet_length(encode(text)) > 0),

@@ -84,6 +84,41 @@ object Multimodal {
       .toDF()
   }
 
+  /** A "resized" media summary: stride-downsampled bytes standing in
+    * for pixel resampling (real impl: decode, scale, re-encode).
+    */
+  case class Resized(doc_id: Long, out_w: Int, out_h: Int, n_sampled: Int,
+                     checksum: Long)
+
+  /** STUB resize: sample every k-th byte with k = ceil(n/64) (so at
+    * most 64 samples — an "8x8 thumbnail"), summarize by count and
+    * checksum. The per-partition batching and schema are the real
+    * parts; a codec would replace the sampler.
+    */
+  def resize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    implicit val enc = org.apache.spark.sql.Encoders.product[Resized]
+    df.select("doc_id", "blob").as(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions(_.map { case (id, blob) =>
+        val bytes = if (blob == null) Array.empty[Byte] else blob
+        val n = bytes.length
+        val k = math.max(1, (n + 63) / 64)
+        var p = 0
+        var cnt = 0
+        var sum = 0L
+        while (p < n) {
+          cnt += 1
+          sum += java.lang.Byte.toUnsignedInt(bytes(p))
+          p += k
+        }
+        Resized(id, 8, 8, cnt, sum % 1000)
+      })
+      .toDF()
+  }
+
   /** Per-partition decode: one pass over each partition's rows, no
     * shuffle; input columns (doc_id, blob). The partition boundary is
     * where a real decoder would amortize codec/model initialization.
