@@ -60,10 +60,16 @@ object MatchMerge {
     val valid = raw.filter(_.fragments.nonEmpty)
       .map(m => m.copy(fragments = m.fragments.sortBy(f => (f.start, f.end))))
 
-    // classify, keeping input order within each class
-    // (interpro/oracle/matches.py:288-310)
-    val domains = valid.filter(_.kind == "domain")
-    val families = valid.filter(_.kind == "family")
+    // classify; domains and families take the boundary order the
+    // reference's select_repr_domains applies IN PLACE (stable sort by
+    // (first-frag start, last-frag end), interpro/oracle/
+    // matches.py:107-109) — the later per-signature location sort is
+    // stable, so this mutation is visible in tie order. Regions keep
+    // input order (never re-sorted).
+    def boundarySorted(ms: Seq[RawMatch]): Seq[RawMatch] =
+      ms.sortBy(m => (m.fragments.head.start, m.fragments.last.end))
+    val domains = boundarySorted(valid.filter(_.kind == "domain"))
+    val families = boundarySorted(valid.filter(_.kind == "family"))
     val regions = valid.filterNot(m => m.kind == "domain" || m.kind == "family")
 
     // one representative pass over ALL domains of the protein, and a

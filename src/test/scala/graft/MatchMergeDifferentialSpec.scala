@@ -59,6 +59,6 @@ class MatchMergeDifferentialSpec extends AnyFunSuite {
       }
       checked += 1
     }
-    assert(checked === 40)
+    assert(checked === 80)
   }
 }

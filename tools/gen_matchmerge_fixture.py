@@ -73,7 +73,10 @@ def main():
     fam_dbs = consts["REPR_FAM_DATABASES"]
 
     cases = []
-    for case_id in range(40):
+    for case_id in range(80):
+        # later cases skew adversarial: many overlapping domains,
+        # duplicate locations, single-residue fragments
+        adversarial = case_id >= 40
         n_sigs = rng.randint(1, 8)
         signatures = {}
         entries = {}
@@ -103,14 +106,23 @@ def main():
             if entry and entry not in entries:
                 entries[entry] = {"name": entry, "short_name": entry,
                                   "type": "Domain", "parent": None}
-            for _ in range(rng.randint(1, 3)):
-                n_frags = rng.randint(1, 3)
+            n_locs = rng.randint(1, 6 if adversarial else 3)
+            dup_frags = None
+            for _ in range(n_locs):
+                n_frags = rng.randint(1, 4 if adversarial else 3)
                 frags = []
                 for _ in range(n_frags):
-                    start = rng.randint(1, 400)
-                    end = start + rng.randint(0, 150)
+                    if adversarial and rng.random() < 0.3:
+                        start = rng.randint(1, 60)   # force deep overlap
+                        end = start + rng.choice([0, 1, 100])
+                    else:
+                        start = rng.randint(1, 400)
+                        end = start + rng.randint(0, 150)
                     frags.append({"start": start, "end": end,
                                   "dc-status": "CONTINUOUS"})
+                if adversarial and dup_frags and rng.random() < 0.25:
+                    frags = [dict(f) for f in dup_frags]  # exact duplicate location
+                dup_frags = frags
                 frags.sort(key=lambda f: (f["start"], f["end"]))
                 score = round(rng.uniform(0, 100), 3)
                 matches.append((acc, acc, score, frags))
