@@ -67,6 +67,27 @@ object WindowQueries {
           Seq(col("l_extendedprice").desc, col("l_linenumber")), 3)
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "rk")),
 
+    // Lead/lag analytics (SURVEY §2.5 notes the reference has none —
+    // Spark supplies them free): inter-event gap per user.
+    "window_lead_lag" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("gap_us"))
+    }),
+
+    // ROLLUP grouping sets: subtotal lattice over (returnflag,
+    // linestatus) — OLAP surface beyond the reference's hand-rolled
+    // per-level aggregations.
+    "agg_grouping_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))),
+
     // O3 global: top-k with total order.
     "topk" -> ((s, d) =>
       Tables.orders(s, d)
@@ -111,6 +132,16 @@ object WindowQueries {
                         ORDER BY l_extendedprice DESC, l_linenumber) AS rk
                FROM lineitem)
          WHERE rk <= 3""",
+    "window_lead_lag" ->
+      """SELECT user_id, event_id,
+                epoch_us(ts) - lag(epoch_us(ts), 1)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         FROM events""",
+    "agg_grouping_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "window_topk_custom" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, rk
          FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
