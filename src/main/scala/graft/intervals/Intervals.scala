@@ -71,6 +71,64 @@ object Intervals {
   def coverage(ivs: Seq[(Int, Int)]): Long =
     condense(ivs, 0.0).map { case (s, e) => (e - s + 1).toLong }.sum
 
+  // ---- residue-SET algebra over disjoint sorted interval lists ----
+  // A residue set {1..5, 7..9} is represented as Array((1,5),(7,9)):
+  // sorted by start, non-overlapping, non-adjacent. These back the
+  // match-merge kernel's coverage/overlap math (the semantic
+  // equivalent of the reference's per-residue Python sets,
+  // interpro/oracle/matches.py:119-128) without materializing one
+  // element per residue.
+
+  /** Canonical residue set from arbitrary intervals: sort, merge
+    * overlapping AND adjacent ([1,5]+[6,8] is the contiguous set 1..8).
+    */
+  def normalize(ivs: Seq[(Int, Int)]): Array[(Int, Int)] = {
+    if (ivs.isEmpty) return Array.empty
+    val sorted = ivs.sortBy(identity)
+    val out = Array.newBuilder[(Int, Int)]
+    var (cs, ce) = sorted.head
+    for ((s, e) <- sorted.tail) {
+      if (s <= ce + 1) ce = math.max(ce, e)
+      else { out += ((cs, ce)); cs = s; ce = e }
+    }
+    out += ((cs, ce))
+    out.result()
+  }
+
+  /** Set union of two canonical residue sets. */
+  def setUnion(a: Array[(Int, Int)], b: Array[(Int, Int)]): Array[(Int, Int)] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = Array.newBuilder[(Int, Int)]
+    var i = 0; var j = 0
+    var (cs, ce) = if (a(0)._1 <= b(0)._1) { i = 1; a(0) } else { j = 1; b(0) }
+    while (i < a.length || j < b.length) {
+      val (s, e) =
+        if (j >= b.length || (i < a.length && a(i)._1 <= b(j)._1)) { i += 1; a(i - 1) }
+        else { j += 1; b(j - 1) }
+      if (s <= ce + 1) ce = math.max(ce, e)
+      else { out += ((cs, ce)); cs = s; ce = e }
+    }
+    out += ((cs, ce))
+    out.result()
+  }
+
+  /** |A ∩ B| for two canonical residue sets (two-pointer sweep). */
+  def setIntersectionLen(a: Array[(Int, Int)], b: Array[(Int, Int)]): Long = {
+    var i = 0; var j = 0
+    var total = 0L
+    while (i < a.length && j < b.length) {
+      val ov = math.min(a(i)._2, b(j)._2) - math.max(a(i)._1, b(j)._1) + 1
+      if (ov > 0) total += ov
+      if (a(i)._2 <= b(j)._2) i += 1 else j += 1
+    }
+    total
+  }
+
+  /** |A| for a canonical residue set. */
+  def setSize(a: Array[(Int, Int)]): Long =
+    a.foldLeft(0L) { case (acc, (s, e)) => acc + (e - s + 1) }
+
   /** Condense multi-fragment locations the way the reference's entry
     * synthesis does (interpro/oracle/matches.py:60-103): locations are
     * sorted by their leftmost fragment's (start, end), but each

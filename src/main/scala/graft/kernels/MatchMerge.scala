@@ -3,8 +3,6 @@ package graft.kernels
 import graft.intervals.Intervals
 import graft.intervals.Intervals.Fragment
 
-import scala.collection.immutable.BitSet
-
 /** The irreducible business-logic kernels of the reference's match
   * pipeline (SURVEY.md §2.10 K1-K3), re-implemented fresh in Scala and
   * confined to typed `mapGroups` islands — everything around them stays
@@ -107,8 +105,12 @@ object MatchMerge {
   val OverlapThreshold = 0.3
 
   private final case class Dom(idx: Int, frags: Seq[Fragment], rank: Int) {
-    val residues: BitSet =
-      frags.foldLeft(BitSet.empty)((b, f) => b ++ (f.start to f.end))
+    // residue set as canonical disjoint intervals — semantically the
+    // reference's per-residue set (matches.py:119-128) but O(#frags)
+    // instead of O(protein length) to build and compare
+    val residues: Array[(Int, Int)] =
+      Intervals.normalize(frags.map(f => (f.start, f.end)))
+    val residueCount: Long = Intervals.setSize(residues)
     def firstStart: Int = frags.head.start
     def lastEnd: Int = frags.last.end
   }
@@ -142,15 +144,15 @@ object MatchMerge {
     groups += group
 
     for (g <- groups.result()) {
-      val best = g.sortBy(d => (-d.residues.size, d.rank)).take(MaxDomainsPerGroup)
+      val best = g.sortBy(d => (-d.residueCount, d.rank)).take(MaxDomainsPerGroup)
       for (d <- bestSubset(best)) repr(d.idx) = true
     }
     repr.toIndexedSeq
   }
 
-  private def conflicts(a: BitSet, b: BitSet): Boolean = {
-    val ov = (a & b).size
-    ov > 0 && ov.toDouble / math.min(a.size, b.size) >= OverlapThreshold
+  private def conflicts(a: Dom, b: Dom): Boolean = {
+    val ov = Intervals.setIntersectionLen(a.residues, b.residues)
+    ov > 0 && ov.toDouble / math.min(a.residueCount, b.residueCount) >= OverlapThreshold
   }
 
   /** Bounded exact search for the chosen conflict-free subset.
@@ -159,30 +161,47 @@ object MatchMerge {
     * exact update rule — skip when coverage drops, replace on strictly
     * higher coverage OR more rank-0 domains
     * (interpro/oracle/matches.py:156-182) — so ties resolve
-    * identically. 2^n bounded by MaxDomainsPerGroup.
+    * identically. 2^n bounded by MaxDomainsPerGroup; the pairwise
+    * conflict matrix is precomputed once (bitmask per candidate) and
+    * union coverage is carried incrementally down the DFS, so each
+    * node costs O(intervals) rather than O(protein length).
     */
   private def bestSubset(cands: Vector[Dom]): Seq[Dom] = {
+    val n = cands.length
+    val conflictMask = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < i) {
+        if (conflicts(cands(i), cands(j))) {
+          conflictMask(i) |= 1L << j
+          conflictMask(j) |= 1L << i
+        }
+        j += 1
+      }
+      i += 1
+    }
     var best: Seq[Dom] = Seq.empty
-    var maxCoverage = 0
+    var maxCoverage = 0L
     var maxRank0 = 0
-    def eval(subset: Seq[Dom]): Unit = {
-      val coverage = subset.foldLeft(BitSet.empty)(_ ++ _.residues).size
-      val rank0 = subset.count(_.rank == 0)
-      if (coverage >= maxCoverage &&
-          (coverage > maxCoverage || rank0 > maxRank0)) {
-        maxCoverage = coverage; maxRank0 = rank0; best = subset
-      }
-    }
-    def rec(i: Int, chosen: List[Dom]): Unit = {
-      if (i == cands.length) eval(chosen.reverse)
-      else {
+    def rec(i: Int, chosenMask: Long, chosen: List[Dom],
+            union: Array[(Int, Int)], coverage: Long, rank0: Int): Unit = {
+      if (i == n) {
+        if (coverage >= maxCoverage &&
+            (coverage > maxCoverage || rank0 > maxRank0)) {
+          maxCoverage = coverage; maxRank0 = rank0; best = chosen.reverse
+        }
+      } else {
         val c = cands(i)
-        if (!chosen.exists(x => conflicts(x.residues, c.residues)))
-          rec(i + 1, c :: chosen)
-        rec(i + 1, chosen)
+        if ((conflictMask(i) & chosenMask) == 0L) {
+          val u = Intervals.setUnion(union, c.residues)
+          rec(i + 1, chosenMask | (1L << i), c :: chosen,
+            u, Intervals.setSize(u), rank0 + (if (c.rank == 0) 1 else 0))
+        }
+        rec(i + 1, chosenMask, chosen, union, coverage, rank0)
       }
     }
-    rec(0, Nil)
+    rec(0, 0L, Nil, Array.empty, 0L, 0)
     best
   }
 }

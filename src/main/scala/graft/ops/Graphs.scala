@@ -8,8 +8,8 @@ import org.apache.spark.storage.StorageLevel
   * arrays once by parent-pointer chasing (interpro/oracle/taxa.py:38-53)
   * and every rollup then explodes them (SURVEY.md §4.3). Here the
   * closure is an iterative self-join — O(depth) shuffles on the small
-  * dimension, cached, with every iteration persisted so plan lineage
-  * stays bounded.
+  * dimension, with every iteration locally checkpointed so both plan
+  * lineage and Catalyst planning time stay bounded.
   */
 object Graphs {
 
@@ -23,17 +23,15 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cur = edges.select(col("__id"), array(col("__id")).as("lineage"),
       col("__p").as("__cursor"))
-    var prev: DataFrame = null
     var depth = 0
     var remaining = 1L
     while (remaining > 0 && depth < maxDepth) {
-      cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist: truncates the logical plan so
+      // Catalyst does not re-optimize a lineage that grows by one join
+      // per level (quadratic planning time); blocks of superseded
+      // levels are reclaimed by the context cleaner once unreferenced
+      cur = cur.localCheckpoint(eager = false) // materialized by the count
       remaining = cur.filter(col("__cursor").isNotNull).count()
-      // cur is materialized now; the previous iteration's cache (its
-      // only parent) can go — otherwise each invocation leaks
-      // depth+1 cached RDDs for the session's lifetime
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = cur
       if (remaining > 0) {
         val up = edges.select(col("__id").as("__pid"), col("__p").as("__pp"))
         cur = cur.join(up, cur("__cursor") === col("__pid"), "left_outer")
@@ -46,46 +44,104 @@ object Graphs {
         depth += 1
       }
     }
-    // the final frame stays cached (it backs the returned result); the
-    // edges cache is no longer needed once the loop has materialized it
+    // the final frame stays checkpointed (it backs the returned
+    // result); the edges cache is done once the loop has materialized
     edges.unpersist(blocking = false)
+    if (remaining > 0)
+      throw new IllegalStateException(
+        s"lineageClosure did not reach the roots after $maxDepth levels " +
+          s"($remaining cursors still open) — deeper tree than maxDepth, " +
+          "or a parent-pointer cycle")
     cur.select(col("__id").as(idCol), col("lineage"))
   }
 
   /** Connected components by min-label propagation: every node starts
     * labeled with itself; each round joins labels across (undirected)
-    * edges and keeps the minimum; stops at fixpoint. O(diameter)
-    * shuffles, all keyed — the standard large-scale formulation (a
-    * large-star/small-star variant would cut rounds further; diameter
-    * here is tiny). Returns (node, component) with component = the
-    * minimum node id reachable.
+    * edges and keeps the minimum; stops at fixpoint. All shuffles are
+    * keyed, no driver-side union-find; pointer jumping engages for
+    * deep graphs so rounds stay O(log diameter). Returns
+    * (node, component) with component = the minimum reachable node id.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 32): DataFrame = {
-    val sym = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
-      .unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
+    // persist the projected input first: the symmetric union consumes
+    // it twice, and the caller's edge pipeline (e.g. the dedup
+    // verification join) can be far more expensive than the CC loop
+    val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e0.count() // populate BEFORE the union: its two branches otherwise
+               // race the cache within one job and compute the (often
+               // expensive) upstream edge pipeline twice
+    val sym = e0
+      .unionByName(e0.select(col("__b").as("__a"), col("__a").as("__b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // size the loop's shuffles to the MATERIALIZED edge count (~2M
+    // edges per partition): the fixpoint loop runs O(diameter)
+    // two-shuffle iterations, and running each over the session-wide
+    // partition count burns a fixed per-task cost per iteration when
+    // the verified edge set is far smaller than the input that
+    // produced it (cached plans don't get AQE's coalescing)
+    val spark = edges.sparkSession
+    val symCount = sym.count()
+    val sessionParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).toOption
+    val loopParts = sessionParts.map(p =>
+      math.max(1L, math.min(p.toLong, symCount / 2000000L + 1)).toInt)
+    def withLoopParts[T](body: => T): T = (sessionParts, loopParts) match {
+      case (Some(sp), Some(lp)) if lp != sp =>
+        spark.conf.set("spark.sql.shuffle.partitions", lp)
+        try body finally spark.conf.set("spark.sql.shuffle.partitions", sp)
+      case _ => body
+    }
+    // localCheckpoint (not persist) per iteration: a persisted frame
+    // keeps its FULL logical plan, so iteration i re-optimizes a plan
+    // embedding all i-1 predecessors plus the (often large) edge
+    // pipeline — Catalyst time grows quadratically and dominates the
+    // loop. Checkpointing truncates lineage to an RDD scan; freed
+    // blocks are reclaimed by the context cleaner once unreferenced.
     var labels = sym.select(col("__a").as("__n")).distinct()
       .withColumn("__l", col("__n"))
-    var prev: DataFrame = null
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym.join(labels, sym("__b") === labels("__n"))
-        .groupBy(col("__a")).agg(min(col("__l")).as("__nl"))
-      val next = labels.join(nbrMin, labels("__n") === nbrMin("__a"), "left_outer")
-        .select(col("__n"),
-          least(col("__l"), coalesce(col("__nl"), col("__l"))).as("__l"),
-          col("__l").as("__old"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("__l") =!= col("__old")).count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = next
-      labels = next.select(col("__n"), col("__l"))
-      iter += 1
+    withLoopParts {
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = sym.join(labels, sym("__b") === labels("__n"))
+          .groupBy(col("__a")).agg(min(col("__l")).as("__nl"))
+        val stepped = labels.join(nbrMin, labels("__n") === nbrMin("__a"), "left_outer")
+          .select(col("__n"),
+            least(col("__l"), coalesce(col("__nl"), col("__l"))).as("__l"),
+            col("__l").as("__old"))
+        // pointer jump (path halving) for DEEP graphs only: follow the
+        // new label one more hop, shrinking label chains geometrically
+        // — O(log diameter) rounds. Engaged adaptively after a few
+        // plain rounds: typical dedup clusters converge in 2-3 rounds
+        // where the extra self-join would just double the work, while
+        // a chain-shaped graph keeps converging long after round 3.
+        // Every label IS a node id, so the inner self-join is total.
+        val next = (if (iter < 3) stepped
+          else stepped
+            .join(stepped.select(col("__n").as("__jn"), col("__l").as("__jl")),
+              col("__l") === col("__jn"))
+            .select(col("__n"), least(col("__l"), col("__jl")).as("__l"),
+              col("__old"))
+          ).localCheckpoint(eager = false) // materialized by the count
+        changed = next.filter(col("__l") =!= col("__old")).count()
+        labels = next.select(col("__n"), col("__l"))
+        iter += 1
+      }
     }
+    e0.unpersist(blocking = false)
     sym.unpersist(blocking = false)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"connectedComponents: $symCount directed edges, " +
+        s"converged=${changed == 0} after $iter iterations")
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations " +
+          s"($changed labels still changing) — raise maxIter for graphs of " +
+          "larger diameter")
     labels.select(col("__n").as("node"), col("__l").as("component"))
   }
 }
