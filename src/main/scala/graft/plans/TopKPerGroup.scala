@@ -32,6 +32,7 @@ case class LocalTopKPerGroup(k: Int, group: Seq[Expression],
                              order: Seq[SortOrder],
                              rankAttr: AttributeReference,
                              child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"topKPerGroup requires k >= 1, got $k")
   // rankAttr is a constructor param (not a body val) so the exprId is
   // stable across analyzer/optimizer copies of the node
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -70,8 +71,14 @@ case class TopKPerGroupExec(k: Int, group: Seq[Expression],
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    // retained-row bound per partition before heaps spill to a sorted
+    // run on local disk; memory is O(threshold + k·runs) instead of
+    // O(groups·k), so a high-cardinality group key cannot OOM the task
+    val spillThreshold =
+      conf.getConfString("spark.graft.topk.spillThreshold", "262144").toInt
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(group, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ordering: Ordering[InternalRow] =
         org.apache.spark.sql.catalyst.expressions.RowOrdering
           .create(order, childOutput)
@@ -79,23 +86,114 @@ case class TopKPerGroupExec(k: Int, group: Seq[Expression],
       // dequeues the MAX per `ordering` (ascending = better-first), so
       // head is the worst kept row — exactly the eviction candidate
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      val spills = mutable.ArrayBuffer.empty[java.io.File]
+      var retained = 0
+
+      // drain the heap map into one run file sorted by key bytes
+      // (byte-lexicographic is a total order consistent with UnsafeRow
+      // equality for a fixed projection — any order shared by all runs
+      // works for the merge)
+      def spill(): Unit = {
+        val entries = heaps.toArray.sortWith { case ((a, _), (b, _)) =>
+          java.util.Arrays.compare(a.getBytes, b.getBytes) < 0
+        }
+        val f = java.io.File.createTempFile("graft-topk-spill-", ".run")
+        f.deleteOnExit()
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        try {
+          entries.foreach { case (key, heap) =>
+            val kb = key.getBytes
+            out.writeInt(kb.length); out.write(kb)
+            val rows = heap.dequeueAll.reverse // best-first
+            out.writeInt(rows.length)
+            rows.foreach { r =>
+              val rb = rowProj(r).getBytes
+              out.writeInt(rb.length); out.write(rb)
+            }
+          }
+          out.writeInt(-1) // end-of-run marker
+        } finally out.close()
+        spills += f
+        heaps.clear()
+        retained = 0
+      }
+
       while (it.hasNext) {
         val row = it.next()
         val key = keyProj(row)
         val heap = heaps.getOrElseUpdate(key.copy(),
           mutable.PriorityQueue.empty[InternalRow](ordering))
-        if (heap.size < k) heap.enqueue(row.copy())
-        else if (ordering.lt(row, heap.head)) {
+        if (heap.size < k) {
+          heap.enqueue(row.copy())
+          retained += 1
+          if (retained > spillThreshold) spill()
+        } else if (ordering.lt(row, heap.head)) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
+
       val resultProj = UnsafeProjection.create(output, childOutput :+ rankAttr)
       val joined = new JoinedRow
-      heaps.iterator.flatMap { case (_, heap) =>
-        val best: Seq[InternalRow] = heap.dequeueAll.reverse
-        best.iterator.zipWithIndex.map { case (row, i) =>
+      def emit(rows: Seq[InternalRow]): Iterator[InternalRow] =
+        rows.iterator.zipWithIndex.map { case (row, i) =>
           resultProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
         }
+
+      if (spills.isEmpty) {
+        // in-memory fast path
+        heaps.iterator.flatMap { case (_, heap) =>
+          emit(heap.dequeueAll.reverse)
+        }
+      } else {
+        spill() // final in-memory batch becomes the last run
+        // merge the key-sorted runs: each group appears in <= #runs
+        // runs with <= k rows per run; combine and re-select top k one
+        // group at a time — memory O(runs · k)
+        final class Run(f: java.io.File) {
+          private val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+          var key: Array[Byte] = _
+          var rows: Array[InternalRow] = _
+          advance()
+          def advance(): Unit = {
+            val klen = in.readInt()
+            if (klen < 0) { key = null; rows = null; in.close(); f.delete() }
+            else {
+              key = new Array[Byte](klen); in.readFully(key)
+              rows = Array.fill(in.readInt()) {
+                val rb = new Array[Byte](in.readInt()); in.readFully(rb)
+                val r = new UnsafeRow(childOutput.length)
+                r.pointTo(rb, rb.length)
+                r: InternalRow
+              }
+            }
+          }
+        }
+        val runs = spills.map(new Run(_)).filter(_.key != null)
+        val byKey: Ordering[Run] =
+          (a: Run, b: Run) => java.util.Arrays.compare(a.key, b.key)
+        val pq = mutable.PriorityQueue.empty[Run](byKey.reverse) // min-heap
+        runs.foreach(pq.enqueue(_))
+        new Iterator[Seq[InternalRow]] {
+          override def hasNext: Boolean = pq.nonEmpty
+          override def next(): Seq[InternalRow] = {
+            val first = pq.dequeue()
+            val headKey = first.key
+            val combined = mutable.ArrayBuffer.empty[InternalRow]
+            combined ++= first.rows
+            first.advance()
+            if (first.key != null) pq.enqueue(first)
+            while (pq.nonEmpty &&
+                   java.util.Arrays.compare(pq.head.key, headKey) == 0) {
+              val r = pq.dequeue()
+              combined ++= r.rows
+              r.advance()
+              if (r.key != null) pq.enqueue(r)
+            }
+            combined.sorted(ordering).take(k).toSeq
+          }
+        }.flatMap(emit)
       }
     }
   }

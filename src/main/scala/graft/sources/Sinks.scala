@@ -32,13 +32,22 @@ object Sinks {
                header: String, footer: String): Unit = {
     fragments.write.mode(SaveMode.Overwrite).text(dir)
     val out = Paths.get(outFile)
-    Files.write(out, header.getBytes("UTF-8"))
-    val parts = Files.list(Paths.get(dir)).toArray.map(_.toString)
-      .filter(p => p.contains("part-")).sorted
-    parts.foreach { p =>
-      Files.write(out, Files.readAllBytes(Paths.get(p)), StandardOpenOption.APPEND)
-    }
-    Files.write(out, footer.getBytes("UTF-8"), StandardOpenOption.APPEND)
+    // match part files by BASENAME prefix: a substring test would also
+    // catch Hadoop's hidden ".part-*.crc" checksum siblings and splice
+    // binary into the XML
+    val listing = Files.list(Paths.get(dir))
+    val parts =
+      try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+      finally listing.close()
+    val os = Files.newOutputStream(out)
+    try {
+      os.write(header.getBytes("UTF-8"))
+      // streamed copy: driver memory stays O(buffer), not O(part size)
+      parts.foreach(p => Files.copy(p, os))
+      os.write(footer.getBytes("UTF-8"))
+    } finally os.close()
   }
 
   /** S10: bulk-doc sink with completion sentinels (reference ES export

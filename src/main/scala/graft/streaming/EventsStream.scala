@@ -48,10 +48,17 @@ object EventsStream {
     val inbox = new java.io.File(
       s"/tmp/graft-stream-inbox-${new java.io.File(dir).getName}")
     inbox.mkdirs()
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val staged = new java.io.File(inbox, "events.parquet")
-    if (!staged.exists()) {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath)
+    // re-stage when the source is newer or a different size: a staged
+    // copy left over from a regenerated dataset would silently feed
+    // every streaming query stale rows
+    val stale = !staged.exists() ||
+      java.nio.file.Files.size(src) != staged.length() ||
+      java.nio.file.Files.getLastModifiedTime(src).toMillis > staged.lastModified()
+    if (stale) {
+      java.nio.file.Files.copy(src, staged.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     normalize(spark.readStream.schema(rawSchema).parquet(inbox.getAbsolutePath))
   }

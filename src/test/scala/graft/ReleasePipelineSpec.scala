@@ -19,10 +19,17 @@ class ReleasePipelineSpec extends SparkSpec {
     assert(stages("protein2ipr") > 0)
     assert(stages("match_complete.xml") === 1)
     assert(stages("es_docs") > 0)
-    val xml = new String(
-      Files.readAllBytes(java.nio.file.Paths.get(s"$out/match_complete.xml")), "UTF-8")
+    val xmlPath = java.nio.file.Paths.get(s"$out/match_complete.xml")
+    val xml = new String(Files.readAllBytes(xmlPath), "UTF-8")
     assert(xml.startsWith("<?xml"))
     assert(xml.endsWith("</interpromatch>\n"))
+    // startsWith/endsWith/contains would miss spliced binary (e.g.
+    // Hadoop .crc siblings concatenated between parts) — require a
+    // full XML parse of the stitched document
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(xmlPath.toFile)
+    assert(doc.getDocumentElement.getTagName === "interpromatch")
+    assert(doc.getDocumentElement.getChildNodes.getLength > 0)
     assert(Files.exists(java.nio.file.Paths.get(s"$out/es_docs/_DONE")))
   }
 }

@@ -46,6 +46,29 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("k <= 0 is rejected at construction") {
+    import spark.implicits._
+    val df = Seq(("a", 1)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      RelOps.topKPerGroupExact(df, Seq(col("g")), Seq(col("v")), 0)
+    }
+  }
+
+  test("spill path (tiny threshold, high-cardinality key) matches window formulation") {
+    val part = Seq(col("l_orderkey"), col("l_linenumber")) // ~1 row/group
+    val order = Seq(col("l_extendedprice").desc, col("l_suppkey"))
+    spark.conf.set("spark.graft.topk.spillThreshold", "64")
+    try {
+      val viaCustom = RelOps.topKPerGroupExact(Tables.lineitem(spark, sf), part, order, 2)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "rk")
+      val viaWindow = RelOps.topKPerGroup(Tables.lineitem(spark, sf), part, order, 2)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "rk")
+      assert(viaCustom.count() === viaWindow.count())
+      assert(viaWindow.exceptAll(viaCustom).count() === 0)
+      assert(viaCustom.exceptAll(viaWindow).count() === 0)
+    } finally spark.conf.unset("spark.graft.topk.spillThreshold")
+  }
+
   test("groups smaller than k emit all rows ranked") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
