@@ -22,17 +22,30 @@ object Bench {
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSet).getOrElse(Set.empty[String])
+    def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
     val results = SparkEntry.queries
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = ms3((System.nanoTime() - t0) / 1e9)
+      // one line per query as it completes: survives tail-only log
+      // capture and pinpoints a hang/crash to the running query
+      println(s"""{"query":"$name","sec":$sec}""")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ms3(if (results.nonEmpty) results.values.sum else 0.0)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver stores only the last ~2000 log chars, which the full
+    // per-query map exceeds — persist it to a repo file and keep the
+    // FINAL stdout line compact enough to always fit the tail capture
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), full + "\n")
+    catch { case _: Throwable => }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"detail":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }
