@@ -35,15 +35,53 @@ object KernelQueries {
         array(struct(
           col("l_linenumber").as("start"),
           (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int")).as("end"),
-          lit("CONTINUOUS").as("status"))).as("fragments"))
+          lit("CONTINUOUS").as("status"))).as("fragments"),
+        // a slice of hits carries a PANTHER subfamily model so the
+        // per-location subfamily annotation is exercised end to end
+        when(col("l_partkey") % 4 === 0,
+          concat(lit("PTHR"), (col("l_partkey") % 20).cast("string"),
+            lit(":SF"), (col("l_partkey") % 5).cast("string"))).as("model"))
         .as[MatchMerge.RawMatch]
       MatchPipeline.mergeMatches(raw).toDF()
         .select(col("proteinAcc").as("protein_acc"), col("acc"),
           col("isEntry").as("is_entry"),
           size(col("locations")).cast("long").as("n_locs"),
+          size(filter(col("locations"), l => l("subfamily").isNotNull))
+            .cast("long").as("n_subfam"),
           concat_ws(";", transform(col("locations"),
             l => concat_ws("-", l("start").cast("string"), l("end").cast("string"),
               l("representative").cast("string")))).as("locs"))
+    }),
+
+    // PANTHER-subfamily / CATH-FunFam hierarchy rewrite + validation
+    // (reference entries.py:785-813) over signatures synthesized from
+    // part: PTHR families, PTHR:SF subfamilies, G3DSA superfamilies,
+    // G3DSA:FF FunFams, and plain accessions with pass-through
+    // integration. Container accessions exist by construction.
+    "sig_hierarchy" -> ((s, d) => {
+      val k = col("p_partkey")
+      // family/superfamily digits come from k DIV 4 / k DIV 8 so they
+      // are independent of the branch selector's residue (k%4 fixes
+      // k's parity, which would otherwise make container digits and
+      // member digits disjoint sets)
+      val d10 = (expr("p_partkey DIV 4") % 10).cast("string")
+      val d5 = (expr("p_partkey DIV 8") % 5).cast("string")
+      val acc = when(k % 4 === 1, concat(lit("PTHR"), d10))
+        .when(k % 4 === 2,
+          concat(lit("PTHR"), d10, lit(":SF"), (k % 7).cast("string")))
+        .when(k % 8 === 3, concat(lit("G3DSA:1.10."), d5, lit(".10")))
+        .when(k % 8 === 7,
+          concat(lit("G3DSA:1.10."), d5,
+            lit(".10:FF:"), (k % 6).cast("string")))
+        .otherwise(concat(lit("PF"), (k % 100).cast("string")))
+      val sigs = Tables.part(s, d).select(
+        acc.as("acc"),
+        lit(null).cast("string").as("parent"),
+        when(k % 4 === 0, concat(lit("IPR"), (k % 5).cast("string")))
+          .as("integrated_in"),
+        lit(true).as("public")
+      ).distinct()
+      graft.ops.SignatureHierarchy.validate(sigs)
     }),
 
     // Iterative lineage closure over region->nation->customer parent
@@ -66,6 +104,30 @@ object KernelQueries {
 
   val oracle: Map[String, String] = Map(
     // kernel_match_merge: intentionally no oracle (non-SQL kernel).
+    "sig_hierarchy" ->
+      """WITH sigs AS (
+           SELECT DISTINCT
+             CASE WHEN p_partkey%4=1 THEN 'PTHR' || CAST((p_partkey//4)%10 AS VARCHAR)
+                  WHEN p_partkey%4=2 THEN 'PTHR' || CAST((p_partkey//4)%10 AS VARCHAR)
+                                          || ':SF' || CAST(p_partkey%7 AS VARCHAR)
+                  WHEN p_partkey%8=3 THEN 'G3DSA:1.10.' || CAST((p_partkey//8)%5 AS VARCHAR) || '.10'
+                  WHEN p_partkey%8=7 THEN 'G3DSA:1.10.' || CAST((p_partkey//8)%5 AS VARCHAR)
+                                          || '.10:FF:' || CAST(p_partkey%6 AS VARCHAR)
+                  ELSE 'PF' || CAST(p_partkey%100 AS VARCHAR) END AS acc,
+             CASE WHEN p_partkey%4=0 THEN 'IPR' || CAST(p_partkey%5 AS VARCHAR) END AS integrated_in
+           FROM part),
+         t AS (
+           SELECT acc, integrated_in,
+             CASE WHEN regexp_full_match(acc, 'PTHR\d+:SF\d+')
+                    THEN regexp_extract(acc, '(PTHR\d+):SF\d+', 1)
+                  WHEN regexp_full_match(acc, 'G3DSA:\d+\.\d+\.\d+\.\d+:FF:\d+')
+                    THEN regexp_extract(acc, '(G3DSA:\d+\.\d+\.\d+\.\d+):FF:\d+', 1)
+             END AS target
+           FROM sigs)
+         SELECT acc, target AS parent,
+                COALESCE(target, integrated_in) AS integrated_in,
+                target IS NULL AS public
+         FROM t""",
     "lineage_closure" ->
       """SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS id,
                 'R' || CAST(r_regionkey AS VARCHAR) AS path FROM region

@@ -31,22 +31,41 @@ object MatchMerge {
     */
   final case class RawMatch(proteinAcc: String, signatureAcc: String,
                             entryAcc: Option[String], kind: String, rank: Int,
-                            score: Double, fragments: Seq[Fragment])
+                            score: Double, fragments: Seq[Fragment],
+                            model: Option[String] = None)
+
+  /** PANTHER subfamily models look like PTHR12345:SF67; a hit whose
+    * model is a subfamily gets the subfamily annotation on its
+    * location (interpro/oracle/matches.py:321,359-364).
+    */
+  val PantherSubfamily: scala.util.matching.Regex = """PTHR\d+:SF\d+""".r
 
   /** One merged location: the fragment span of a single hit. Location
     * start = leftmost fragment start; end = end of the LAST fragment in
     * (start, end) order — which is NOT guaranteed to be the rightmost
     * coordinate (reference quirk, interpro/oracle/matches.py:71-79).
+    * `model`/`score` are per-hit (None on synthesized entry locations,
+    * matches.py:352-357,380-386); `subfamily` is the PANTHER subfamily
+    * model accession when the hit's model is one (the reference also
+    * attaches the subfamily NAME from its signature dimension — here a
+    * downstream join against the signatures frame, keeping the kernel
+    * free of dimension lookups).
     */
   final case class Location(start: Int, end: Int, fragments: Seq[Fragment],
-                            score: Double, representative: Boolean)
+                            score: Option[Double], representative: Boolean,
+                            model: Option[String] = None,
+                            subfamily: Option[String] = None)
 
   final case class MergedMatch(proteinAcc: String, acc: String,
                                isEntry: Boolean, locations: Seq[Location])
 
   def locationOf(m: RawMatch): Location = {
     val fs = m.fragments.sortBy(f => (f.start, f.end))
-    Location(fs.head.start, fs.last.end, fs, m.score, representative = false)
+    // reference: "model": model_acc or signature_acc (matches.py:298)
+    val model = m.model.filter(_.nonEmpty).getOrElse(m.signatureAcc)
+    Location(fs.head.start, fs.last.end, fs, Some(m.score),
+      representative = false, model = Some(model),
+      subfamily = Some(model).filter(PantherSubfamily.matches))
   }
 
   /** K1: merge all raw matches of one protein into per-signature
@@ -91,8 +110,10 @@ object MatchMerge {
     val perEntry = flagged.flatMap { case (m, _) => m.entryAcc.map(e => (e, m)) }
       .groupBy(_._1).toSeq.map { case (entry, ms) =>
         val condensed = Intervals.condenseLocations(ms.map(_._2.fragments))
+        // entry locations carry no per-hit model/score
+        // (matches.py:380-386)
         val locs = condensed.map { case (s, e) =>
-          Location(s, e, Seq(Fragment(s, e, "CONTINUOUS")), 0.0,
+          Location(s, e, Seq(Fragment(s, e, "CONTINUOUS")), None,
             representative = false)
         }
         MergedMatch(proteinAcc, entry, isEntry = true, locs)

@@ -16,10 +16,15 @@ import scala.jdk.CollectionConverters._
   */
 class MatchMergeDifferentialSpec extends AnyFunSuite {
 
-  private case class ExpLoc(fragments: Seq[(Int, Int)], representative: Boolean)
+  private case class ExpLoc(fragments: Seq[(Int, Int)], representative: Boolean,
+                            model: Option[String], score: Option[Double],
+                            subfamily: Option[String])
 
   private def frags(node: JsonNode): Seq[(Int, Int)] =
     node.elements().asScala.map(f => (f.get(0).asInt(), f.get(1).asInt())).toSeq
+
+  private def optText(node: JsonNode): Option[String] =
+    Option(node).filterNot(_.isNull).map(_.asText())
 
   test("kernel matches the reference oracle on all fixture proteins") {
     val url = getClass.getResource("/matchmerge_fixture.json")
@@ -36,20 +41,25 @@ class MatchMergeDifferentialSpec extends AnyFunSuite {
           r.get("kind").asText(),
           r.get("rank").asInt(),
           r.get("score").asDouble(),
-          frags(r.get("fragments")).map { case (s, e) => Fragment(s, e, "CONTINUOUS") })
+          frags(r.get("fragments")).map { case (s, e) => Fragment(s, e, "CONTINUOUS") },
+          optText(r.get("model")))
       }.toSeq
 
       val got = MatchMerge.mergeProtein(proteinAcc, raw)
         .map(m => (m.acc, m.isEntry) ->
           m.locations.map(l => ExpLoc(
-            l.fragments.map(f => (f.start, f.end)), l.representative)))
+            l.fragments.map(f => (f.start, f.end)), l.representative,
+            l.model, l.score, l.subfamily)))
         .toMap
 
       val expected = c.get("expected").elements().asScala.map { e =>
         (e.get("acc").asText(), e.get("isEntry").asBoolean()) ->
           e.get("locations").elements().asScala.map { l =>
             ExpLoc(frags(l.get("fragments")),
-              l.get("representative").asBoolean())
+              l.get("representative").asBoolean(),
+              optText(l.get("model")),
+              Option(l.get("score")).filterNot(_.isNull).map(_.asDouble()),
+              optText(l.get("subfamily")))
           }.toSeq
       }.toMap
 

@@ -93,6 +93,10 @@ def main():
                 database = rng.choice(fam_dbs)
                 sig_type = "family"
                 kind, rank = "family", fam_dbs.index(database)
+                if database == "panther":
+                    # PANTHER family accessions are PTHRnnnnn; their hits
+                    # may carry subfamily models (PTHRnnnnn:SFnn)
+                    acc = f"PTHR{case_id}{si}"
             else:
                 database = "mobidblt"   # not in either priority list
                 sig_type = "region"
@@ -125,10 +129,27 @@ def main():
                 dup_frags = frags
                 frags.sort(key=lambda f: (f["start"], f["end"]))
                 score = round(rng.uniform(0, 100), 3)
-                matches.append((acc, acc, score, frags))
+                # model accession: usually the signature, sometimes a
+                # distinct model name, and for PANTHER families often a
+                # subfamily model (which the reference requires to be
+                # present in the signatures dict, matches.py:359-363)
+                model_roll = rng.random()
+                if acc.startswith("PTHR") and model_roll < 0.5:
+                    model = f"{acc}:SF{rng.randint(1, 3)}"
+                    if model not in signatures:
+                        signatures[model] = {
+                            "database": "PANTHER", "type": "Family",
+                            "name": f"name of {model}", "short_name": model,
+                            "evidence": "e", "entry": None,
+                        }
+                elif model_roll < 0.15:
+                    model = f"{acc}.m1"
+                else:
+                    model = None   # reference falls back to the signature
+                matches.append((acc, model, score, frags))
                 raw.append({
                     "signatureAcc": acc, "entryAcc": entry, "kind": kind,
-                    "rank": rank, "score": score,
+                    "rank": rank, "score": score, "model": model,
                     "fragments": [[f["start"], f["end"]] for f in frags],
                 })
 
@@ -139,9 +160,13 @@ def main():
             locs = []
             for loc in match["locations"]:
                 frags = loc["fragments"]
+                sub = loc.get("subfamily")
                 locs.append({
                     "fragments": [[f["start"], f["end"]] for f in frags],
                     "representative": bool(loc.get("representative", False)),
+                    "model": loc.get("model"),
+                    "score": loc.get("score"),
+                    "subfamily": sub["accession"] if sub else None,
                 })
             expected.append({"acc": match["accession"], "isEntry": is_entry,
                              "locations": locs})
