@@ -131,6 +131,37 @@ object AggQueries {
           lit("]}")).as("tree"))
     }),
 
+    // K5 (full): 8-rank placeholder taxonomy distribution tree
+    // (interpro/xrefs/entries.py:349-466). Taxa synthesized from
+    // region(domain) → nation(phylum) → customer(genus|species by
+    // custkey%3) leave the kingdom/class/order/family slots empty, so
+    // the placeholder-id chaining and species counting are exercised;
+    // entries come from orders. The Spark side runs the generic
+    // lineage-closure + rank-pivot + bottom-up-assembly operator; the
+    // oracle rebuilds the same trees with static joins.
+    "agg_tree_ranks" -> ((s, d) => {
+      val taxa = Tables.region(s, d).select(
+          concat(lit("R"), col("r_regionkey").cast("string")).as("id"),
+          lit(null).cast("string").as("parent"),
+          lit("domain").as("rank"), col("r_name").as("name"))
+        .unionByName(Tables.nation(s, d).select(
+          concat(lit("N"), col("n_nationkey").cast("string")).as("id"),
+          concat(lit("R"), col("n_regionkey").cast("string")).as("parent"),
+          lit("phylum").as("rank"), col("n_name").as("name")))
+        .unionByName(Tables.customer(s, d).select(
+          concat(lit("C"), col("c_custkey").cast("string")).as("id"),
+          concat(lit("N"), col("c_nationkey").cast("string")).as("parent"),
+          when(col("c_custkey") % 3 === 0, "genus").otherwise("species")
+            .as("rank"),
+          col("c_name").as("name")))
+      val hits = Tables.orders(s, d)
+        .groupBy(concat(lit("IPR"), (col("o_orderkey") % 7).cast("string"))
+          .as("entry"),
+          concat(lit("C"), col("o_custkey").cast("string")).as("taxon_id"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TaxaTree.entryRankTrees(hits, taxa)
+    }),
+
     // A12: filtered agg with fallback regroup (EC kept if support ≥
     // thresholds else re-tested on the 3-digit stem,
     // interpro/xrefs/entries.py:520-551). Groups with ≥12% share pass at
@@ -194,6 +225,74 @@ object AggQueries {
         .select("pa", "pb", "nab", "na", "nb", "jaccard")
     })
   )
+
+  /** Static-join oracle for agg_tree_ranks: the same 8-slot uid chain
+    * and bottom-up JSON assembly, written against the KNOWN 3-level
+    * synthetic taxonomy (the Spark side runs the generic depth-
+    * agnostic operator). Assembly CTEs are generated per rank level.
+    */
+  private val treeRanksSql: String = {
+    def nodeJs(ch: String) =
+      s"""'{"id":"' || g.uid || '","rank":"' || g.rank || '","name":' ||
+          COALESCE('"' || g.name || '"', 'null') ||
+          ',"proteins":' || g.p || ',"species":' || g.s ||
+          ',"children":[' || $ch || ']}'"""
+    val asm = (7 to 0 by -1).map { i =>
+      val (join, ch) =
+        if (i == 7) ("", "''")
+        else (s"LEFT JOIN c${i + 1} c ON g.entry = c.entry AND g.uid = c.puid",
+          "COALESCE(c.ch, '')")
+      s"""j$i AS (SELECT g.entry, g.puid, g.uid, ${nodeJs(ch)} AS js
+                  FROM g $join WHERE g.lvl = $i),
+          c$i AS (SELECT entry, puid, string_agg(js, ',' ORDER BY uid) AS ch
+                  FROM j$i GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    s"""WITH hits AS (
+          SELECT 'IPR' || CAST(o_orderkey % 7 AS VARCHAR) AS entry,
+                 o_custkey AS ck, COUNT(*) AS np
+          FROM orders GROUP BY 1, 2),
+        base AS (
+          SELECT h.entry, h.np, (c.c_custkey % 3 <> 0) AS is_sp,
+                 'R' || CAST(n.n_regionkey AS VARCHAR) AS u0, r.r_name AS m0,
+                 'R' || CAST(n.n_regionkey AS VARCHAR) || '-1' AS u1,
+                 'N' || CAST(c.c_nationkey AS VARCHAR) AS u2, n.n_name AS m2,
+                 'N' || CAST(c.c_nationkey AS VARCHAR) || '-3' AS u3,
+                 'N' || CAST(c.c_nationkey AS VARCHAR) || '-3-4' AS u4,
+                 'N' || CAST(c.c_nationkey AS VARCHAR) || '-3-4-5' AS u5,
+                 CASE WHEN c.c_custkey % 3 = 0 THEN 'C' || CAST(c.c_custkey AS VARCHAR)
+                      ELSE 'N' || CAST(c.c_nationkey AS VARCHAR) || '-3-4-5-6' END AS u6,
+                 CASE WHEN c.c_custkey % 3 = 0 THEN c.c_name END AS m6,
+                 CASE WHEN c.c_custkey % 3 <> 0 THEN 'C' || CAST(c.c_custkey AS VARCHAR)
+                      ELSE 'C' || CAST(c.c_custkey AS VARCHAR) || '-7' END AS u7,
+                 CASE WHEN c.c_custkey % 3 <> 0 THEN c.c_name END AS m7
+          FROM hits h
+          JOIN customer c ON h.ck = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey),
+        levels AS (
+          SELECT entry, 0 AS lvl, u0 AS uid, '1' AS puid, 'domain' AS rank, m0 AS name, np, is_sp FROM base
+          UNION ALL SELECT entry, 1, u1, u0, 'kingdom', NULL, np, is_sp FROM base
+          UNION ALL SELECT entry, 2, u2, u1, 'phylum', m2, np, is_sp FROM base
+          UNION ALL SELECT entry, 3, u3, u2, 'class', NULL, np, is_sp FROM base
+          UNION ALL SELECT entry, 4, u4, u3, 'order', NULL, np, is_sp FROM base
+          UNION ALL SELECT entry, 5, u5, u4, 'family', NULL, np, is_sp FROM base
+          UNION ALL SELECT entry, 6, u6, u5, 'genus', m6, np, is_sp FROM base
+          UNION ALL SELECT entry, 7, u7, u6, 'species', m7, np, is_sp FROM base),
+        g AS (
+          SELECT entry, lvl, uid, puid, rank, name,
+                 CAST(SUM(np) AS BIGINT) AS p,
+                 CAST(SUM(CASE WHEN is_sp THEN 1 ELSE 0 END) AS BIGINT) AS s
+          FROM levels GROUP BY 1, 2, 3, 4, 5, 6),
+        $asm,
+        tot AS (
+          SELECT entry, CAST(SUM(np) AS BIGINT) AS p,
+                 CAST(SUM(CASE WHEN is_sp THEN 1 ELSE 0 END) AS BIGINT) AS s
+          FROM base GROUP BY 1)
+        SELECT t.entry,
+               '{"id":"1","rank":null,"name":"root","proteins":' || t.p ||
+               ',"species":' || t.s || ',"children":[' || COALESCE(c.ch, '') || ']}' AS tree
+        FROM tot t LEFT JOIN c0 c ON t.entry = c.entry AND c.puid = '1'"""
+  }
 
   val oracle: Map[String, String] = Map(
     "agg_group_collect" ->
@@ -263,6 +362,7 @@ object AggQueries {
                            CAST(cnt AS VARCHAR) || '}', ',' ORDER BY n_name) ||
                 ']}' AS tree
          FROM nc GROUP BY r_name""",
+    "agg_tree_ranks" -> treeRanksSql,
     "agg_having_regroup" ->
       """WITH fine AS (
            SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Per-entry taxonomy distribution trees over the MAIN ranks
+  * (interpro7dw/interpro/xrefs/entries.py:16-25,349-466).
+  *
+  * The reference projects every taxon's lineage onto 8 major ranks
+  * (missing clades stay None), then per entry walks each hit taxon's
+  * rank slots top-down building a nested tree: a filled slot keeps the
+  * taxon id as the node id, an empty slot synthesizes a placeholder id
+  * `<last real id>-<slot index>` (entries.py:415-421) with a null
+  * name; every node accumulates the hit's protein count, plus one
+  * species hit when the lineage contains a species-ranked node; the
+  * finished forest is wrapped in a root node (id "1").
+  *
+  * Spark formulation: lineage closure (iterative, depth-agnostic) →
+  * rank-slot pivot (one conditional agg per rank) → an 8-column uid
+  * fold → per-level grouped counts → bottom-up JSON assembly, one
+  * join+agg per rank, children sorted by node id for determinism.
+  * Everything is keyed aggregation — no driver-side tree walk.
+  */
+object TaxaTree {
+
+  val MainRanks: Seq[String] = Seq(
+    "domain", "kingdom", "phylum", "class", "order", "family", "genus",
+    "species")
+
+  private def jsonStr(c: Column): Column =
+    when(c.isNull, lit("null")).otherwise(concat(lit("\""), c, lit("\"")))
+
+  private def nodeJson(uid: Column, rank: Column, name: Column,
+                       proteins: Column, species: Column,
+                       children: Column): Column =
+    concat(lit("{\"id\":\""), uid, lit("\",\"rank\":"), jsonStr(rank),
+      lit(",\"name\":"), jsonStr(name),
+      lit(",\"proteins\":"), proteins.cast("string"),
+      lit(",\"species\":"), species.cast("string"),
+      lit(",\"children\":["), children, lit("]}"))
+
+  /** hits: (entry, taxon_id, n) — protein counts per hit taxon.
+    * taxa: (id, parent, rank, name) — parent NULL marks roots.
+    * Returns (entry, tree) with tree = the nested JSON distribution.
+    */
+  def entryRankTrees(hits: DataFrame, taxa: DataFrame,
+                     ranks: Seq[String] = MainRanks): DataFrame = {
+    val n = ranks.length
+
+    // (taxon id, one column per rank with the lineage node occupying
+    // it, plus its name) — explode the closure once, pivot by rank
+    val lin = Graphs.lineageClosure(taxa, "id", "parent")
+      .select(col("id"), explode(col("lineage")).as("node"))
+      .join(taxa.select(col("id").as("node"), col("rank"), col("name")),
+        Seq("node"))
+    val slotAggs = ranks.zipWithIndex.flatMap { case (r, i) =>
+      Seq(max(when(col("rank") === r, col("node"))).as(s"slot_$i"),
+        max(when(col("rank") === r, col("name"))).as(s"name_$i"))
+    }
+    val slots = lin.groupBy(col("id")).agg(slotAggs.head, slotAggs.tail: _*)
+
+    val hit = hits.join(slots, hits("taxon_id") === slots("id"))
+      .withColumn("is_sp",
+        col(s"slot_${ranks.indexOf("species")}").isNotNull)
+
+    // uid fold: filled slot → taxon id; empty slot → last uid + "-i"
+    // (entries.py:415-421; the index suffix keeps placeholder ids
+    // unique when several consecutive ranks are missing)
+    val withUids = (0 until n).foldLeft(hit.withColumn("uid_root", lit("1"))) {
+      case (df, i) =>
+        val prev = if (i == 0) col("uid_root") else col(s"uid_${i - 1}")
+        df.withColumn(s"uid_$i",
+          when(col(s"slot_$i").isNotNull, col(s"slot_$i"))
+            .otherwise(concat(prev, lit(s"-$i"))))
+    }
+
+    // one row per (hit, rank level), then counts per (entry, node)
+    val levelStructs = (0 until n).map { i =>
+      val parent = if (i == 0) col("uid_root") else col(s"uid_${i - 1}")
+      struct(lit(i).as("lvl"), col(s"uid_$i").as("uid"), parent.as("puid"),
+        lit(ranks(i)).as("rank"), col(s"name_$i").as("name"))
+    }
+    val levels = withUids.select(col("entry"), col("n"), col("is_sp"),
+      explode(array(levelStructs: _*)).as("l"))
+    val grouped = levels.select(col("entry"), col("l.*"), col("n"), col("is_sp"))
+      .groupBy(col("entry"), col("lvl"), col("uid"), col("puid"),
+        col("rank"), col("name"))
+      .agg(sum(col("n")).as("p"),
+        sum(when(col("is_sp"), 1L).otherwise(0L)).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // bottom-up assembly: per level, attach the (sorted) children
+    // JSON built one level below, emit this level's node JSON, regroup
+    // by parent — one join+agg per rank
+    var childAgg: DataFrame = null // (__entry, __puid, __ch)
+    for (i <- (0 until n).reverse) {
+      val lvl = grouped.filter(col("lvl") === i)
+      val withCh = if (childAgg == null) lvl.withColumn("__ch", lit(""))
+      else lvl.join(childAgg,
+          lvl("entry") === childAgg("__entry") && lvl("uid") === childAgg("__puid"),
+          "left_outer")
+        .withColumn("__ch", coalesce(col("__ch"), lit("")))
+      val js = withCh.select(col("entry"), col("puid"), col("uid"),
+        nodeJson(col("uid"), col("rank"), col("name"), col("p"), col("s"),
+          col("__ch")).as("js"))
+      childAgg = js.groupBy(col("entry").as("__entry"), col("puid").as("__puid"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("uid"), col("js")))),
+          x => x("js")), ",").as("__ch"))
+    }
+
+    val totals = withUids.groupBy(col("entry"))
+      .agg(sum(col("n")).as("p"),
+        sum(when(col("is_sp"), 1L).otherwise(0L)).as("s"))
+    totals.join(childAgg,
+        totals("entry") === childAgg("__entry") && childAgg("__puid") === "1",
+        "left_outer")
+      .select(col("entry"),
+        nodeJson(lit("1"), lit(null).cast("string"), lit("root"),
+          col("p"), col("s"), coalesce(col("__ch"), lit(""))).as("tree"))
+  }
+}
