@@ -23,6 +23,9 @@ object DedupQueries {
   private val JACC = 0.5      // near-dup verification threshold
   private val DfCap = 64      // max document frequency of a shingle
                               // allowed to generate candidate pairs
+  private val SimBits = 16    // simhash signature width
+  private val SimBlocks = 4   // hamming-search bit blocks; exact for
+  private val SimRadius = 3   //   radius <= SimBlocks - 1 (pigeonhole)
 
   /** Shared-frame cache. The shingle frame feeds three separate
     * harness queries (jaccard, minhash-LSH, components) and is
@@ -98,6 +101,19 @@ object DedupQueries {
       .select("da", "db", "nab", "na", "nb", "jaccard")
   }
 
+  /** (doc_id, sig) — 16-bit SimHash signature per document, shared by
+    * the exact-cluster and hamming-radius queries.
+    */
+  private def simhashFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "simhash_sig") {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), md5(col("t")).as("h"))
+      val aggs = TextOps.simhashBitAggs(col("h"), SimBits)
+      tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), TextOps.simhashSig(SimBits).as("sig"))
+    }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup on the normalized fingerprint: one hash-shuffle
     // groupBy — the canonical exact-dedup plan at any scale.
@@ -136,19 +152,43 @@ object DedupQueries {
     }),
 
     // SimHash: 16-bit signature from md5-digit parities; exact-signature
-    // clusters (hamming-radius search is a follow-up refinement).
-    "dedup_simhash" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-        .select(col("doc_id"), md5(col("t")).as("h"))
-      val aggs = TextOps.simhashBitAggs(col("h"), 16)
-      tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"), TextOps.simhashSig(16).as("sig"))
+    // clusters (hamming-radius neighbors: dedup_simhash_hamming).
+    "dedup_simhash" -> ((s, d) =>
+      simhashFrame(s, d)
         .groupBy(col("sig"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
           concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
             _.cast("string"))).as("ids"))
-        .filter(col("n") > 1)
+        .filter(col("n") > 1)),
+
+    // SimHash hamming-radius search: split the signature into
+    // SimBlocks bit blocks; any pair within hamming distance
+    // SimBlocks-1 must agree on at least one whole block (pigeonhole),
+    // so a per-block equi-join finds ALL radius-<=3 neighbors without
+    // an all-pairs comparison — the same band trick as MinHash LSH,
+    // exact rather than probabilistic. Verification = popcount of the
+    // bit disagreement over the joined signatures.
+    "dedup_simhash_hamming" -> ((s, d) => {
+      val sig = simhashFrame(s, d)
+      val w = SimBits / SimBlocks
+      val blocks = sig.select(col("doc_id"), explode(array(
+        (0 until SimBlocks).map(b =>
+          concat(lit(s"$b:"), substring(col("sig"), 1 + b * w, w))): _*))
+        .as("bk"))
+      val cand = blocks.select(col("doc_id").as("da"), col("bk"))
+        .join(blocks.select(col("doc_id").as("db"), col("bk").as("__bk2")),
+          col("bk") === col("__bk2") && col("da") < col("db"))
+        .select("da", "db").distinct()
+      val dist = (1 to SimBits).map(i =>
+          when(substring(col("siga"), i, 1) === substring(col("sigb"), i, 1),
+            0L).otherwise(1L))
+        .reduce(_ + _)
+      cand
+        .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))
+        .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), Seq("db"))
+        .withColumn("dist", dist)
+        .filter(col("dist") <= SimRadius)
+        .select("da", "db", "siga", "sigb", "dist")
     }),
 
     // Near-dup cluster assembly: the verified pair list becomes
@@ -236,6 +276,25 @@ object DedupQueries {
           SELECT sig, MIN(doc_id) AS rep, COUNT(*) AS n,
                  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
           FROM sig GROUP BY sig HAVING COUNT(*) > 1""",
+    "dedup_simhash_hamming" -> {
+      val w = SimBits / SimBlocks
+      val blockList = (0 until SimBlocks)
+        .map(b => s"'$b:' || substr(sig, ${1 + b * w}, $w)").mkString(", ")
+      val dist = (1 to SimBits)
+        .map(i => s"CASE WHEN substr(sa.sig,$i,1) = substr(sb.sig,$i,1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+          sig AS (SELECT doc_id, $simhashBits AS sig FROM tok GROUP BY doc_id),
+          blocks AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM blocks a JOIN blocks b
+                     ON a.bk = b.bk AND a.doc_id < b.doc_id)
+          SELECT da, db, sa.sig AS siga, sb.sig AS sigb,
+                 CAST($dist AS BIGINT) AS dist
+          FROM cand JOIN sig sa ON da = sa.doc_id
+                    JOIN sig sb ON db = sb.doc_id
+          WHERE $dist <= $SimRadius"""
+    },
     "dedup_components" ->
       s"""WITH RECURSIVE $shCte,
           $postingCandCte
