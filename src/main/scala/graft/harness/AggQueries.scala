@@ -193,6 +193,91 @@ object AggQueries {
         sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
         sum(dec2(col("l_extendedprice"))).cast("double").as("gross"))),
 
+    // Cross-release diff (release notes, interpro/mysql/databases.py:
+    // 188-295): current vs previous snapshot per member database —
+    // signature/integrated counts, the recently-integrated accession
+    // list (anti-join against the previous release's integrated set),
+    // is_new (database absent before) and is_updated (version bumped).
+    // Snapshots are derived deterministically from part: the previous
+    // release lacks every 10th accession and one whole brand, and uses
+    // a stricter integration cutoff, so all four diff facets are
+    // exercised. One shuffle per snapshot aggregate + one anti-join.
+    "agg_release_diff" -> ((s, d) => {
+      val cur = Tables.part(s, d).select(col("p_partkey").as("acc"),
+        col("p_brand").as("db"), (col("p_size") > 25).as("integ"))
+      val prev = Tables.part(s, d)
+        .filter(col("p_partkey") % 10 =!= 0 && col("p_brand") =!= "Brand#25")
+        .select(col("p_partkey").as("acc"), col("p_brand").as("db"),
+          (col("p_size") > 30).as("integ"))
+      val prevDb = prev.groupBy(col("db"))
+        .agg((max(col("acc")) % 97).cast("long").as("prev_version"))
+      val recent = cur.filter(col("integ"))
+        .join(prev.filter(col("integ")).select(col("acc")), Seq("acc"), "left_anti")
+        .groupBy(col("db"))
+        .agg(count(lit(1)).as("n_recent"),
+          concat_ws(",", transform(array_sort(collect_list(col("acc"))),
+            _.cast("string"))).as("recently_integrated"))
+      cur.groupBy(col("db"))
+        .agg((max(col("acc")) % 97).cast("long").as("version"),
+          count(lit(1)).as("signatures"),
+          sum(when(col("integ"), 1L).otherwise(0L)).as("n_integrated"))
+        .join(recent, Seq("db"), "left_outer")
+        .join(prevDb, Seq("db"), "left_outer")
+        .select(col("db"), col("version"), col("signatures"),
+          col("n_integrated"),
+          coalesce(col("n_recent"), lit(0L)).as("n_recent"),
+          coalesce(col("recently_integrated"), lit("")).as("recently_integrated"),
+          col("prev_version").isNull.as("is_new"),
+          (col("prev_version").isNotNull &&
+            col("prev_version") =!= col("version")).as("is_updated"))
+    }),
+
+    // Clan graph document assembly (interpro/oracle/clans.py:110-162):
+    // nodes = clan members with their score; links = min-evalue
+    // reduction over same-clan alignment pairs, expanded INSIDE the
+    // per-(part, clan) member array (the agg_similarity pattern — no
+    // exploded self-join), then both halves stringified to the
+    // reference's {"nodes":[...],"links":[...]} shape. Clans are
+    // supplier nations; alignments are co-supplied parts.
+    "agg_clan_graph" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).select(
+        col("s_nationkey").as("clan"), col("s_suppkey").as("acc"),
+        col("s_name").as("sname"), dec2(col("s_acctbal")).as("score"))
+      val nodes = sup.groupBy(col("clan")).agg(
+        array_join(transform(array_sort(collect_list(struct(col("acc"),
+          concat(lit("{\"accession\":"), col("acc").cast("string"),
+            lit(",\"short_name\":\""), col("sname"),
+            lit("\",\"type\":\"entry\",\"score\":"), col("score").cast("string"),
+            lit("}")).as("js")))), x => x("js")), ",").as("nodes"))
+      val hits = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("clan"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("clan"), col("l_suppkey"))
+        .agg(min(dec2(col("l_extendedprice"))).as("p"))
+      val sets = hits.groupBy(col("l_partkey"), col("clan"))
+        .agg(array_sort(collect_list(struct(col("l_suppkey").as("k"),
+          col("p")))).as("ms"))
+      val links = sets
+        .select(col("clan"), explode(flatten(transform(col("ms"), (x, i) =>
+          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+            y => struct(x("k").as("qa"), y("k").as("qb"),
+              (x("p") + y("p")).as("ev")))))).as("l"))
+        .groupBy(col("clan"), col("l.qa").as("source"), col("l.qb").as("target"))
+        .agg(min(col("l.ev")).as("ev"))
+        .groupBy(col("clan")).agg(
+          array_join(transform(array_sort(collect_list(struct(col("source"),
+            col("target"),
+            concat(lit("{\"source\":"), col("source").cast("string"),
+              lit(",\"target\":"), col("target").cast("string"),
+              lit(",\"score\":"), col("ev").cast("string"),
+              lit("}")).as("js")))), x => x("js")), ",").as("links"))
+      nodes.join(links, Seq("clan"), "left_outer")
+        .select(col("clan"),
+          concat(lit("{\"nodes\":["), col("nodes"), lit("],\"links\":["),
+            coalesce(col("links"), lit("")), lit("]}")).as("graph"))
+    }),
+
     // A14: histogram (entries-per-type, interpro/mysql/databases.py:251-254).
     "agg_histogram" -> ((s, d) =>
       Tables.orders(s, d).groupBy(col("o_orderpriority"))
@@ -384,6 +469,58 @@ object AggQueries {
          FROM lineitem""",
     "agg_histogram" ->
       "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+    "agg_release_diff" ->
+      """WITH cur AS (SELECT p_partkey AS acc, p_brand AS db, p_size > 25 AS integ FROM part),
+         prev AS (SELECT p_partkey AS acc, p_brand AS db, p_size > 30 AS integ FROM part
+                  WHERE p_partkey % 10 <> 0 AND p_brand <> 'Brand#25'),
+         prevdb AS (SELECT db, CAST(MAX(acc) % 97 AS BIGINT) AS pv FROM prev GROUP BY 1),
+         recent AS (SELECT db, COUNT(*) AS n_recent,
+                           string_agg(CAST(acc AS VARCHAR), ',' ORDER BY acc) AS recently_integrated
+                    FROM cur WHERE integ
+                      AND acc NOT IN (SELECT acc FROM prev WHERE integ)
+                    GROUP BY db),
+         curdb AS (SELECT db, CAST(MAX(acc) % 97 AS BIGINT) AS version,
+                          COUNT(*) AS signatures,
+                          CAST(SUM(CASE WHEN integ THEN 1 ELSE 0 END) AS BIGINT) AS n_integrated
+                   FROM cur GROUP BY db)
+         SELECT c.db, c.version, c.signatures, c.n_integrated,
+                COALESCE(r.n_recent, 0) AS n_recent,
+                COALESCE(r.recently_integrated, '') AS recently_integrated,
+                p.pv IS NULL AS is_new,
+                (p.pv IS NOT NULL AND p.pv <> c.version) AS is_updated
+         FROM curdb c LEFT JOIN recent r USING (db) LEFT JOIN prevdb p USING (db)""",
+    "agg_clan_graph" ->
+      """WITH nodes AS (
+           SELECT s_nationkey AS clan,
+                  string_agg('{"accession":' || CAST(s_suppkey AS VARCHAR) ||
+                             ',"short_name":"' || s_name ||
+                             '","type":"entry","score":' ||
+                             CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR) || '}',
+                             ',' ORDER BY s_suppkey) AS nodes
+           FROM supplier GROUP BY 1),
+         hits AS (
+           SELECT l_partkey, s_nationkey AS clan, l_suppkey,
+                  MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS p
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2, 3),
+         pairev AS (
+           SELECT a.clan, a.l_suppkey AS source, b.l_suppkey AS target,
+                  MIN(a.p + b.p) AS ev
+           FROM hits a JOIN hits b
+             ON a.l_partkey = b.l_partkey AND a.clan = b.clan
+            AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2, 3),
+         links AS (
+           SELECT clan,
+                  string_agg('{"source":' || CAST(source AS VARCHAR) ||
+                             ',"target":' || CAST(target AS VARCHAR) ||
+                             ',"score":' || CAST(ev AS VARCHAR) || '}',
+                             ',' ORDER BY source, target) AS links
+           FROM pairev GROUP BY clan)
+         SELECT n.clan,
+                '{"nodes":[' || n.nodes || '],"links":[' ||
+                COALESCE(l.links, '') || ']}' AS graph
+         FROM nodes n LEFT JOIN links l USING (clan)""",
     "agg_similarity" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          cnt AS (SELECT l_partkey, COUNT(*) AS np FROM op GROUP BY 1),
