@@ -23,7 +23,10 @@ object DedupQueries {
   private val JACC = 0.5      // near-dup verification threshold
   private val DfCap = 64      // max document frequency of a shingle
                               // allowed to generate candidate pairs
-  private val SimBits = 16    // simhash signature width
+  private val SimBits = 64    // simhash signature width: wide enough
+                              // that 16-bit blocks give 65536 bucket
+                              // values (4-bit blocks of a 16-bit sig
+                              // collapse to 16 buckets → quadratic)
   private val SimBlocks = 4   // hamming-search bit blocks; exact for
   private val SimRadius = 3   //   radius <= SimBlocks - 1 (pigeonhole)
 
@@ -101,15 +104,18 @@ object DedupQueries {
       .select("da", "db", "nab", "na", "nb", "jaccard")
   }
 
-  /** (doc_id, sig) — 16-bit SimHash signature per document, shared by
-    * the exact-cluster and hamming-radius queries.
+  /** (doc_id, sig) — SimBits-wide SimHash signature per document,
+    * shared by the exact-cluster and hamming-radius queries.
     */
   private def simhashFrame(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "simhash_sig") {
+      // digest → 16 digit-value ints ONCE per token; the 64 bit aggs
+      // are then pure shift/mask arithmetic (no per-bit string work)
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-        .select(col("doc_id"), md5(col("t")).as("h"))
-      val aggs = TextOps.simhashBitAggs(col("h"), SimBits)
+        .select(col("doc_id") +: TextOps.hexDigitValues(md5(col("t")),
+          (SimBits + 3) / 4): _*)
+      val aggs = TextOps.simhashBitAggs(SimBits)
       tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
         .select(col("doc_id"), TextOps.simhashSig(SimBits).as("sig"))
     }
@@ -248,9 +254,14 @@ object DedupQueries {
   private val bandList = (0 until BANDS)
     .map(b => s"'$b:' || md5(h${2 * b + 1} || h${2 * b + 2})").mkString(", ")
 
-  private val simhashBits = (1 to 16).map { i =>
-    s"""CASE WHEN SUM(CASE WHEN substr(md5(t), $i, 1) IN
-        ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) > 0
+  // bit i = bit (i-1)%4 of hex digit (i-1)/4 of md5(token), as digit
+  // -value shift/mask arithmetic (TextOps.hexDigitValues/simhashBitAggs);
+  // tok CTE must provide d1..d16
+  private val simhashDigitCols = (1 to (SimBits + 3) / 4)
+    .map(dd => s"instr('0123456789abcdef', substr(h, $dd, 1)) - 1 AS d$dd")
+    .mkString(", ")
+  private val simhashBits = (1 to SimBits).map { i =>
+    s"""CASE WHEN SUM(((d${(i - 1) / 4 + 1} >> ${(i - 1) % 4}) & 1) * 2 - 1) > 0
         THEN '1' ELSE '0' END"""
   }.mkString(" || ")
 
@@ -271,7 +282,8 @@ object DedupQueries {
                 JOIN sh b ON b.doc_id = c.db AND b.s = a.s),""",
       "m"),
     "dedup_simhash" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+      s"""WITH tk AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents),
+          tok AS (SELECT doc_id, $simhashDigitCols FROM tk),
           sig AS (SELECT doc_id, $simhashBits AS sig FROM tok GROUP BY doc_id)
           SELECT sig, MIN(doc_id) AS rep, COUNT(*) AS n,
                  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
@@ -283,7 +295,8 @@ object DedupQueries {
       val dist = (1 to SimBits)
         .map(i => s"CASE WHEN substr(sa.sig,$i,1) = substr(sb.sig,$i,1) THEN 0 ELSE 1 END")
         .mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+      s"""WITH tk AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents),
+          tok AS (SELECT doc_id, $simhashDigitCols FROM tk),
           sig AS (SELECT doc_id, $simhashBits AS sig FROM tok GROUP BY doc_id),
           blocks AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db

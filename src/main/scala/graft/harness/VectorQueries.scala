@@ -4,6 +4,7 @@ import graft.Tables
 import graft.ops.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (north-star ops):
   * brute-force cosine top-k as the correctness baseline, with
@@ -28,6 +29,71 @@ object VectorQueries {
   }
   private val planes: Seq[Seq[Double]] =
     (0 until Planes).map(p => (0 until Dim).map(i => planeSign(p, i)))
+
+  /** Shared pieces of the IVF pipeline. `assign` attaches each
+    * vector's `n` nearest cells (argmax rounded cosine, tie → lowest
+    * cell id) from a broadcast centroid frame — the |corpus| × cells
+    * cross join is linear and broadcastable.
+    */
+  private def embFrame(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("v", VectorOps.asDouble(col("embedding")))
+      .withColumn("nv", VectorOps.norm(col("v")))
+      .select("vec_id", "v", "nv")
+
+  private def assign(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    e.crossJoin(broadcast(cents))
+      .withColumn("simc",
+        round(VectorOps.dot(col("v"), col("cv")) / (col("nv") * col("cn")), 6))
+      .withColumn("rc", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("simc").desc, col("cid"))))
+      .filter(col("rc") <= nprobe)
+      .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cell"))
+  }
+
+  /** IVF with one Lloyd refinement round and nprobe=2: seed centroids
+    * (first 8 vectors) → assign → centroid update → reassign; queries
+    * probe their TWO nearest refined cells, the corpus lives in one.
+    * More rounds = loop the same assign+update stages.
+    *
+    * The centroid update must be bit-identical across engines, but
+    * double summation is order-dependent; so per-component means are
+    * computed as DECIMAL(18,9) sums (exact, order-independent) cast to
+    * double for the single final division — one deterministic FP op.
+    */
+  private def ivfKmeansTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embFrame(s, d)
+    val cents0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("cn"))
+    val asg0 = assign(emb, cents0, 1)
+    val comp = asg0
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("val").cast(DecimalType(18, 9))).cast("double") /
+        count(lit(1))).as("m"))
+    val cents1 = comp.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("cv"))
+      .select(col("cell").as("cid"), col("cv"),
+        VectorOps.norm(col("cv")).as("cn"))
+    val corpus = assign(emb, cents1, 1)
+    val qp = assign(emb.filter(col("vec_id") < 50), cents1, 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nv").as("qn"), col("cell"))
+    // a corpus vector lives in exactly one cell and the two probed
+    // cells are distinct, so each (query, corpus) pair meets at most
+    // once — no dedup needed
+    corpus.join(qp, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        round(VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nv")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select("qid", "vec_id", "cell", "sim", "rk")
+  }
 
   val queries: Map[String, Q] = Map(
     // ANN baseline: 50 query vectors against the full corpus, top-5
@@ -100,10 +166,94 @@ object VectorQueries {
           Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
         .filter(col("rk") <= 5)
         .select("qid", "vec_id", "cell", "sim", "rk")
+    }),
+
+    // IVF with a k-means refinement round and nprobe=2 (the honest
+    // IVF build: seed → assign → update → reassign → probe 2 cells).
+    "ann_ivf_kmeans_topk" -> ((s, d) => ivfKmeansTopk(s, d)),
+
+    // Recall@5 of the refined IVF against the brute-force ground
+    // truth — the measurement that decides whether an ANN index is
+    // usable, computed in-engine (no notebook step): fraction of
+    // brute-force top-5 pairs the IVF search also returns.
+    "ann_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val bf = VectorOps.bruteForceTopK(q, emb, "qid", "vec_id", "qe",
+          "embedding", 5)
+        .select(col("qid"), col("vec_id"))
+      val ivf = ivfKmeansTopk(s, d)
+        .select(col("qid").as("__q"), col("vec_id").as("__v"))
+      bf.join(ivf, col("qid") === col("__q") && col("vec_id") === col("__v"),
+          "left_outer")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("n_expected"),
+          sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_queries"), col("n_expected"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_expected"), 6).as("recall"))
     })
   )
 
+  /** Shared oracle CTEs for the k-means-refined IVF (mirrors
+    * ivfKmeansTopk stage by stage; DECIMAL sums keep the centroid
+    * update order-independent, matching the Spark side exactly).
+    */
+  private val ivfKmeansCtes =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       a0 AS (SELECT vec_id, v, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+                                cid) AS rc
+              FROM e CROSS JOIN c0),
+       asg0 AS (SELECT vec_id, v, cid AS cell FROM a0 WHERE rc = 1),
+       comp AS (SELECT cell, pos,
+                       CAST(SUM(CAST(v[pos] AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*) AS m
+                FROM asg0, UNNEST(range(1, len(v) + 1)) AS u(pos)
+                GROUP BY cell, pos),
+       c1 AS (SELECT cell AS cid, list(m ORDER BY pos) AS cv
+              FROM comp GROUP BY cell),
+       a1 AS (SELECT vec_id, v, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+                                cid) AS rc
+              FROM e CROSS JOIN c1),
+       asgc AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE rc = 1),
+       asgq AS (SELECT vec_id AS qid, v AS qv, cid AS cell
+                FROM a1 WHERE rc <= 2 AND vec_id < 50),
+       iv AS (SELECT qid, vec_id, cell, sim, rk
+              FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, vec_id) AS rk
+                    FROM (SELECT qid, b.vec_id, b.cell,
+                                 round(list_cosine_similarity(qv, b.v), 6) AS sim
+                          FROM asgq q JOIN asgc b USING (cell)
+                          WHERE b.vec_id <> qid))
+              WHERE rk <= 5)"""
+
   val oracle: Map[String, String] = Map(
+    "ann_ivf_kmeans_topk" ->
+      s"WITH $ivfKmeansCtes SELECT qid, vec_id, cell, sim, rk FROM iv",
+    "ann_ivf_recall" ->
+      s"""WITH $ivfKmeansCtes,
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id < 50),
+          bfs AS (SELECT qid, vec_id,
+                         round(list_cosine_similarity(qe::DOUBLE[],
+                                                      embedding::DOUBLE[]), 6) AS sim
+                  FROM q, embeddings WHERE vec_id <> qid),
+          bf AS (SELECT qid, vec_id
+                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY sim DESC, vec_id) AS rk FROM bfs)
+                 WHERE rk <= 5)
+          SELECT COUNT(DISTINCT bf.qid) AS n_queries,
+                 COUNT(*) AS n_expected,
+                 CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hit,
+                 round(CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / COUNT(*), 6) AS recall
+          FROM bf LEFT JOIN iv ON bf.qid = iv.qid AND bf.vec_id = iv.vec_id""",
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                     WHERE vec_id < 50),

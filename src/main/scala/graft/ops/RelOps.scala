@@ -21,8 +21,10 @@ object RelOps {
     * For each left row, attaches the smallest `rightKey >= leftTs` as
     * column `as`. Implemented as a single-row broadcast of the sorted
     * key array + a higher-order `filter(...)[0]` probe: zero shuffle of
-    * the big side, no per-row join blow-up, O(log n)-ish per row after
-    * codegen. Rows with no following key get NULL.
+    * the big side, no per-row join blow-up. The probe is a linear scan
+    * of the broadcast array — fine by contract (the right side is
+    * dozens of keys); a bisect expression would only pay off at
+    * thousands. Rows with no following key get NULL.
     *
     * This is the 100 TB-safe plan when the right side is a dimension
     * (dozens of release dates); for big-big as-of, sort both sides and

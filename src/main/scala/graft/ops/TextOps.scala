@@ -56,19 +56,32 @@ object TextOps {
       concat(lit(s"$b:"), md5(concat(hs: _*)))
     }: _*)
 
-  /** 16-bit SimHash bit sums over an exploded token column: per bit i,
-    * +1 when the i-th hex digit of the token's md5 is odd, -1
-    * otherwise; the signature bit is 1 iff the sum is positive.
+  /** SimHash bit sums over an exploded token column: bit i of the
+    * signature is bit (i-1)%4 of hex digit (i-1)/4 of the token's md5
+    * (4 signature bits per hex digit, so one md5 yields up to 128
+    * bits); per bit the agg sums +1/-1 and the signature bit is 1 iff
+    * the sum is positive. Wide signatures matter: block-based
+    * candidate search needs enough values per bit block that buckets
+    * stay small (16-bit blocks = 65536 buckets; the 4-bit blocks of a
+    * 16-bit signature collapse to 16 buckets and a quadratic join).
     * `digest` must be a precomputed md5(token) column — hoisting the
     * hash into the pre-agg projection computes it once per token
     * instead of once per (token, bit).
     */
-  val simhashOddDigits: Seq[String] = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+  /** Hex digit value columns d1..dn of a digest column: instr over the
+    * hex alphabet minus 1 — one substring+scan per DIGIT, so the
+    * per-bit aggs below are pure integer shift/mask arithmetic.
+    */
+  def hexDigitValues(digest: Column, digits: Int): Seq[Column] =
+    (1 to digits).map(dd =>
+      (call_function("instr", lit("0123456789abcdef"), substring(digest, dd, 1)) - 1)
+        .as(s"d$dd"))
 
-  def simhashBitAggs(digest: Column, bits: Int): Seq[Column] =
+  /** Requires the hexDigitValues columns d1..d((bits+3)/4) in scope. */
+  def simhashBitAggs(bits: Int): Seq[Column] =
     (1 to bits).map { i =>
-      sum(when(substring(digest, i, 1).isin(simhashOddDigits: _*), 1)
-        .otherwise(-1)).as(s"s$i")
+      val dv = col(s"d${(i - 1) / 4 + 1}")
+      sum((shiftright(dv, (i - 1) % 4).bitwiseAND(1)) * 2 - 1).as(s"s$i")
     }
 
   def simhashSig(bits: Int): Column =
