@@ -41,12 +41,22 @@ object ReleasePipeline {
     stage("taxa_rollup")(
       XrefQueries.queries("agg_rollup_salted")(spark, sfDir))
 
-    // 3. webfront marts: counts-JSON per entry + release stats
+    // 3. webfront marts: counts-JSON per entry + release stats +
+    //    release-notes diff + per-entry taxonomy distribution trees +
+    //    clan relationship graphs + the signature hierarchy check
     val mart = stage("webfront_entry")(
       XrefQueries.queries("mart_entry_counts")(spark, sfDir)
         .join(xrefs.select(col("entry_acc"), col("n_matches")), Seq("entry_acc"), "left"))
     stage("release_stats")(
       harness.AggQueries.queries("agg_release_stats")(spark, sfDir))
+    stage("release_notes_diff")(
+      harness.AggQueries.queries("agg_release_diff")(spark, sfDir))
+    stage("entry_taxa_trees")(
+      harness.AggQueries.queries("agg_tree_ranks")(spark, sfDir))
+    stage("clan_graphs")(
+      harness.AggQueries.queries("agg_clan_graph")(spark, sfDir))
+    stage("signature_hierarchy")(
+      KernelQueries.queries("sig_hierarchy")(spark, sfDir))
 
     // 4. FTP exports: gzip TSV flat file + stitched XML
     Sinks.writeTsvGz(
