@@ -38,6 +38,7 @@ object SparkEntry {
     CoreQueries.queries ++ JoinQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
+      SampleQueries.queries ++
       VectorQueries.queries ++ MultimodalQueries.queries ++
       KernelQueries.queries ++ SinkQueries.queries ++
       StreamQueries.queries ++ XrefQueries.queries
@@ -48,6 +49,7 @@ object SparkEntry {
     CoreQueries.oracle ++ JoinQueries.oracle ++
       AggQueries.oracle ++ WindowQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
+      SampleQueries.oracle ++
       VectorQueries.oracle ++ MultimodalQueries.oracle ++
       KernelQueries.oracle ++ SinkQueries.oracle ++
       StreamQueries.oracle ++ XrefQueries.oracle

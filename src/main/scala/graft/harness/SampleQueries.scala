@@ -1,0 +1,96 @@
+package graft.harness
+
+import graft.Tables
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting operators for training-data
+  * pipelines (north-star ops). Random sampling is useless at corpus
+  * scale — reruns must pick the SAME rows, adding data must not
+  * reshuffle old assignments, and two engines must agree — so every
+  * operator here keys off a salted content hash, never an RNG:
+  *
+  *  - `sample_hash`: Bernoulli-by-hash (p = threshold/256). Purely
+  *    per-row — no shuffle at all; the filter pushes to the scan side
+  *    and survives any scale.
+  *  - `sample_stratified`: up to K docs per stratum chosen by hash
+  *    order — one hash shuffle on the stratum key; per-group state is
+  *    the window's top-K (or TopKPerGroupExec for huge strata).
+  *  - `split_train_eval`: stable 80/10/10 train/val/test assignment
+  *    by hash range, verified by per-split counts + id checksums.
+  *    A doc's split never changes when the corpus grows, because the
+  *    hash ignores every other row.
+  */
+object SampleQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SampleThresh = 26   // ~10% of 256
+  private val StratumK = 50       // docs kept per stratum
+  private val TrainHi = 204       // 80% of 256
+  private val ValHi = 230         // next 10%
+
+  private def hv(salt: String) =
+    TextOps.hexByteValue(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))))
+
+  val queries: Map[String, Q] = Map(
+    // Bernoulli-by-hash: keep ~10%, identically on every rerun and in
+    // every engine. No shuffle — the predicate rides the scan.
+    "sample_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("hv", hv("split1"))
+        .filter(col("hv") < SampleThresh)
+        .select(col("doc_id"), col("lang"), col("source"), col("hv"))),
+
+    // Up to K docs per (lang, source) stratum in hash order: the
+    // deterministic replacement for per-stratum reservoir sampling.
+    "sample_stratified" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("hv"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("hv", hv("strat1"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= StratumK)
+        .select(col("lang"), col("source"), col("doc_id"), col("hv"), col("rk"))
+    }),
+
+    // Stable 3-way split; emits per-split counts and an id checksum so
+    // the assignment itself (not just the sizes) is hash-compared.
+    "split_train_eval" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("hv", hv("split1"))
+        .withColumn("split",
+          when(col("hv") < TrainHi, "train")
+            .when(col("hv") < ValHi, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")))
+  )
+
+  private def hvSql(salt: String) =
+    s"""(instr('0123456789abcdef',
+           substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        (instr('0123456789abcdef',
+           substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"""
+
+  val oracle: Map[String, String] = Map(
+    "sample_hash" ->
+      s"""SELECT doc_id, lang, source, ${hvSql("split1")} AS hv
+          FROM documents WHERE ${hvSql("split1")} < $SampleThresh""",
+    "sample_stratified" ->
+      s"""WITH h AS (SELECT lang, source, doc_id, ${hvSql("strat1")} AS hv
+                     FROM documents)
+          SELECT lang, source, doc_id, hv, rk
+          FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
+                  ORDER BY hv, doc_id) AS rk FROM h)
+          WHERE rk <= $StratumK""",
+    "split_train_eval" ->
+      s"""WITH h AS (SELECT doc_id, ${hvSql("split1")} AS hv FROM documents)
+          SELECT CASE WHEN hv < $TrainHi THEN 'train'
+                      WHEN hv < $ValHi THEN 'val' ELSE 'test' END AS split,
+                 COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                 MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+          FROM h GROUP BY 1"""
+  )
+}

@@ -77,6 +77,14 @@ object TextOps {
       (call_function("instr", lit("0123456789abcdef"), substring(digest, dd, 1)) - 1)
         .as(s"d$dd"))
 
+  /** First-byte value (0..255) of a hex digest column — the
+    * engine-portable uniform hash for deterministic sampling (both
+    * engines compute identical md5 hex and identical instr positions).
+    */
+  def hexByteValue(digest: Column): Column =
+    (call_function("instr", lit("0123456789abcdef"), substring(digest, 1, 1)) - 1) * 16 +
+      (call_function("instr", lit("0123456789abcdef"), substring(digest, 2, 1)) - 1)
+
   /** Requires the hexDigitValues columns d1..d((bits+3)/4) in scope. */
   def simhashBitAggs(bits: Int): Seq[Column] =
     (1 to bits).map { i =>
