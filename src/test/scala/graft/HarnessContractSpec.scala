@@ -16,6 +16,7 @@ class HarnessContractSpec extends AnyFunSuite {
     ("window", WindowQueries.queries, WindowQueries.oracle),
     ("text", TextQueries.queries, TextQueries.oracle),
     ("dedup", DedupQueries.queries, DedupQueries.oracle),
+    ("sample", SampleQueries.queries, SampleQueries.oracle),
     ("vector", VectorQueries.queries, VectorQueries.oracle),
     ("multimodal", MultimodalQueries.queries, MultimodalQueries.oracle),
     ("kernel", KernelQueries.queries, KernelQueries.oracle),
