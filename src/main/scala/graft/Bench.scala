@@ -41,11 +41,15 @@ object Bench {
     // the driver stores only the last ~2000 log chars, which the full
     // per-query map exceeds — persist it to a repo file and keep the
     // FINAL stdout line compact enough to always fit the tail capture
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), full + "\n")
-    catch { case _: Throwable => }
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_LOCAL.json"))
+      .toAbsolutePath
+    try java.nio.file.Files.writeString(detailPath, full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"bench: failed to write detail file $detailPath: $e")
+    }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"detail":"BENCH_LOCAL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -81,59 +81,70 @@ object Graphs {
     // two-shuffle iterations, and running each over the session-wide
     // partition count burns a fixed per-task cost per iteration when
     // the verified edge set is far smaller than the input that
-    // produced it (cached plans don't get AQE's coalescing)
+    // produced it (cached plans don't get AQE's coalescing). The
+    // narrowing is scoped to THIS loop's frames via explicit
+    // repartition-by-key — never by mutating the session-global
+    // spark.sql.shuffle.partitions, which would leak the reduced
+    // width into concurrent queries on a shared session
     val spark = edges.sparkSession
     val symCount = sym.count()
     val sessionParts = scala.util.Try(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt).toOption
-    val loopParts = sessionParts.map(p =>
-      math.max(1L, math.min(p.toLong, symCount / 2000000L + 1)).toInt)
-    def withLoopParts[T](body: => T): T = (sessionParts, loopParts) match {
-      case (Some(sp), Some(lp)) if lp != sp =>
-        spark.conf.set("spark.sql.shuffle.partitions", lp)
-        try body finally spark.conf.set("spark.sql.shuffle.partitions", sp)
-      case _ => body
-    }
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val loopParts = math.max(1L,
+      math.min(sessionParts.toLong, symCount / 2000000L + 1)).toInt
+    // pre-partition the edge frame once on the probe key: every
+    // iteration's sym⋈labels then needs no exchange on either side
+    // (labels stays hash(__n, loopParts) across the loop)
+    val symB = sym.repartition(loopParts, col("__b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    symB.count()
+    sym.unpersist(blocking = false)
     // localCheckpoint (not persist) per iteration: a persisted frame
     // keeps its FULL logical plan, so iteration i re-optimizes a plan
     // embedding all i-1 predecessors plus the (often large) edge
     // pipeline — Catalyst time grows quadratically and dominates the
     // loop. Checkpointing truncates lineage to an RDD scan; freed
     // blocks are reclaimed by the context cleaner once unreferenced.
-    var labels = sym.select(col("__a").as("__n")).distinct()
+    var labels = symB.select(col("__a").as("__n")).distinct()
       .withColumn("__l", col("__n"))
+      .repartition(loopParts, col("__n"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    withLoopParts {
-      while (changed > 0 && iter < maxIter) {
-        val nbrMin = sym.join(labels, sym("__b") === labels("__n"))
-          .groupBy(col("__a")).agg(min(col("__l")).as("__nl"))
-        val stepped = labels.join(nbrMin, labels("__n") === nbrMin("__a"), "left_outer")
-          .select(col("__n"),
-            least(col("__l"), coalesce(col("__nl"), col("__l"))).as("__l"),
-            col("__l").as("__old"))
-        // pointer jump (path halving) for DEEP graphs only: follow the
-        // new label one more hop, shrinking label chains geometrically
-        // — O(log diameter) rounds. Engaged adaptively after a few
-        // plain rounds: typical dedup clusters converge in 2-3 rounds
-        // where the extra self-join would just double the work, while
-        // a chain-shaped graph keeps converging long after round 3.
-        // Every label IS a node id, so the inner self-join is total.
-        val next = (if (iter < 3) stepped
-          else stepped
-            .join(stepped.select(col("__n").as("__jn"), col("__l").as("__jl")),
-              col("__l") === col("__jn"))
-            .select(col("__n"), least(col("__l"), col("__jl")).as("__l"),
-              col("__old"))
-          ).localCheckpoint(eager = false) // materialized by the count
-        changed = next.filter(col("__l") =!= col("__old")).count()
-        labels = next.select(col("__n"), col("__l"))
-        iter += 1
-      }
+    while (changed > 0 && iter < maxIter) {
+      // the min-label exchange is pinned to loopParts explicitly; the
+      // following groupBy reuses that clustering (no second exchange)
+      val nbrMin = symB.join(labels, symB("__b") === labels("__n"))
+        .select(col("__a"), col("__l"))
+        .repartition(loopParts, col("__a"))
+        .groupBy(col("__a")).agg(min(col("__l")).as("__nl"))
+      val stepped = labels.join(nbrMin, labels("__n") === nbrMin("__a"), "left_outer")
+        .select(col("__n"),
+          least(col("__l"), coalesce(col("__nl"), col("__l"))).as("__l"),
+          col("__l").as("__old"))
+      // pointer jump (path halving) for DEEP graphs only: follow the
+      // new label one more hop, shrinking label chains geometrically
+      // — O(log diameter) rounds. Engaged adaptively after a few
+      // plain rounds: typical dedup clusters converge in 2-3 rounds
+      // where the extra self-join would just double the work, while
+      // a chain-shaped graph keeps converging long after round 3.
+      // Every label IS a node id, so the inner self-join is total.
+      val next = (if (iter < 3) stepped
+        else stepped.repartition(loopParts, col("__l"))
+          .join(stepped.select(col("__n").as("__jn"), col("__l").as("__jl")),
+            col("__l") === col("__jn"))
+          .select(col("__n"), least(col("__l"), col("__jl")).as("__l"),
+            col("__old"))
+        ).localCheckpoint(eager = false) // materialized by the count
+      changed = next.filter(col("__l") =!= col("__old")).count()
+      // restore hash(__n, loopParts) so the next iteration's joins
+      // align exchange-free regardless of which branch produced `next`
+      labels = next.select(col("__n"), col("__l"))
+        .repartition(loopParts, col("__n"))
+      iter += 1
     }
     e0.unpersist(blocking = false)
-    sym.unpersist(blocking = false)
+    symB.unpersist(blocking = false)
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"connectedComponents: $symCount directed edges, " +
         s"converged=${changed == 0} after $iter iterations")

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Per-entry taxonomy distribution trees over the MAIN ranks
   * (interpro7dw/interpro/xrefs/entries.py:16-25,349-466).
@@ -28,8 +27,15 @@ object TaxaTree {
     "domain", "kingdom", "phylum", "class", "order", "family", "genus",
     "species")
 
+  /** JSON string literal with real escaping: the reference serializes
+    * node dicts through a JSON encoder, so a taxon name containing a
+    * double quote or backslash (legal in strain names) must escape —
+    * naive quoting would emit an invalid document.
+    */
   private def jsonStr(c: Column): Column =
-    when(c.isNull, lit("null")).otherwise(concat(lit("\""), c, lit("\"")))
+    when(c.isNull, lit("null")).otherwise(concat(lit("\""),
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      lit("\"")))
 
   private def nodeJson(uid: Column, rank: Column, name: Column,
                        proteins: Column, species: Column,
@@ -49,14 +55,21 @@ object TaxaTree {
     val n = ranks.length
 
     // (taxon id, one column per rank with the lineage node occupying
-    // it, plus its name) — explode the closure once, pivot by rank
+    // it, plus its name) — posexplode the closure once, pivot by rank.
+    // When a lineage holds two nodes of the same rank, the reference's
+    // slot loop overwrites in lineage order and keeps the LAST
+    // (deepest) one (entries.py lineage[i] overwrite) — so the pivot
+    // maxes a (position, node, name) struct: position dominates, and
+    // node+name always come from the same lineage row.
     val lin = Graphs.lineageClosure(taxa, "id", "parent")
-      .select(col("id"), explode(col("lineage")).as("node"))
+      .select(col("id"), posexplode(col("lineage")).as(Seq("pos", "node")))
       .join(taxa.select(col("id").as("node"), col("rank"), col("name")),
         Seq("node"))
     val slotAggs = ranks.zipWithIndex.flatMap { case (r, i) =>
-      Seq(max(when(col("rank") === r, col("node"))).as(s"slot_$i"),
-        max(when(col("rank") === r, col("name"))).as(s"name_$i"))
+      val deepest = max(when(col("rank") === r,
+        struct(col("pos"), col("node"), col("name"))))
+      Seq(deepest.getField("node").as(s"slot_$i"),
+        deepest.getField("name").as(s"name_$i"))
     }
     val slots = lin.groupBy(col("id")).agg(slotAggs.head, slotAggs.tail: _*)
 
@@ -88,7 +101,13 @@ object TaxaTree {
         col("rank"), col("name"))
       .agg(sum(col("n")).as("p"),
         sum(when(col("is_sp"), 1L).otherwise(0L)).as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist: the 8 per-level filters below
+      // all re-read this frame LAZILY (the assembly plan executes only
+      // when the caller acts), so a session-cache entry could never be
+      // unpersisted at a safe point and would leak one cached frame
+      // per invocation. Checkpoint blocks are reclaimed by the context
+      // cleaner once the returned plan is unreferenced.
+      .localCheckpoint()
 
     // bottom-up assembly: per level, attach the (sorted) children
     // JSON built one level below, emit this level's node JSON, regroup

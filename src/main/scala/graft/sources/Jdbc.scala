@@ -69,14 +69,19 @@ object Jdbc {
   def bulkLoadSorted(df: DataFrame, sortCols: Seq[String], url: String,
                      table: String, batchSize: Int = 1000): Unit = {
     val cols = df.schema.fieldNames.toSeq
-    val insert = s"""INSERT INTO $table (${cols.map(c => s""""$c"""").mkString(", ")})
-                     VALUES (${cols.map(_ => "?").mkString(", ")})"""
     df.sortWithinPartitions(sortCols.map(df(_)): _*)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           val conn = DriverManager.getConnection(url)
           try {
             conn.setAutoCommit(false)
+            // quote identifiers with the TARGET engine's quote string
+            // (MySQL default sql_mode rejects ANSI double quotes as
+            // identifier quoting; Derby/Postgres use '"'; MySQL '`')
+            val q = Option(conn.getMetaData.getIdentifierQuoteString)
+              .map(_.trim).filter(_.nonEmpty).getOrElse("")
+            val insert = s"""INSERT INTO $table (${cols.map(c => s"$q$c$q").mkString(", ")})
+                             VALUES (${cols.map(_ => "?").mkString(", ")})"""
             val ps = conn.prepareStatement(insert)
             try {
               var inBatch = 0
