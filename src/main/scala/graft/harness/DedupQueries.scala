@@ -50,7 +50,15 @@ object DedupQueries {
       build.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
-  /** Distinct (doc_id, shingle) pairs for docs with >= N tokens. */
+  /** Distinct (doc_id, shingle-id) pairs for docs with >= N tokens.
+    * Shingles are HASHED to 52-bit ints at the source (Broder's
+    * original minhash operates on hashed shingles): the distinct
+    * shuffle, the posting-list joins, and the verification joins all
+    * move 8-byte ints instead of ~40-byte shingle strings, and the
+    * minhash signature consumes the id directly with no re-digest.
+    * Both engines derive the id from the same md5 prefix, so hash
+    * collisions (~n²/2^52 — negligible) are shared deterministically.
+    */
   private def shingleFrame(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "shingles") {
       // tokens materialize as a column BEFORE the shingle lambda: inlining
@@ -59,7 +67,9 @@ object DedupQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= N)
-        .select(col("doc_id"), explode(TextOps.shingles(col("toks"), N)).as("s"))
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("toks"), N)).as("sraw"))
+        .select(col("doc_id"), TextOps.minhashX(col("sraw")).as("s"))
         .distinct()
     }
 
@@ -145,6 +155,8 @@ object DedupQueries {
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = shingleFrame(s, d)
       val sig = cachedFrame(s, d, "minhash_sig") {
+        // the shingle id IS the 52-bit hash — the k min aggs are pure
+        // multiply-add arithmetic, no digest work at all
         val aggs = TextOps.minhashAggs(col("s"), K)
         sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       }
@@ -224,7 +236,8 @@ object DedupQueries {
   private val shCte =
     s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
                  WHERE len(string_split(text,' ')) >= $N),
-        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${N - 1}],' ') AS s
+        sh AS (SELECT DISTINCT doc_id,
+                      ('0x' || substr(md5(array_to_string(t[i:i+${N - 1}],' ')), 1, 13))::BIGINT AS s
                FROM toks, UNNEST(range(1, len(t)-${N - 2})) AS u(i)),
         ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
 
@@ -249,10 +262,15 @@ object DedupQueries {
         FROM pr JOIN ns x ON da = x.doc_id JOIN ns y ON db = y.doc_id
         WHERE round(CAST(nab AS DOUBLE)/(x.n+y.n-nab), 6) >= $JACC"""
 
-  private val minhashCols = (1 to K)
-    .map(i => s"MIN(md5('s$i' || s)) AS h$i").mkString(", ")
+  // mirrors TextOps.minhashAggs over the 52-bit shingle id:
+  // h_i = (a_i*s + b_i) mod 1e9+7 per signature row
+  private val minhashCols = TextOps.minhashParams(K).zipWithIndex
+    .map { case ((a, b), i) =>
+      s"MIN(($a * s + $b) % ${TextOps.MinhashP}) AS h${i + 1}" }
+    .mkString(", ")
   private val bandList = (0 until BANDS)
-    .map(b => s"'$b:' || md5(h${2 * b + 1} || h${2 * b + 2})").mkString(", ")
+    .map(b => s"'$b:' || md5(CAST(h${2 * b + 1} AS VARCHAR) || " +
+      s"CAST(h${2 * b + 2} AS VARCHAR))").mkString(", ")
 
   // bit i = bit (i-1)%4 of hex digit (i-1)/4 of md5(token), as digit
   // -value shift/mask arithmetic (TextOps.hexDigitValues/simhashBitAggs);

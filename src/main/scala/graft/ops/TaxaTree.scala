@@ -87,6 +87,10 @@ object TaxaTree {
           when(col(s"slot_$i").isNotNull, col(s"slot_$i"))
             .otherwise(concat(prev, lit(s"-$i"))))
     }
+      // both the per-level counts below AND the root totals consume
+      // this frame; checkpointing it runs the closure+pivot+join
+      // upstream once instead of twice
+      .localCheckpoint()
 
     // one row per (hit, rank level), then counts per (entry, node)
     val levelStructs = (0 until n).map { i =>

@@ -39,12 +39,34 @@ object TextOps {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(t === _).reduce(_ || _)))
 
-  /** MinHash signature columns over a (doc, shingle) exploded frame:
-    * h_i = min(md5("s<i>" || shingle)) — lexicographic min over hex
-    * strings is engine-portable (same md5, same ASCII collation).
+  /** MinHash via ONE strong hash per shingle + a universal-hash family
+    * per signature row, instead of k full md5 passes over every
+    * (doc, shingle) row (k=16 → 16x the digest work, the profiled cost
+    * of the signature build). x = the md5's first 13 hex chars as a
+    * 52-bit int (portable: DuckDB '0x'-prefixed casts and Spark conv
+    * agree); h_i = (a_i·x + b_i) mod 1e9+7 with a_i < 1024 so the
+    * product stays inside checked int64 range on both engines.
     */
-  def minhashAggs(shingle: Column, k: Int): Seq[Column] =
-    (1 to k).map(i => min(md5(concat(lit(s"s$i"), shingle))).as(s"h$i"))
+  val MinhashP = 1000000007L
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map { i =>
+      val a = ((i * 2654435761L) % 1021L) + 2L           // 2..1022
+      val b = (i * 1140671485L + 12820163L) % MinhashP
+      (a, b)
+    }
+
+  /** 52-bit integer hash of a shingle — materialize this ONCE as a
+    * column before the signature groupBy (inlining it into the k aggs
+    * would re-digest per (row, i)).
+    */
+  def minhashX(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 13), 16, 10).cast("long")
+
+  /** Signature columns h1..hk = min over the doc's shingle hashes. */
+  def minhashAggs(x: Column, k: Int): Seq[Column] =
+    minhashParams(k).zipWithIndex.map { case ((a, b), idx) =>
+      min((lit(a) * x + lit(b)) % MinhashP).as(s"h${idx + 1}")
+    }
 
   /** LSH band keys from a minhash signature: band j hashes rows
     * (h_{rj+1}..h_{rj+r}); the band index is embedded so equal hashes
@@ -52,7 +74,8 @@ object TextOps {
     */
   def bandKeys(bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      val hs = (1 to rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
       concat(lit(s"$b:"), md5(concat(hs: _*)))
     }: _*)
 
