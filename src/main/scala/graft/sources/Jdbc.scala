@@ -67,10 +67,36 @@ object Jdbc {
     * (interpro/mysql/entries.py:241-295), distributed.
     */
   def bulkLoadSorted(df: DataFrame, sortCols: Seq[String], url: String,
-                     table: String, batchSize: Int = 1000): Unit = {
+                     table: String, batchSize: Int = 1000): Unit =
+    loadPartitions(df.sortWithinPartitions(sortCols.map(df(_)): _*),
+      url, table, batchSize)
+
+  /** S12: hash-sharded parallel bulk load — the reference's Oracle
+    * LOOKUP_MATCH sink list-partitions the table by a 3-char MD5
+    * prefix and drives N insert workers over disjoint shards
+    * (interpro/oracle/lookup.py:110-146,347-358). Spark-first: derive
+    * the prefix, `repartition(shards, prefix)` so each task owns a
+    * disjoint hash range (rows land in their target LIST partition
+    * with no cross-partition contention), sort within the shard on the
+    * hash, and run the same executemany loop — one connection per
+    * shard, all shards concurrent.
+    */
+  def bulkLoadHashSharded(df: DataFrame, hashCol: String, url: String,
+                          table: String, prefixLen: Int = 3,
+                          shards: Int = 16, batchSize: Int = 1000): Unit = {
+    import org.apache.spark.sql.functions.{col, md5, substring, upper}
+    val withPrefix = df.withColumn("md5_prefix",
+      upper(substring(md5(col(hashCol).cast("string")), 1, prefixLen)))
+    loadPartitions(
+      withPrefix.repartition(shards, col("md5_prefix"))
+        .sortWithinPartitions(col("md5_prefix"), col(hashCol)),
+      url, table, batchSize)
+  }
+
+  private def loadPartitions(df: DataFrame, url: String,
+                             table: String, batchSize: Int): Unit = {
     val cols = df.schema.fieldNames.toSeq
-    df.sortWithinPartitions(sortCols.map(df(_)): _*)
-      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           val conn = DriverManager.getConnection(url)
           try {

@@ -1,0 +1,189 @@
+package graft.sources.kvlog
+
+import org.apache.spark.sql.types._
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+
+/** On-disk codec for the graft KV log — the Spark-native re-design of
+  * the reference's sorted key-value store (utils/store.py:113-127: an
+  * offset header, zlib-pickled key buckets, and a trailing
+  * (key, offset) index loaded before access; range reads walk only the
+  * buckets the index points at).
+  *
+  * Differences are deliberate Spark-first choices, not omissions:
+  *  - records are typed rows under a DDL schema written into the
+  *    footer (pickle is single-language and schema-less);
+  *  - the footer sits at the END (parquet-style: data, footer, footer
+  *    length, magic) so writers stream append-only — no seek-back
+  *    header patch, which object stores and HDFS output streams
+  *    disallow;
+  *  - one file per write task, so a directory of part files carries
+  *    the cluster-wide sort (the reference merges worker temp files
+  *    into one file on one machine — the single-node bottleneck this
+  *    design removes).
+  *
+  * File layout:
+  * {{{
+  *   MAGIC(4) | bucket* | footer | footerLen(4) | MAGIC(4)
+  *   bucket  := gzip( record* )
+  *   record  := field*                  (schema order)
+  *   footer  := schemaDDL, rowCount, bucketMeta*
+  * }}}
+  * Buckets hold `bucketSize` consecutive records of the task's
+  * key-sorted stream; the footer records each bucket's byte range and
+  * [minKey, maxKey], which is what makes key-range scans skip whole
+  * buckets without decompressing them.
+  */
+object KVLogFormat {
+
+  val Magic: Array[Byte] = "GKV1".getBytes(StandardCharsets.US_ASCII)
+
+  /** (offset, length, rows, minKey, maxKey) of one gzip bucket. */
+  final case class BucketMeta(offset: Long, length: Long, rows: Long,
+                              minKey: String, maxKey: String)
+
+  final case class Footer(schema: StructType, rows: Long,
+                          buckets: Seq[BucketMeta])
+
+  /** Supported field types — enough for the warehouse's KV payloads;
+    * nested values travel as JSON strings (the reference pickles
+    * nested dicts; a typed engine keeps nesting explicit).
+    */
+  def checkSchema(schema: StructType): Unit = {
+    require(schema.nonEmpty && schema.head.dataType == StringType,
+      s"first field must be the STRING sort key, got ${schema.headOption}")
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case StringType | LongType | IntegerType | DoubleType | BooleanType => ()
+        case dt => throw new IllegalArgumentException(
+          s"unsupported kvlog field type ${dt.sql} for ${f.name}")
+      }
+    }
+  }
+
+  // ---- record codec -------------------------------------------------
+  // Per field: 1 null byte, then a fixed-width value or varlen string.
+  // Decode can SKIP a field without materializing it — column pruning
+  // costs a seek, not an allocation.
+
+  def writeRecord(out: DataOutputStream, schema: StructType,
+                  get: Int => Any): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      val v = get(i)
+      if (v == null) out.writeByte(0)
+      else {
+        out.writeByte(1)
+        schema(i).dataType match {
+          case StringType =>
+            val b = v.toString.getBytes(StandardCharsets.UTF_8)
+            out.writeInt(b.length); out.write(b)
+          case LongType    => out.writeLong(v.asInstanceOf[Long])
+          case IntegerType => out.writeInt(v.asInstanceOf[Int])
+          case DoubleType  => out.writeDouble(v.asInstanceOf[Double])
+          case BooleanType => out.writeBoolean(v.asInstanceOf[Boolean])
+          case dt => throw new IllegalStateException(dt.sql)
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Decode one record into `dest(fieldIndex)` for wanted fields only;
+    * returns false at clean EOF (bucket exhausted).
+    */
+  def readRecord(in: DataInputStream, schema: StructType,
+                 wanted: Array[Boolean], dest: Array[Any]): Boolean = {
+    val first =
+      try in.read()
+      catch { case _: EOFException => -1 }
+    if (first < 0) return false
+    var i = 0
+    while (i < schema.length) {
+      val present = if (i == 0) first else in.readByte().toInt
+      if (present == 0) { if (wanted(i)) dest(i) = null }
+      else schema(i).dataType match {
+        case StringType =>
+          val len = in.readInt()
+          if (wanted(i)) {
+            val b = new Array[Byte](len); in.readFully(b)
+            dest(i) = new String(b, StandardCharsets.UTF_8)
+          } else in.skipNBytes(len.toLong)
+        case LongType =>
+          if (wanted(i)) dest(i) = in.readLong() else in.skipNBytes(8)
+        case IntegerType =>
+          if (wanted(i)) dest(i) = in.readInt() else in.skipNBytes(4)
+        case DoubleType =>
+          if (wanted(i)) dest(i) = in.readDouble() else in.skipNBytes(8)
+        case BooleanType =>
+          if (wanted(i)) dest(i) = in.readBoolean() else in.skipNBytes(1)
+        case dt => throw new IllegalStateException(dt.sql)
+      }
+      i += 1
+    }
+    true
+  }
+
+  // ---- footer codec -------------------------------------------------
+
+  def writeFooter(out: DataOutputStream, f: Footer): Int = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(buf)
+    val ddl = f.schema.toDDL.getBytes(StandardCharsets.UTF_8)
+    d.writeInt(ddl.length); d.write(ddl)
+    d.writeLong(f.rows)
+    d.writeInt(f.buckets.length)
+    f.buckets.foreach { b =>
+      d.writeLong(b.offset); d.writeLong(b.length); d.writeLong(b.rows)
+      val mn = b.minKey.getBytes(StandardCharsets.UTF_8)
+      val mx = b.maxKey.getBytes(StandardCharsets.UTF_8)
+      d.writeInt(mn.length); d.write(mn)
+      d.writeInt(mx.length); d.write(mx)
+    }
+    d.flush()
+    out.write(buf.toByteArray)
+    buf.size()
+  }
+
+  def readFooter(bytes: Array[Byte]): Footer = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    def str(): String = {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      new String(b, StandardCharsets.UTF_8)
+    }
+    val schema = StructType.fromDDL(str())
+    val rows = in.readLong()
+    val buckets = Seq.fill(in.readInt()) {
+      BucketMeta(in.readLong(), in.readLong(), in.readLong(), str(), str())
+    }
+    Footer(schema, rows, buckets)
+  }
+
+  // ---- key-range bucket pruning ------------------------------------
+
+  /** Inclusive-bound key range; None = unbounded. */
+  final case class KeyRange(lower: Option[String], upper: Option[String]) {
+    def overlaps(b: BucketMeta): Boolean =
+      lower.forall(_ <= b.maxKey) && upper.forall(_ >= b.minKey)
+    def contains(k: String): Boolean =
+      lower.forall(_ <= k) && upper.forall(_ >= k)
+  }
+  val FullRange: KeyRange = KeyRange(None, None)
+
+  /** The buckets a key-range scan must decompress — the v2 reader's
+    * pruning decision, kept pure so the spec can test it directly
+    * (mirrors KVStore.range's bisect over the index,
+    * utils/store.py:173-211).
+    */
+  def selectBuckets(buckets: Seq[BucketMeta], r: KeyRange): Seq[BucketMeta] =
+    buckets.filter(r.overlaps)
+
+  def readAllBytes(in: InputStream): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    var n = in.read(tmp)
+    while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+    buf.toByteArray
+  }
+}

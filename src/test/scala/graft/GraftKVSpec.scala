@@ -1,0 +1,119 @@
+package graft
+
+import graft.sources.kvlog.KVLogFormat
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The graft KV log DataSource V2 (S6/S7 deepened — the reference's
+  * KVStore as a real Spark source/sink): round-trip, writer-demanded
+  * clustering+ordering, column pruning, and key-range bucket pruning.
+  */
+class GraftKVSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graftkv").toString
+
+  private def seed = {
+    import spark.implicits._
+    spark.range(0, 2000).select(
+      format_string("k%05d", col("id")).as("key"),
+      col("id").as("n"),
+      (col("id") % 13).cast("double").as("score"),
+      concat(lit("payload-"), col("id").cast("string")).as("payload"),
+      (col("id") % 2 === 0).as("even"))
+  }
+
+  test("round-trips typed rows through the kv log") {
+    val dir = tmp()
+    seed.write.format("graftkv").option("bucketsize", 128).mode("append").save(dir)
+    val back = spark.read.format("graftkv").load(dir)
+    assert(back.schema.fieldNames.toSeq ===
+      Seq("key", "n", "score", "payload", "even"))
+    assert(back.count() === 2000)
+    assert(back.agg(sum("n")).head.getLong(0) === (0L until 2000L).sum)
+    // spot-check full row content incl. nullability of none
+    val r = back.filter(col("key") === "k00042").head
+    assert(r.getLong(1) === 42 && r.getString(3) === "payload-42"
+      && r.getBoolean(4) === true)
+  }
+
+  test("writer demands clustering + per-task key order (Catalyst plans the shuffle+sort)") {
+    val dir = tmp()
+    // deliberately unsorted, badly partitioned input
+    seed.orderBy(rand(seed = 11)).repartition(7)
+      .write.format("graftkv").option("bucketsize", 64).mode("append").save(dir)
+    // per part file the footer's bucket mins/maxes must be
+    // non-overlapping and internally ascending — only possible if the
+    // writer really received clustered, sorted rows
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gkv")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val footer = graft.sources.kvlog.GraftKVUtilAccess.footerOf(f.getPath)
+      val bs = footer.buckets
+      assert(bs.nonEmpty)
+      // ascending, non-overlapping buckets within the file
+      bs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.maxKey <= b.minKey)
+        case _ => ()
+      }
+      assert(bs.forall(b => b.minKey <= b.maxKey))
+    }
+    // clustered: the same key never appears in two files (trivially
+    // true for unique keys; check global ranges don't interleave docs
+    // of one key) and nothing is lost
+    val back = spark.read.format("graftkv").load(dir)
+    assert(back.count() === 2000)
+    assert(back.select(countDistinct("key")).head.getLong(0) === 2000)
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = tmp()
+    seed.write.format("graftkv").option("bucketsize", 128).mode("append").save(dir)
+    val q = spark.read.format("graftkv").load(dir).select("n")
+    val scan = q.queryExecution.executedPlan.toString()
+    assert(scan.contains("columns=n"), s"expected pruned scan in:\n$scan")
+    assert(q.agg(sum("n")).head.getLong(0) === (0L until 2000L).sum)
+  }
+
+  test("key-range filters prune whole buckets via the footer index") {
+    val dir = tmp()
+    seed.write.format("graftkv").option("bucketsize", 100).mode("append").save(dir)
+    val q = spark.read.format("graftkv").load(dir)
+      .filter(col("key") >= "k01500" && col("key") < "k01600")
+    assert(q.count() === 100)
+    assert(q.agg(sum("n")).head.getLong(0) === (1500L until 1600L).sum)
+    // the pure pruning decision: of the 20 buckets only the ones
+    // overlapping [k01500, k01600) survive
+    val footer = graft.sources.kvlog.GraftKVUtilAccess
+      .footerOf(new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".gkv")).head.getPath)
+    val total = footer.buckets.length
+    val kept = KVLogFormat.selectBuckets(footer.buckets,
+      KVLogFormat.KeyRange(Some("k01500"), Some("k01600"))).length
+    assert(kept < total, s"pruning kept $kept of $total buckets")
+  }
+
+  test("overwrite truncates previous files; nulls round-trip") {
+    import spark.implicits._
+    val dir = tmp()
+    seed.write.format("graftkv").mode("append").save(dir)
+    val small = Seq(("a", Some(1L)), ("b", None), ("c", Some(3L)))
+      .toDF("key", "n")
+      .select(col("key"), col("n"))
+    small.write.format("graftkv").mode("overwrite").save(dir)
+    val back = spark.read.format("graftkv").load(dir)
+    assert(back.count() === 3)
+    assert(back.filter(col("n").isNull).select("key").head.getString(0) === "b")
+  }
+
+  test("rejects schemas without a string key or with unsupported types") {
+    import spark.implicits._
+    val dir = tmp()
+    val bad = Seq((1L, "x")).toDF("key", "v") // key not string
+    intercept[Exception] {
+      bad.write.format("graftkv").mode("append").save(dir)
+    }
+  }
+}

@@ -80,4 +80,34 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(back.filter(col("name") =!= concat(lit("sup-"), col("k").cast("string")))
       .count() === 0)
   }
+
+  test("S12: md5-prefix-sharded parallel bulk load") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE graft_md5 ("id" BIGINT, "name" VARCHAR(64),
+          |"score" DOUBLE, "md5_prefix" CHAR(3))""".stripMargin.replace("\n", " "))
+    } finally conn.close()
+
+    Jdbc.bulkLoadHashSharded(seedFrame, "id", url, "graft_md5",
+      prefixLen = 3, shards = 8, batchSize = 64)
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "graft_md5").load()
+    assert(back.count() === 1000)
+    assert(back.select(countDistinct("id")).head.getLong(0) === 1000)
+    // the stored prefix is the md5 prefix Spark computes — the shard
+    // key and the target LIST partition key agree
+    assert(back.filter(
+      col("md5_prefix") =!= upper(substring(md5(col("id").cast("string")), 1, 3)))
+      .count() === 0)
+    // shards hold disjoint prefix ranges: every prefix maps to exactly
+    // one loader partition by construction of repartition(shards, key)
+    val parts = seedFrame.withColumn("p",
+        upper(substring(md5(col("id").cast("string")), 1, 3)))
+      .repartition(8, col("p"))
+      .select(col("p"), spark_partition_id().as("pid"))
+      .groupBy("p").agg(countDistinct("pid").as("n"))
+    assert(parts.filter(col("n") > 1).count() === 0)
+  }
 }
