@@ -68,6 +68,40 @@ object StreamQueries {
       s.table(name)
     }),
 
+    // Stream-stream interval join: click->purchase attribution per
+    // user within 6 hours. Both sides carry watermarks so the join
+    // state is BOUNDED — Spark evicts buffered clicks once the
+    // purchase-side watermark passes c_ts + 6h (without the time bound
+    // + watermarks, stream-stream join state grows forever; this is
+    // the only formulation that survives an unbounded stream).
+    "stream_join" -> ((s, d) => {
+      val name = "stream_join_mem"
+      s.catalog.dropTempView(name)
+      val clicks = EventsStream.readStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = EventsStream.readStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(buys,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
+      withStreamPartitions(s) {
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).select(col("click_id"), col("purchase_id"),
+        col("c_user").as("user_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+    }),
+
     // Custom stateful streaming: gap sessionization per user via
     // flatMapGroupsWithState over the events file stream, drained with
     // AvailableNow (30-minute gap; timestamps as exact micros).
@@ -102,6 +136,15 @@ object StreamQueries {
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
          FROM events GROUP BY event_type""",
+    "stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+                a.user_id,
+                strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'click' AND b.event_type = 'purchase'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR""",
     "stream_sessionize" ->
       """WITH l AS (SELECT user_id, ts,
                            CASE WHEN lag(ts) OVER w IS NULL
