@@ -32,6 +32,18 @@ object ReleasePipeline {
     val matches = stage("protein2matches")(
       KernelQueries.queries("kernel_match_merge")(spark, sfDir))
 
+    // 1b. the §3.2 KVStore handoff: merged matches into the graftkv
+    //     sorted log keyed by protein accession — the writer's
+    //     RequiresDistributionAndOrdering makes Catalyst plan the
+    //     cluster-wide shuffle+sort the reference's KVStoreBuilder
+    //     hand-rolls through temp files — then read back through the
+    //     footer index (a consumer fetching one protein's matches
+    //     prunes to one file + one gzip bucket).
+    matches.write.format("graftkv").option("bucketsize", 1024)
+      .mode("overwrite").save(s"$outDir/protein2matches_kv")
+    stages += "protein2matches_kv" ->
+      spark.read.format("graftkv").load(s"$outDir/protein2matches_kv").count()
+
     // 2. entry2xrefs: the flagship inverted aggregation (§3.3), plus
     //    domain organisations and the ancestor rollup
     val xrefs = stage("entry2xrefs")(

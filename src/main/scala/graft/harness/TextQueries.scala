@@ -73,6 +73,52 @@ object TextQueries {
         aggregate(transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
           lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L).as("rhash"))),
 
+    // The composed pretraining filter: every document gets a keep/drop
+    // decision plus the FIRST firing drop reason — length prior,
+    // stopword density, quality score, then exact-dup demotion (only
+    // the first copy of a fingerprint survives). This is the operator
+    // a 100 TB corpus actually runs nightly; one scan + one window
+    // over the fingerprint, no self-joins.
+    "text_filter_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      val nStop = TextOps.stopwordCount(toks, stop)
+      val quality =
+        round(least(lit(1.0), nTok / lit(50.0)) * (lit(1.0) - nStop / nTok), 6)
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tok"),
+        round(nStop / nTok, 6).as("stop_ratio"),
+        quality.as("quality"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .withColumn("dup_rank",
+          row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      scored.select(col("doc_id"), col("n_tok"), col("quality"),
+        when(col("n_tok") < 10, "too_short")
+          .when(col("stop_ratio") > 0.5, "stopword_heavy")
+          .when(col("quality") < 0.3, "low_quality")
+          .when(col("dup_rank") > 1, "duplicate")
+          .as("drop_reason"))
+        .withColumn("keep", col("drop_reason").isNull)
+    }),
+
+    // Vocabulary build: BPE-ish token frequencies with ranks — the
+    // tokenizer-training precursor (explode -> one hash agg -> top-k
+    // by count). orderBy+limit plans TakeOrderedAndProject (per-
+    // partition heaps, no global single-partition window over the
+    // full vocabulary); the rank window then runs over 100 rows only.
+    "text_vocab" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(explode(regexp_extract_all(col("text"),
+          lit(TextOps.BpeishPattern), lit(0))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("tok"))))
+    }),
+
     // BPE-ish token counting: GPT2-style pre-tokenizer regex (letters /
     // digits / punctuation runs with leading-space absorption) next to
     // plain whitespace tokens — the cost-estimation operator of a
@@ -136,6 +182,38 @@ object TextQueries {
       s"""SELECT doc_id,
                  len(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS n_bpe,
                  len($sqlToks) AS n_ws
-          FROM documents"""
+          FROM documents""",
+    "text_filter_pipeline" ->
+      s"""WITH scored AS (
+            SELECT doc_id,
+                   len($sqlToks) AS n_tok,
+                   round(len(list_filter($sqlToks, t -> t IN ('the','a')))
+                         / len($sqlToks), 6) AS stop_ratio,
+                   round(least(1.0, len($sqlToks) / 50.0) *
+                         (1.0 - len(list_filter($sqlToks, t -> t IN ('the','a')))
+                                / len($sqlToks)), 6) AS quality,
+                   md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp
+            FROM documents),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank
+            FROM scored)
+          SELECT doc_id, n_tok, quality,
+                 CASE WHEN n_tok < 10 THEN 'too_short'
+                      WHEN stop_ratio > 0.5 THEN 'stopword_heavy'
+                      WHEN quality < 0.3 THEN 'low_quality'
+                      WHEN dup_rank > 1 THEN 'duplicate' END AS drop_reason,
+                 (CASE WHEN n_tok < 10 THEN 'too_short'
+                       WHEN stop_ratio > 0.5 THEN 'stopword_heavy'
+                       WHEN quality < 0.3 THEN 'low_quality'
+                       WHEN dup_rank > 1 THEN 'duplicate' END IS NULL) AS keep
+          FROM ranked""",
+    "text_vocab" ->
+      s"""WITH f AS (
+            SELECT unnest(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS tok
+            FROM documents),
+          c AS (SELECT tok, COUNT(*) AS n FROM f GROUP BY tok)
+          SELECT tok, n, rank FROM (
+            SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM c)
+          WHERE rank <= 100"""
   )
 }

@@ -11,6 +11,7 @@ class ReleasePipelineSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft-release").toString
     val stages = ReleasePipeline.build(spark, sf, out).toMap
     assert(stages("protein2matches") > 0)
+    assert(stages("protein2matches_kv") === stages("protein2matches"))
     assert(stages("entry2xrefs") === 7)  // IPR0..IPR6
     assert(stages("domain_orgs") > 0)
     assert(stages("taxa_rollup") > 0)
