@@ -119,15 +119,16 @@ object DedupQueries {
     */
   private def simhashFrame(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "simhash_sig") {
-      // digest → 16 digit-value ints ONCE per token; the 64 bit aggs
-      // are then pure shift/mask arithmetic (no per-bit string work)
+      // digest → 16 digit-value ints ONCE per token; the bit sums ride
+      // lane-packed (4 bit-counts per int64, one agg per hex digit —
+      // 16 aggs + a count instead of 64 ±1 sums)
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
         .select(col("doc_id") +: TextOps.hexDigitValues(md5(col("t")),
           (SimBits + 3) / 4): _*)
-      val aggs = TextOps.simhashBitAggs(SimBits)
+      val aggs = TextOps.simhashPackedAggs(SimBits)
       tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"), TextOps.simhashSig(SimBits).as("sig"))
+        .select(col("doc_id"), TextOps.simhashSigPacked(SimBits).as("sig"))
     }
 
   val queries: Map[String, Q] = Map(
@@ -278,9 +279,18 @@ object DedupQueries {
   private val simhashDigitCols = (1 to (SimBits + 3) / 4)
     .map(dd => s"instr('0123456789abcdef', substr(h, $dd, 1)) - 1 AS d$dd")
     .mkString(", ")
+  // mirrors TextOps.simhashPackedAggs/simhashSigPacked: one packed
+  // sum per hex digit (4 bit-counts in 16-bit lanes), sign test
+  // 2*lane > ntok per bit
+  private val simhashPackCols = ((1 to (SimBits + 3) / 4).map { dd =>
+    val terms = (0 until 4)
+      .map(b => s"((d$dd >> $b) & 1) * ${1L << (16 * b)}").mkString(" + ")
+    s"CAST(SUM($terms) AS BIGINT) AS p$dd"
+  } :+ "COUNT(*) AS ntok").mkString(", ")
   private val simhashBits = (1 to SimBits).map { i =>
-    s"""CASE WHEN SUM(((d${(i - 1) / 4 + 1} >> ${(i - 1) % 4}) & 1) * 2 - 1) > 0
-        THEN '1' ELSE '0' END"""
+    val dd = (i - 1) / 4 + 1
+    val b = (i - 1) % 4
+    s"CASE WHEN ((p$dd >> ${16 * b}) & 65535) * 2 > ntok THEN '1' ELSE '0' END"
   }.mkString(" || ")
 
   val oracle: Map[String, String] = Map(
@@ -302,7 +312,8 @@ object DedupQueries {
     "dedup_simhash" ->
       s"""WITH tk AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents),
           tok AS (SELECT doc_id, $simhashDigitCols FROM tk),
-          sig AS (SELECT doc_id, $simhashBits AS sig FROM tok GROUP BY doc_id)
+          pk AS (SELECT doc_id, $simhashPackCols FROM tok GROUP BY doc_id),
+          sig AS (SELECT doc_id, $simhashBits AS sig FROM pk)
           SELECT sig, MIN(doc_id) AS rep, COUNT(*) AS n,
                  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
           FROM sig GROUP BY sig HAVING COUNT(*) > 1""",
@@ -315,7 +326,8 @@ object DedupQueries {
         .mkString(" + ")
       s"""WITH tk AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents),
           tok AS (SELECT doc_id, $simhashDigitCols FROM tk),
-          sig AS (SELECT doc_id, $simhashBits AS sig FROM tok GROUP BY doc_id),
+          pk AS (SELECT doc_id, $simhashPackCols FROM tok GROUP BY doc_id),
+          sig AS (SELECT doc_id, $simhashBits AS sig FROM pk),
           blocks AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                    FROM blocks a JOIN blocks b

@@ -118,4 +118,31 @@ object TextOps {
   def simhashSig(bits: Int): Column =
     concat((1 to bits).map(i => when(col(s"s$i") > 0, "1").otherwise("0"))
       .map(c => c.cast("string")): _*)
+
+  /** Lane-packed simhash: ONE sum agg per hex digit instead of one
+    * per bit — each digit's 4 bit-counts ride in disjoint 16-bit
+    * lanes of a single int64 (bit b of digit d contributes
+    * 2^(16b) per set occurrence; lanes can't carry into each other
+    * while a document has < 2^15 tokens, far above any real page).
+    * The per-bit ±1 sum is recovered as 2·lane − n, so the sign test
+    * `2·lane > n` reproduces simhashBitAggs' `sum > 0` EXACTLY,
+    * ties included — 64 aggs become 16 + a count.
+    */
+  def simhashPackedAggs(bits: Int): Seq[Column] = {
+    val digits = (bits + 3) / 4
+    (1 to digits).map { dd =>
+      val dv = col(s"d$dd").cast("long")
+      val packed = (0 until 4).map(b =>
+        shiftright(dv, b).bitwiseAND(1L) * lit(1L << (16 * b))).reduce(_ + _)
+      sum(packed).as(s"p$dd")
+    } :+ count(lit(1)).as("ntok")
+  }
+
+  def simhashSigPacked(bits: Int): Column =
+    concat((1 to bits).map { i =>
+      val dd = (i - 1) / 4 + 1
+      val b = (i - 1) % 4
+      when(shiftright(col(s"p$dd"), 16 * b).bitwiseAND(65535L) * 2 > col("ntok"),
+        "1").otherwise("0")
+    }: _*)
 }
