@@ -117,7 +117,7 @@ private[kvlog] class GraftKVTable(tableSchema: StructType, dir: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftKVScanBuilder(tableSchema, dir)
@@ -289,6 +289,37 @@ private[kvlog] class GraftKVWrite(schema: StructType, dir: String,
 
   override def toBatch: BatchWrite =
     new GraftKVBatchWrite(schema.toDDL, dir, bucketSize, truncate)
+
+  /** Streaming sink: each micro-batch appends epoch-stamped part
+    * files — the streaming form of the reference's export-then-index
+    * sentinel handoff (a tailer sees whole files only after epoch
+    * commit). Epoch-unique names make replayed epochs overwrite their
+    * own files, keeping the at-least-once file set idempotent.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftKVStreamingWrite(schema.toDDL, dir, bucketSize)
+}
+
+private[kvlog] class GraftKVStreamingWrite(schemaDDL: String, dir: String,
+                                           bucketSize: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftKVStreamingWriterFactory(schemaDDL, dir, bucketSize)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (f, p) = GraftKVUtil.fs(dir)
+    if (!f.exists(p)) f.mkdirs(p)
+    f.create(new Path(p, "_SUCCESS"), true).close()
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (f, _) = GraftKVUtil.fs(dir)
+    messages.filter(_ != null).foreach {
+      case GraftKVCommit(file) if file.nonEmpty => f.delete(new Path(file), false)
+      case _ => ()
+    }
+  }
 }
 
 private[kvlog] case class GraftKVCommit(file: String) extends WriterCommitMessage
@@ -320,6 +351,16 @@ private[kvlog] class GraftKVBatchWrite(schemaDDL: String, dir: String,
       case _ => ()
     }
   }
+}
+
+private[kvlog] case class GraftKVStreamingWriterFactory(schemaDDL: String,
+                                                        dir: String,
+                                                        bucketSize: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftKVDataWriter(StructType.fromDDL(schemaDDL), dir, bucketSize,
+      f"part-$partitionId%05d-epoch$epochId.gkv")
 }
 
 private[kvlog] class GraftKVWriterFactory(schemaDDL: String, dir: String,
@@ -380,8 +421,11 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
     }
     require(!row.isNullAt(0), "graftkv key column must be non-null")
     val key = row.getUTF8String(0).toString
-    if (minKey == null) minKey = key
-    maxKey = key
+    // tracked by comparison, not first/last: batch writes arrive
+    // key-sorted (RequiresDistributionAndOrdering), but the footer
+    // index must stay correct for any producer order
+    if (minKey == null || key < minKey) minKey = key
+    if (maxKey == null || key > maxKey) maxKey = key
     writeRecord(gz, schema, { i =>
       if (row.isNullAt(i)) null
       else schema(i).dataType match {

@@ -108,6 +108,34 @@ class GraftKVSpec extends SparkSpec {
     assert(back.filter(col("n").isNull).select("key").head.getString(0) === "b")
   }
 
+  test("streaming sink drains a file stream into epoch-stamped kv parts") {
+    val dir = tmp()
+    val ckpt = tmp()
+    val ev = graft.streaming.EventsStream.readStream(spark, sf)
+      .select(
+        format_string("%s:%08d", col("event_type"), col("event_id")).as("key"),
+        col("user_id").as("user_id"),
+        col("value").as("value"))
+    val q = ev.writeStream.format("graftkv")
+      .option("path", dir).option("bucketsize", 256)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.format("graftkv").load(dir)
+    val expected = Tables.events(spark, sf).count()
+    assert(back.count() === expected)
+    assert(back.schema.fieldNames.toSeq === Seq("key", "user_id", "value"))
+    // footer min/max stay honest for arbitrary (unsorted) stream order
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gkv"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val footer = graft.sources.kvlog.GraftKVUtilAccess.footerOf(f.getPath)
+      footer.buckets.foreach(b => assert(b.minKey <= b.maxKey))
+    }
+  }
+
   test("rejects schemas without a string key or with unsupported types") {
     import spark.implicits._
     val dir = tmp()
