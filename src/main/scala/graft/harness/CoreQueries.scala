@@ -138,6 +138,19 @@ object CoreQueries {
         round(sqrt(col("o_totalprice")), 6).as("sqrtp"),
         floor(col("o_totalprice") / 100).as("bucket"))),
 
+    // F7b: bit arithmetic — mask/shift scalars + the bit_and/or/xor
+    // aggregate family (flag-set folding, the reference ORs match
+    // status bitmasks across fragments).
+    "fn_bitops" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("rf"),
+          col("l_orderkey").bitwiseAND(1023).as("m"))
+        .groupBy(col("rf"))
+        .agg(bit_and(col("m")).as("band"),
+          bit_or(col("m")).as("bor"),
+          bit_xor(col("m")).as("bxor"),
+          sum(shiftleft(col("m"), 2) - shiftright(col("m"), 1)).as("shifted"))),
+
     // F8: array expansion for positional coverage
     // (coverage |= set(range(start,end)), interpro/oracle/matches.py:186-191).
     "fn_array" -> ((s, d) =>
@@ -279,6 +292,14 @@ object CoreQueries {
                 round(sqrt(o_totalprice), 6) AS sqrtp,
                 CAST(floor(o_totalprice / 100) AS BIGINT) AS bucket
          FROM orders""",
+    "fn_bitops" ->
+      """SELECT l_returnflag AS rf,
+                bit_and(l_orderkey & 1023) AS band,
+                bit_or(l_orderkey & 1023) AS bor,
+                bit_xor(l_orderkey & 1023) AS bxor,
+                CAST(SUM(((l_orderkey & 1023) << 2) - ((l_orderkey & 1023) >> 1))
+                     AS BIGINT) AS shifted
+         FROM lineitem GROUP BY 1""",
     "fn_array" ->
       """SELECT l_orderkey, COUNT(DISTINCT pos) AS coverage
          FROM (SELECT l_orderkey,

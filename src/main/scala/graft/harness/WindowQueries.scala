@@ -77,6 +77,21 @@ object WindowQueries {
         .select(col("user_id"), col("event_id"), col("gap_us"))
     }),
 
+    // Ranking-family windows beyond row_number: quartiles (ntile),
+    // relative rank and cumulative distribution per priority class —
+    // the percentile surface of §2.5. Total order (price, key) keeps
+    // ties deterministic for the hash gate.
+    "window_ntile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderpriority").as("prio"), col("o_orderkey").as("okey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    }),
+
     // ROLLUP grouping sets: subtotal lattice over (returnflag,
     // linestatus) — OLAP surface beyond the reference's hand-rolled
     // per-level aggregations.
@@ -137,6 +152,14 @@ object WindowQueries {
                 epoch_us(ts) - lag(epoch_us(ts), 1)
                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
          FROM events""",
+    "window_ntile" ->
+      """SELECT o_orderpriority AS prio, o_orderkey AS okey,
+                ntile(4) OVER w AS quartile,
+                round(percent_rank() OVER w, 6) AS prank,
+                round(cume_dist() OVER w, 6) AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)""",
     "agg_grouping_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
                 COALESCE(l_linestatus, 'ALL') AS ls,

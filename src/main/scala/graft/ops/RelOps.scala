@@ -128,4 +128,27 @@ object RelOps {
                     nodeCol: String = "node_id"): DataFrame =
     df.select(explode(lineage).as(nodeCol), col("*"))
       .groupBy(col(nodeCol)).agg(aggs.head, aggs.tail: _*)
+
+  /** Skew-safe equi-join for a HOT-KEY fact side: the fact salts its
+    * key into `salt` sub-keys (deterministic spread via pmod(hash)),
+    * the dimension replicates each row `salt` times, and the join runs
+    * on (key, salt) — a hot key's rows land on `salt` different
+    * reducers instead of one straggler. This is the static form of
+    * what AQE's skew-join split does at runtime; use it when the skew
+    * is KNOWN (taxonomy roots, boilerplate fingerprints) or when the
+    * join feeds a cached/reused frame AQE won't re-plan. Result is
+    * row-identical to `fact.join(dim, keys)` — the spec proves it.
+    * Cost: dim inflates by `salt`; keep salt ~8-32 and the dim small
+    * (it usually broadcasts anyway at that size — then salting is
+    * unnecessary; this targets dims too big to broadcast).
+    */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     salt: Int): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val salted = fact.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

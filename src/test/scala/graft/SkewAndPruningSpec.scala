@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.RelOps
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Scale-posture mechanics, proved on small data: the static salted
+  * join produces row-identical results to the plain join while
+  * spreading a hot key over `salt` reducers, and Hive-style partition
+  * layout prunes directories at planning time (the layout every 100 TB
+  * fact table relies on).
+  */
+class SkewAndPruningSpec extends SparkSpec {
+
+  test("saltedEquiJoin is row-identical to the plain join on skewed data") {
+    import spark.implicits._
+    // 90% of fact rows share one hot key
+    val fact = spark.range(0, 20000).select(
+      when(col("id") % 10 === 0, col("id") % 50).otherwise(lit(7L)).as("k"),
+      col("id").as("payload"))
+    val dim = spark.range(0, 50).select(
+      col("id").as("k"), concat(lit("dim-"), col("id")).as("dname"))
+    val plain = fact.join(dim, Seq("k"))
+    val salted = RelOps.saltedEquiJoin(fact, dim, "k", salt = 8)
+    assert(salted.count() === plain.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    // the hot key's rows really spread: with 8 salts the hot key
+    // occupies up to 8 distinct (k, salt) join groups
+    val spread = fact.withColumn("__salt",
+        pmod(hash(col("k"), monotonically_increasing_id()), lit(8)))
+      .filter(col("k") === 7).select(countDistinct(col("__salt"))).head.getLong(0)
+    assert(spread > 1, s"hot key stayed on $spread salt(s)")
+  }
+
+  test("hive-layout partition filters prune directories at plan time") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.orders(spark, sf)
+      .withColumn("prio", regexp_replace(col("o_orderpriority"), "[^0-9]", ""))
+      .write.mode("overwrite").partitionBy("prio").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val one = all.filter(col("prio") === "1")
+    val planned = one.queryExecution.executedPlan.toString()
+    assert(planned.contains("PartitionFilters"), planned)
+    // the scan's selected partition count proves directory pruning
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    assert(scan.get.selectedPartitions.partitionCount === 1,
+      s"expected 1 partition dir, got ${scan.get.selectedPartitions.partitionCount}")
+    // and the result matches the unpartitioned predicate
+    val expected = Tables.orders(spark, sf)
+      .filter(regexp_replace(col("o_orderpriority"), "[^0-9]", "") === "1").count()
+    assert(one.count() === expected)
+  }
+}
