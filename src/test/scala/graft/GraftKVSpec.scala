@@ -108,6 +108,37 @@ class GraftKVSpec extends SparkSpec {
     assert(back.filter(col("n").isNull).select("key").head.getString(0) === "b")
   }
 
+  test("COUNT(*) is answered from the footer index without decoding buckets") {
+    val dir = tmp()
+    seed.write.format("graftkv").option("bucketsize", 128).mode("append").save(dir)
+    graft.sources.kvlog.GraftKVCountScanAccess.reset()
+    val n = spark.read.format("graftkv").load(dir).count()
+    assert(n === 2000)
+    assert(graft.sources.kvlog.GraftKVCountScanAccess.planned > 0,
+      "footer-count scan never engaged")
+    // a filtered count must NOT use the footer shortcut (exactness)
+    graft.sources.kvlog.GraftKVCountScanAccess.reset()
+    val nf = spark.read.format("graftkv").load(dir)
+      .filter(col("key") >= "k01000").count()
+    assert(nf === 1000)
+    assert(graft.sources.kvlog.GraftKVCountScanAccess.planned === 0,
+      "footer count must not engage under predicates")
+  }
+
+  test("scan reports footer-exact statistics, range-pruned") {
+    val dir = tmp()
+    seed.write.format("graftkv").option("bucketsize", 100).mode("append").save(dir)
+    val full = spark.read.format("graftkv").load(dir)
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    assert(fullStats.rowCount.exists(_.toLong === 2000L))
+    val narrow = spark.read.format("graftkv").load(dir)
+      .filter(col("key") >= "k01900")
+    val narrowStats = narrow.queryExecution.optimizedPlan.stats
+    // the range-pruned estimate must be far below the full size
+    assert(narrowStats.sizeInBytes < fullStats.sizeInBytes / 2,
+      s"narrow=${narrowStats.sizeInBytes} full=${fullStats.sizeInBytes}")
+  }
+
   test("streaming sink drains a file stream into epoch-stamped kv parts") {
     val dir = tmp()
     val ckpt = tmp()
