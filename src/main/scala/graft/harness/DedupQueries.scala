@@ -29,6 +29,8 @@ object DedupQueries {
                               // collapse to 16 buckets → quadratic)
   private val SimBlocks = 4   // hamming-search bit blocks; exact for
   private val SimRadius = 3   //   radius <= SimBlocks - 1 (pigeonhole)
+  private val BlockCap = 1024 // max docs per edit-distance block
+  private val LevMax = 12     // max head edit distance for a near-dup
 
   /** Shared-frame cache. The shingle frame feeds three separate
     * harness queries (jaccard, minhash-LSH, components) and is
@@ -220,6 +222,30 @@ object DedupQueries {
       graft.ops.Graphs.connectedComponents(pairs, "da", "db")
     }),
 
+    // Edit-distance near-dup over document heads: first-token blocking
+    // (a typo'd copy almost always keeps the first word) with a
+    // hot-block cap — a block of > BlockCap docs is boilerplate, not
+    // duplication, and uncapped it goes quadratic at corpus scale —
+    // then exact levenshtein over the 32-char heads within each block.
+    // The DP distance itself is the irreducible kernel; everything
+    // around it is one keyed self-join.
+    "dedup_editdistance" -> ((s, d) => {
+      val h = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 32).as("head"),
+        try_element_at(TextOps.tokens(col("text")), lit(1)).as("t1"))
+      val blocked = h.join(
+        h.groupBy(col("t1")).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= BlockCap).select(col("t1")),
+        Seq("t1"))
+      blocked.select(col("t1"), col("doc_id").as("da"), col("head").as("ha"))
+        .join(blocked.select(col("t1").as("__t"), col("doc_id").as("db"),
+          col("head").as("hb")),
+          col("t1") === col("__t") && col("da") < col("db"))
+        .withColumn("lev", levenshtein(col("ha"), col("hb")).cast("long"))
+        .filter(col("lev") <= LevMax)
+        .select("da", "db", "ha", "hb", "lev")
+    }),
+
     // Embedding near-dup: label-blocked cosine pairs (blocking key =
     // label; at scale the key becomes an LSH bucket / coarse centroid).
     "dedup_embedding" -> ((s, d) =>
@@ -352,6 +378,16 @@ object DedupQueries {
             UNION
             SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
           SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a""",
+    "dedup_editdistance" ->
+      s"""WITH h0 AS (SELECT doc_id, substr(text, 1, 32) AS head,
+                             string_split(text, ' ')[1] AS t1
+                      FROM documents),
+          ok AS (SELECT t1 FROM h0 GROUP BY t1 HAVING COUNT(*) <= $BlockCap),
+          h AS (SELECT h0.* FROM h0 JOIN ok USING (t1))
+          SELECT a.doc_id AS da, b.doc_id AS db, a.head AS ha, b.head AS hb,
+                 CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
+          FROM h a JOIN h b ON a.t1 = b.t1 AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.head, b.head) <= $LevMax""",
     "dedup_embedding" ->
       """SELECT a.label, a.vec_id AS ida, b.vec_id AS idb,
                 round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -5,6 +5,7 @@ import graft.ops.RelOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Window / gaps-and-islands / top-k operators (SURVEY.md §2.5 W1-W4,
   * §2.6 O3). Every window ordering carries a unique tiebreak column so
@@ -92,12 +93,42 @@ object WindowQueries {
         round(cume_dist().over(w), 6).as("cdist"))
     }),
 
+    // Explicit window FRAMES: a ROWS-frame running total and a
+    // RANGE-frame peer-inclusive total over the same order — the two
+    // differ exactly on tied order keys, which is what the frame
+    // surface is about. Exact decimal keeps the running sums
+    // deterministic under any partition order.
+    "window_running_sum" -> ((s, d) => {
+      val wRows = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wRange = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.orders(s, d).select(
+        col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wRows)
+          .cast("double").as("run_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wRange)
+          .cast("double").as("run_range"))
+    }),
+
     // ROLLUP grouping sets: subtotal lattice over (returnflag,
     // linestatus) — OLAP surface beyond the reference's hand-rolled
     // per-level aggregations.
     "agg_grouping_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))),
+
+    // CUBE grouping sets: the full subtotal lattice (both one-dim
+    // margins, unlike ROLLUP's prefix lattice).
+    "agg_grouping_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -165,6 +196,22 @@ object WindowQueries {
                 COALESCE(l_linestatus, 'ALL') AS ls,
                 COUNT(*) AS n, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "agg_grouping_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "window_running_sum" ->
+      """SELECT o_custkey AS ck, o_orderkey AS ok,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS run_rows,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS run_range
+         FROM orders""",
     "window_topk_custom" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, rk
          FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
