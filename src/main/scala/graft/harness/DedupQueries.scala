@@ -237,12 +237,22 @@ object DedupQueries {
         h.groupBy(col("t1")).agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") <= BlockCap).select(col("t1")),
         Seq("t1"))
+      val parts = scala.util.Try(s.conf
+        .get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
       blocked.select(col("t1"), col("doc_id").as("da"), col("head").as("ha"))
+        // spread the probe side with an EXPLICIT partition count: the
+        // corpus arrives as one small parquet split (so a broadcast
+        // join would run every levenshtein in one task), and a
+        // bare expression-repartition of a few thousand tiny rows gets
+        // AQE-coalesced right back to one partition
+        .repartition(parts, col("t1"), col("da"))
         .join(blocked.select(col("t1").as("__t"), col("doc_id").as("db"),
           col("head").as("hb")),
           col("t1") === col("__t") && col("da") < col("db"))
-        .withColumn("lev", levenshtein(col("ha"), col("hb")).cast("long"))
-        .filter(col("lev") <= LevMax)
+        // banded threshold DP (returns -1 past the bound): O(len·k)
+        // instead of O(len²) per pair, exact for every surviving pair
+        .withColumn("lev", levenshtein(col("ha"), col("hb"), LevMax).cast("long"))
+        .filter(col("lev") >= 0)
         .select("da", "db", "ha", "hb", "lev")
     }),
 
