@@ -58,6 +58,42 @@ object TextQueries {
         pred.as("pred_lang"), (pred === col("lang")).as("is_match"))
     }),
 
+    // N-gram language id, trained IN-ENGINE: per-language character
+    // trigram profiles (top-20 by document frequency) learned from the
+    // labeled corpus in one pass, then every document scored by
+    // profile overlap and argmax'd — the self-contained form of the
+    // fastText-style n-gram classifier, all keyed aggregation. Profile
+    // size bounds the join's build side (langs x 20 rows) so the score
+    // join broadcasts at any corpus scale.
+    "text_langid_ngram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val dt = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3))))).as("tri"))
+      val prof = dt.groupBy(col("lang").as("plang"), col("tri"))
+        .agg(count(lit(1)).as("df"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("plang")).orderBy(col("df").desc, col("tri"))))
+        .filter(col("rk") <= 20)
+        .select(col("plang"), col("tri"))
+      val best = dt.select(col("doc_id"), col("tri"))
+        .join(prof, Seq("tri"))
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(count(lit(1)).as("overlap"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("overlap").desc, col("plang"))))
+        .filter(col("rn") === 1)
+      docs.select(col("doc_id"), col("lang"))
+        .join(best.select(col("doc_id"), col("plang"), col("overlap")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("plang"), lit("und")).as("pred_lang"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"))
+    }),
+
     // Document fingerprint: md5 over the sorted distinct token set.
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -167,6 +203,31 @@ object TextQueries {
                  (CASE WHEN re >= rs AND re >= rf THEN 'en'
                        WHEN rs >= rf THEN 'es' ELSE 'fr' END) = lang AS is_match
           FROM sc""",
+    "text_langid_ngram" ->
+      """WITH dt AS (
+           SELECT doc_id, lang,
+                  unnest(list_distinct([substr(text, i, 3)
+                                        FOR i IN range(1, len(text) - 1)])) AS tri
+           FROM documents),
+         prof AS (
+           SELECT plang, tri FROM (
+             SELECT lang AS plang, tri, COUNT(*) AS df,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY COUNT(*) DESC, tri) AS rk
+             FROM dt GROUP BY lang, tri)
+           WHERE rk <= 20),
+         sc AS (
+           SELECT dt.doc_id, prof.plang, COUNT(*) AS overlap
+           FROM dt JOIN prof USING (tri) GROUP BY 1, 2),
+         best AS (
+           SELECT doc_id, plang, overlap FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY overlap DESC, plang) AS rn FROM sc)
+           WHERE rn = 1)
+         SELECT d.doc_id, d.lang,
+                COALESCE(best.plang, 'und') AS pred_lang,
+                COALESCE(best.overlap, 0) AS overlap
+         FROM documents d LEFT JOIN best USING (doc_id)""",
     "text_fingerprint" ->
       s"""SELECT doc_id,
                  md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp
