@@ -360,6 +360,17 @@ private[kvlog] class GraftKVWrite(schema: StructType, dir: String,
                                   bucketSize: Int, truncate: Boolean)
     extends Write with RequiresDistributionAndOrdering {
   checkSchema(schema)
+  // appending a different row layout would corrupt the directory for
+  // every reader (each file carries its own footer schema, but the
+  // table contract is one schema per directory) — fail at plan time,
+  // not at first read
+  if (!truncate) {
+    GraftKVUtil.readAnyFooter(dir).foreach { existing =>
+      require(existing.schema == schema,
+        s"graftkv append schema mismatch at $dir: existing " +
+          s"${existing.schema.toDDL} vs incoming ${schema.toDDL}")
+    }
+  }
   private val key = schema.head.name
 
   // Catalyst plans the shuffle + sort the reference hand-rolls: rows

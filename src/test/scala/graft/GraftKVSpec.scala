@@ -167,6 +167,20 @@ class GraftKVSpec extends SparkSpec {
     }
   }
 
+  test("append with a different schema fails at plan time; overwrite allows it") {
+    import spark.implicits._
+    val dir = tmp()
+    seed.write.format("graftkv").mode("append").save(dir)
+    val other = Seq(("a", 1.5)).toDF("key", "score2")
+    val e = intercept[Exception] {
+      other.write.format("graftkv").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("schema mismatch")
+      || Option(e.getCause).exists(_.getMessage.contains("schema mismatch")))
+    other.write.format("graftkv").mode("overwrite").save(dir)
+    assert(spark.read.format("graftkv").load(dir).count() === 1)
+  }
+
   test("rejects schemas without a string key or with unsupported types") {
     import spark.implicits._
     val dir = tmp()
