@@ -62,6 +62,11 @@ class GraftKVSource extends TableProvider with DataSourceRegister {
     new GraftKVTable(schema, properties.get("path"))
 }
 
+/** Test access to the runtime-filter engagement counter. */
+object GraftKVScanRuntime {
+  val engaged = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Test access to the footer-count engagement counter. */
 object GraftKVCountScanAccess {
   def reset(): Unit = GraftKVCountScan.planned.set(0)
@@ -235,11 +240,37 @@ private[kvlog] object GraftKVCountScan {
 
 private[kvlog] class GraftKVScan(full: StructType, required: StructType,
                                  range: KeyRange, dir: String)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graftkv $dir range=$range columns=${required.fieldNames.mkString(",")}"
+
+  // Runtime filtering (the DSv2 analog of dynamic partition pruning):
+  // when this scan sits under a join whose other side is small, Spark
+  // hands the materialized join-key set here at EXECUTION time; the
+  // [min, max] envelope of that set tightens the key range used for
+  // bucket selection. Best-effort by contract — the join re-checks
+  // every row — so collapsing the IN-set to its envelope is safe.
+  @volatile private var runtimeRange: KeyRange = FullRange
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(full.head.name))
+  override def filter(filters: Array[Filter]): Unit = {
+    val keyName = full.head.name
+    filters.foreach {
+      case In(`keyName`, values) if values.nonEmpty =>
+        val strs = values.collect { case s: String => s }
+        if (strs.length == values.length) {
+          runtimeRange = KeyRange(Some(strs.min), Some(strs.max))
+          GraftKVScanRuntime.engaged.incrementAndGet()
+        }
+      case _ => ()
+    }
+  }
+  private def effectiveRange: KeyRange = KeyRange(
+    Seq(range.lower, runtimeRange.lower).flatten.maxOption,
+    Seq(range.upper, runtimeRange.upper).flatten.minOption)
 
   /** Footer-exact stats over the buckets this scan will actually read
     * — post-key-range, so a narrow range reports a small size and CBO
@@ -259,18 +290,20 @@ private[kvlog] class GraftKVScan(full: StructType, required: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val r = effectiveRange
     GraftKVUtil.partFiles(dir)
-      .map(p => GraftKVInputPartition(p.toString, range.lower, range.upper))
+      .map(p => GraftKVInputPartition(p.toString, r.lower, r.upper))
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftKVReaderFactory(full.toDDL, required.fieldNames)
 }
 
-private[kvlog] case class GraftKVInputPartition(file: String,
-                                                lower: Option[String],
-                                                upper: Option[String])
+case class GraftKVInputPartition(file: String,
+                                 lower: Option[String],
+                                 upper: Option[String])
     extends InputPartition
 
 private[kvlog] class GraftKVReaderFactory(fullDDL: String,
