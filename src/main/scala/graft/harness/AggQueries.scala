@@ -1,7 +1,7 @@
 package graft.harness
 
 import graft.Tables
-import graft.ops.RelOps
+import graft.ops.{RelOps, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -283,6 +283,34 @@ object AggQueries {
       Tables.orders(s, d).groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))),
 
+    // KMV (k-minimum-values) distinct-count sketch, fully
+    // deterministic so BOTH engines produce identical estimates: keep
+    // each group's k smallest 52-bit md5 hashes (via the custom top-k
+    // -per-group operator — per-partition bounded heaps, ONE shuffle,
+    // never the full distinct set), then estimate
+    // |D| ≈ (k-1) · 2^52 / h_k. Groups holding fewer than k distinct
+    // values are exact by construction. The portable form of the
+    // approx-distinct sketch family (HLL itself hashes
+    // engine-privately and can never cross-check).
+    "agg_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      val hashed = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("g"),
+          TextOps.minhashX(col("l_partkey").cast("string")).as("h"))
+        .distinct()
+      val kmin = RelOps.topKPerGroup(hashed,
+        Seq(col("g")), Seq(col("h").asc), k)
+      val exact = Tables.lineitem(s, d).groupBy(col("l_returnflag").as("g"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      kmin.groupBy(col("g"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("ku"))
+        .select(col("g"), col("ku"),
+          when(col("ku") < k, col("ku").cast("double"))
+            .otherwise(round((col("ku") - 1) * lit(4.503599627370496e15) / col("hk"), 2))
+            .as("est_distinct"))
+        .join(exact, Seq("g"))
+    }),
+
     // A15: similarity coefficients over co-occurrence pair counts
     // (Jaccard + containment, interpro/xrefs/entries.py:103-134).
     // Dedupe + group happen in ONE shuffle (collect_set), and the
@@ -469,6 +497,25 @@ object AggQueries {
          FROM lineitem""",
     "agg_histogram" ->
       "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+    "agg_kmv_distinct" ->
+      """WITH hashed AS (
+           SELECT DISTINCT l_returnflag AS g,
+                  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS h
+           FROM lineitem),
+         kmin AS (
+           SELECT g, h FROM (
+             SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+             FROM hashed)
+           WHERE rn <= 64),
+         e AS (SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS n_exact
+               FROM lineitem GROUP BY 1),
+         s AS (SELECT g, COUNT(*) AS ku, MAX(h) AS hk FROM kmin GROUP BY g)
+         SELECT s.g, s.ku,
+                CASE WHEN s.ku < 64 THEN CAST(s.ku AS DOUBLE)
+                     ELSE round(((s.ku - 1) * 4503599627370496.0) / s.hk, 2)
+                END AS est_distinct,
+                e.n_exact
+         FROM s JOIN e USING (g)""",
     "agg_release_diff" ->
       """WITH cur AS (SELECT p_partkey AS acc, p_brand AS db, p_size > 25 AS integ FROM part),
          prev AS (SELECT p_partkey AS acc, p_brand AS db, p_size > 30 AS integ FROM part
