@@ -293,7 +293,7 @@ object AggQueries {
     // approx-distinct sketch family (HLL itself hashes
     // engine-privately and can never cross-check).
     "agg_kmv_distinct" -> ((s, d) => {
-      val k = 64
+      val k = 256
       val hashed = Tables.lineitem(s, d).select(
           col("l_returnflag").as("g"),
           TextOps.minhashX(col("l_partkey").cast("string")).as("h"))
@@ -506,12 +506,12 @@ object AggQueries {
            SELECT g, h FROM (
              SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
              FROM hashed)
-           WHERE rn <= 64),
+           WHERE rn <= 256),
          e AS (SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS n_exact
                FROM lineitem GROUP BY 1),
          s AS (SELECT g, COUNT(*) AS ku, MAX(h) AS hk FROM kmin GROUP BY g)
          SELECT s.g, s.ku,
-                CASE WHEN s.ku < 64 THEN CAST(s.ku AS DOUBLE)
+                CASE WHEN s.ku < 256 THEN CAST(s.ku AS DOUBLE)
                      ELSE round(((s.ku - 1) * 4503599627370496.0) / s.hk, 2)
                 END AS est_distinct,
                 e.n_exact
