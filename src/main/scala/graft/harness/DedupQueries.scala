@@ -200,10 +200,9 @@ object DedupQueries {
         .join(blocks.select(col("doc_id").as("db"), col("bk").as("__bk2")),
           col("bk") === col("__bk2") && col("da") < col("db"))
         .select("da", "db").distinct()
-      val dist = (1 to SimBits).map(i =>
-          when(substring(col("siga"), i, 1) === substring(col("sigb"), i, 1),
-            0L).otherwise(1L))
-        .reduce(_ + _)
+      // native codegen'd byte loop (graft.functions.HammingBits): one
+      // expression instead of 64 Substring+If trees per candidate pair
+      val dist = call_function("hamming_bits", col("siga"), col("sigb"))
       cand
         .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))
         .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), Seq("db"))

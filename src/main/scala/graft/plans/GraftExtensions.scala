@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayDot, GzipCodec}
+import graft.functions.{ArrayDot, GzipCodec, HammingBits}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session extensions for the engine's custom Catalyst surface —
@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ArrayDot.descriptor)
     ext.injectFunction(GzipCodec.compressDescriptor)
     ext.injectFunction(GzipCodec.decompressDescriptor)
+    ext.injectFunction(HammingBits.descriptor)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }

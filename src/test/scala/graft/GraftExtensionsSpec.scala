@@ -25,6 +25,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r(0).getString(0) === "squeeze me")
   }
 
+  test("hamming_bits matches the summed-CASE formulation") {
+    val cases = Seq(
+      ("0000", "0000", 0L), ("0101", "1010", 4L), ("0110", "0100", 1L),
+      ("", "", 0L), ("01", "0111", 2L), ("abc", "abd", 1L))
+    cases.foreach { case (a, b, want) =>
+      val r = spark.sql(s"SELECT hamming_bits('$a', '$b') AS d").head.getLong(0)
+      assert(r === want, s"hamming('$a','$b')")
+    }
+    // null propagation
+    assert(spark.sql("SELECT hamming_bits(CAST(NULL AS STRING), '01') AS d")
+      .head.isNullAt(0))
+    // codegen path over a real column pair
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(
+      format_string("%08d", col("id")).as("a"),
+      format_string("%08d", col("id") + 1).as("b"))
+      .select(call_function("hamming_bits", col("a"), col("b")).as("d"))
+    assert(df.agg(min("d")).head.getLong(0) >= 1L)
+  }
+
   test("array_dot survives explain/codegen paths") {
     val df = Tables.embeddings(spark, sf)
       .select(call_function("array_dot",
