@@ -283,6 +283,22 @@ object AggQueries {
       Tables.orders(s, d).groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))),
 
+    // §2.10 typed-Aggregator surface: the reference's copy_dict
+    // recursive monoid merge (utils.py:4-18) as a case-class-buffer
+    // Aggregator over a typed Dataset — counts add, decimal totals
+    // add exactly, member sets union; Spark runs the same merge
+    // map-side as partial aggregation. Rendered as deterministic JSON.
+    "agg_typed_monoid" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          dec2(col("c_acctbal")))
+        .as[graft.kernels.TypedAggs.In]
+        .groupByKey(_._1)
+        .agg(graft.kernels.TypedAggs.custDict.toColumn.name("doc"))
+        .toDF("c_nationkey", "doc")
+    }),
+
     // KMV (k-minimum-values) distinct-count sketch, fully
     // deterministic so BOTH engines produce identical estimates: keep
     // each group's k smallest 52-bit md5 hashes (via the custom top-k
@@ -497,6 +513,17 @@ object AggQueries {
          FROM lineitem""",
     "agg_histogram" ->
       "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+    "agg_typed_monoid" ->
+      """SELECT c_nationkey,
+                '{"n":' || COUNT(*) ||
+                ',"total":"' ||
+                CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                     AS VARCHAR) ||
+                '","segments":["' ||
+                array_to_string(list_sort(list_distinct(list(c_mktsegment))),
+                                '","') ||
+                '"]}' AS doc
+         FROM customer GROUP BY c_nationkey""",
     "agg_kmv_distinct" ->
       """WITH hashed AS (
            SELECT DISTINCT l_returnflag AS g,
