@@ -492,9 +492,13 @@ private[kvlog] case class GraftKVStreamingWriterFactory(schemaDDL: String,
 private[kvlog] class GraftKVWriterFactory(schemaDDL: String, dir: String,
                                           bucketSize: Int, jobId: String)
     extends DataWriterFactory {
+  // taskId in the name: a speculative or retried attempt writes its
+  // OWN file (never racing the other attempt on one path); the losing
+  // attempt's task-level abort() deletes its file, and truncate-commit
+  // keeps only files named in the committed messages
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftKVDataWriter(StructType.fromDDL(schemaDDL), dir, bucketSize,
-      f"part-$partitionId%05d-$jobId.gkv")
+      f"part-$partitionId%05d-$taskId-$jobId.gkv")
 }
 
 /** Streams key-sorted rows into gzip buckets of `bucketSize` records;
