@@ -92,16 +92,29 @@ object TaxaTree {
       // upstream once instead of twice
       .localCheckpoint()
 
-    // one row per (hit, rank level), then counts per (entry, node)
+    // Node identity is the FULL PATH of uids, not the uid alone: when
+    // a descendant overrides a higher rank slot (real taxonomies have
+    // out-of-order ranks), the same taxon id legitimately appears at
+    // two different paths in one tree — the reference's nested dicts
+    // key children per parent, and an id-keyed join would attach a
+    // subtree to every same-id node (caught by the differential
+    // fixture, case "order below genus").
+    val withPaths = (0 until n).foldLeft(withUids) { case (df, i) =>
+      val prev = if (i == 0) lit("1") else col(s"path_${i - 1}")
+      df.withColumn(s"path_$i", concat(prev, lit("|"), col(s"uid_$i")))
+    }
+
+    // one row per (hit, rank level), then counts per (entry, path)
     val levelStructs = (0 until n).map { i =>
-      val parent = if (i == 0) col("uid_root") else col(s"uid_${i - 1}")
-      struct(lit(i).as("lvl"), col(s"uid_$i").as("uid"), parent.as("puid"),
+      val parent = if (i == 0) lit("1") else col(s"path_${i - 1}")
+      struct(lit(i).as("lvl"), col(s"uid_$i").as("uid"),
+        col(s"path_$i").as("pid"), parent.as("ppid"),
         lit(ranks(i)).as("rank"), col(s"name_$i").as("name"))
     }
-    val levels = withUids.select(col("entry"), col("n"), col("is_sp"),
+    val levels = withPaths.select(col("entry"), col("n"), col("is_sp"),
       explode(array(levelStructs: _*)).as("l"))
     val grouped = levels.select(col("entry"), col("l.*"), col("n"), col("is_sp"))
-      .groupBy(col("entry"), col("lvl"), col("uid"), col("puid"),
+      .groupBy(col("entry"), col("lvl"), col("uid"), col("pid"), col("ppid"),
         col("rank"), col("name"))
       .agg(sum(col("n")).as("p"),
         sum(when(col("is_sp"), 1L).otherwise(0L)).as("s"))
@@ -115,19 +128,19 @@ object TaxaTree {
 
     // bottom-up assembly: per level, attach the (sorted) children
     // JSON built one level below, emit this level's node JSON, regroup
-    // by parent — one join+agg per rank
-    var childAgg: DataFrame = null // (__entry, __puid, __ch)
+    // by parent PATH — one join+agg per rank
+    var childAgg: DataFrame = null // (__entry, __ppid, __ch)
     for (i <- (0 until n).reverse) {
       val lvl = grouped.filter(col("lvl") === i)
       val withCh = if (childAgg == null) lvl.withColumn("__ch", lit(""))
       else lvl.join(childAgg,
-          lvl("entry") === childAgg("__entry") && lvl("uid") === childAgg("__puid"),
+          lvl("entry") === childAgg("__entry") && lvl("pid") === childAgg("__ppid"),
           "left_outer")
         .withColumn("__ch", coalesce(col("__ch"), lit("")))
-      val js = withCh.select(col("entry"), col("puid"), col("uid"),
+      val js = withCh.select(col("entry"), col("ppid"), col("uid"),
         nodeJson(col("uid"), col("rank"), col("name"), col("p"), col("s"),
           col("__ch")).as("js"))
-      childAgg = js.groupBy(col("entry").as("__entry"), col("puid").as("__puid"))
+      childAgg = js.groupBy(col("entry").as("__entry"), col("ppid").as("__ppid"))
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("uid"), col("js")))),
           x => x("js")), ",").as("__ch"))
@@ -137,7 +150,7 @@ object TaxaTree {
       .agg(sum(col("n")).as("p"),
         sum(when(col("is_sp"), 1L).otherwise(0L)).as("s"))
     totals.join(childAgg,
-        totals("entry") === childAgg("__entry") && childAgg("__puid") === "1",
+        totals("entry") === childAgg("__entry") && childAgg("__ppid") === "1",
         "left_outer")
       .select(col("entry"),
         nodeJson(lit("1"), lit(null).cast("string"), lit("root"),
