@@ -64,6 +64,25 @@ class IntervalsSpec extends AnyFunSuite {
     }
   }
 
+  test("differential: condenseLocations matches the reference on 120 generated cases") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val url = getClass.getResource("/condense_fixture.json")
+    val fixture = mapper.readTree(new java.io.File(url.toURI))
+    import scala.jdk.CollectionConverters._
+    var n = 0
+    fixture.get("cases").elements().asScala.foreach { c =>
+      val locations = c.get("locations").elements().asScala.toSeq.map { loc =>
+        loc.elements().asScala.toSeq.map(f =>
+          Fragment(f.get(0).asInt, f.get(1).asInt, "CONTINUOUS"))
+      }
+      val expected = c.get("expected").elements().asScala.toSeq
+        .map(p => (p.get(0).asInt, p.get(1).asInt))
+      assert(Intervals.condenseLocations(locations) === expected, s"case $n")
+      n += 1
+    }
+    assert(n === 120)
+  }
+
   test("property: condenseLocations outputs sorted spans covering every max end") {
     val rnd = new Random(7)
     for (_ <- 1 to 200) {
