@@ -1,0 +1,125 @@
+package graft.api
+
+import graft.intervals.Intervals
+import graft.kernels.{HmmLogo, MatchMerge, MatchPipeline}
+import graft.ops.SignatureHierarchy
+import graft.ops.{Graphs, RelOps, TaxaTree, TextOps, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+
+/** The library facade: one import for a user replacing the reference
+  * warehouse builder. Each method names the reference capability it
+  * stands in for and delegates to the tested operator underneath —
+  * the mapping the SURVEY.md §8 coverage table documents, as code.
+  *
+  * {{{
+  * import graft.api.Graft
+  * val merged  = Graft.mergeMatches(rawMatches)          // oracle/matches.py
+  * val trees   = Graft.taxonomyTrees(hits, taxaDim)      // xrefs/entries.py
+  * val comps   = Graft.connectedComponents(pairs, "a", "b")
+  * val ranked  = Graft.topKPerGroup(df, Seq($"k"), Seq($"score".desc), 10)
+  * }}}
+  *
+  * Session requirement: custom SQL functions (array_dot, gzip_*,
+  * hamming_bits) and the top-k physical operator resolve in sessions
+  * built with `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object Graft {
+
+  // ---- match processing kernels (reference interpro/oracle/matches.py)
+
+  /** K1-K3: merge per-protein matches — representative domain/family
+    * selection, location grouping, InterPro-entry synthesis with
+    * condensed locations. Differentially tested against the
+    * reference's merge_uniprot_matches (80-case fixture).
+    */
+  def mergeMatches(raw: Dataset[MatchMerge.RawMatch]): Dataset[MatchMerge.MergedMatch] =
+    MatchPipeline.mergeMatches(raw)
+
+  /** K3 standalone: condense location spans with the 10% overlap rule
+    * (condense_locations; 120-case differential).
+    */
+  def condenseLocations(locations: Seq[Seq[Intervals.Fragment]],
+                        minRatio: Double = 0.1): Seq[(Int, Int)] =
+    Intervals.condenseLocations(locations, minRatio)
+
+  /** PANTHER/FunFam subfamily hierarchy rewrite + validation
+    * (oracle/matches.py:359-364, oracle/entries.py:789-813).
+    */
+  def signatureHierarchy(sigs: DataFrame): DataFrame =
+    SignatureHierarchy.validate(sigs)
+
+  /** K6: HMMER3 model text → per-position logo columns, distributed. */
+  def hmmLogos(models: Dataset[(String, String)]): DataFrame =
+    HmmLogo.logoFrame(models)
+
+  // ---- taxonomy (reference interpro/oracle/taxa.py, xrefs/entries.py)
+
+  /** Root→self lineage arrays from (id, parent) rows — the
+    * parent-pointer closure every rollup explodes.
+    */
+  def lineageClosure(nodes: DataFrame, idCol: String, parentCol: String): DataFrame =
+    Graphs.lineageClosure(nodes, idCol, parentCol)
+
+  /** K5: per-entry 8-rank distribution trees with placeholder ids and
+    * species counts (24-taxonomy differential vs the reference).
+    */
+  def taxonomyTrees(hits: DataFrame, taxa: DataFrame): DataFrame =
+    TaxaTree.entryRankTrees(hits, taxa)
+
+  /** Counts propagated to every ancestor via an exploded lineage. */
+  def lineageRollup(df: DataFrame, lineage: Column, aggs: Seq[Column]): DataFrame =
+    RelOps.lineageRollup(df, lineage, aggs)
+
+  // ---- relational operators the reference hand-rolls
+
+  /** As-of join against a small sorted dimension (release freeze dates). */
+  def asofNext(left: DataFrame, leftTs: Column, right: DataFrame,
+               rightKey: Column, as: String): DataFrame =
+    RelOps.asofNext(left, leftTs, right, rightKey, as)
+
+  /** Keyed interval-overlap join. */
+  def intervalJoin(left: DataFrame, right: DataFrame, equi: Column,
+                   lStart: Column, lEnd: Column,
+                   rStart: Column, rEnd: Column): DataFrame =
+    RelOps.intervalJoin(left, right, equi, lStart, lEnd, rStart, rEnd)
+
+  /** Gaps-and-islands grouping (the condensation sweep as a window). */
+  def islands(df: DataFrame, group: Seq[Column], start: Column, end: Column,
+              tiebreak: Column, islandCol: String): DataFrame =
+    RelOps.islands(df, group, start, end, tiebreak, islandCol)
+
+  /** Bounded top-k per group through the custom physical operator. */
+  def topKPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                   k: Int): DataFrame =
+    RelOps.topKPerGroup(df, part, order, k)
+
+  /** Skew-safe equi-join: spread a hot fact key over `salt` reducers. */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     salt: Int): DataFrame =
+    RelOps.saltedEquiJoin(fact, dim, key, salt)
+
+  /** Near-dup endgame: connected components by min-label propagation. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame =
+    Graphs.connectedComponents(edges, src, dst)
+
+  // ---- training-data text/vector primitives (north-star ops)
+
+  /** Normalized bag-of-words fingerprint (exact-dedup key). */
+  def fingerprint(text: Column): Column = TextOps.fingerprint(text)
+
+  /** Word n-gram shingles over a token array. */
+  def shingles(tokens: Column, n: Int): Column = TextOps.shingles(tokens, n)
+
+  /** 52-bit portable hash (minhash input / shingle id). */
+  def hash52(c: Column): Column = TextOps.minhashX(c)
+
+  /** Brute-force cosine top-k (the ANN correctness baseline). */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+                 cId: String, qVec: String, cVec: String, k: Int): DataFrame =
+    VectorOps.bruteForceTopK(queries, corpus, qId, cId, qVec, cVec, k)
+
+  /** Blocked cosine near-dup pairs (label/bucket-blocked). */
+  def blockedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String): DataFrame =
+    VectorOps.blockedPairs(df, idCol, vecCol, blockCol)
+}
