@@ -82,6 +82,9 @@ object GraftKVUtilAccess {
 }
 
 private[kvlog] object GraftKVUtil {
+  // on executors (no active session) this falls back to the default
+  // Hadoop Configuration — core-site.xml on the executor classpath
+  // still resolves hdfs/s3a; only session-level overrides are absent
   def fs(dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     val conf = SparkSession.getActiveSession
