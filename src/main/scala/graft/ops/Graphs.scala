@@ -69,13 +69,13 @@ object Graphs {
     // verification join) can be far more expensive than the CC loop
     val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e0.count() // populate BEFORE the union: its two branches otherwise
-               // race the cache within one job and compute the (often
-               // expensive) upstream edge pipeline twice
+    val e0Count = e0.count() // populate BEFORE the union: its two
+               // branches otherwise race the cache within one job and
+               // compute the (often expensive) upstream edge pipeline
+               // twice
     val sym = e0
       .unionByName(e0.select(col("__b").as("__a"), col("__a").as("__b")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // size the loop's shuffles to the MATERIALIZED edge count (~2M
     // edges per partition): the fixpoint loop runs O(diameter)
     // two-shuffle iterations, and running each over the session-wide
@@ -87,18 +87,19 @@ object Graphs {
     // spark.sql.shuffle.partitions, which would leak the reduced
     // width into concurrent queries on a shared session
     val spark = edges.sparkSession
-    val symCount = sym.count()
+    // 2·|directed| bounds the symmetric edge count from above, which
+    // is all the partition sizing needs — sizing from the exact
+    // distinct count would cost one extra materializing action
     val sessionParts = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
     val loopParts = math.max(1L,
-      math.min(sessionParts.toLong, symCount / 2000000L + 1)).toInt
+      math.min(sessionParts.toLong, 2L * e0Count / 2000000L + 1)).toInt
     // pre-partition the edge frame once on the probe key: every
     // iteration's sym⋈labels then needs no exchange on either side
     // (labels stays hash(__n, loopParts) across the loop)
     val symB = sym.repartition(loopParts, col("__b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    symB.count()
-    sym.unpersist(blocking = false)
+    val symCount = symB.count()
     // localCheckpoint (not persist) per iteration: a persisted frame
     // keeps its FULL logical plan, so iteration i re-optimizes a plan
     // embedding all i-1 predecessors plus the (often large) edge
