@@ -26,6 +26,24 @@ object MultimodalQueries {
           upper(hex(substring(col("blob"), 1, 8))).as("prefix_hex"),
           md5(col("blob")).as("content_md5"))),
 
+    // Exact dedup over the OPAQUE binary payload: content-digest
+    // groups — the first pass of any multimodal pipeline (identical
+    // assets dedupe byte-exactly before any decode). The payload here
+    // is the canonicalized byte stream (per-pixel-normalized image /
+    // resampled audio in production; sorted token bytes for the text
+    // corpus) so re-encodings of the same content collide. One hash
+    // shuffle over the binary column, never the decoded content.
+    "multimodal_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
+            .cast("binary").as("blob"))
+        .groupBy(md5(col("blob")).as("content_md5"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+          concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string"))).as("ids"))
+        .filter(col("n") > 1)),
+
     // Decode/feature-extract over the binary column via the stubbed
     // per-partition decoder: rows-only check (the kernel itself is
     // deterministic and unit-tested, but not SQL-expressible). The
@@ -79,6 +97,12 @@ object MultimodalQueries {
                 upper(hex(encode(substring(text, 1, 8)))) AS prefix_hex,
                 md5(text) AS content_md5
          FROM documents""",
+    "multimodal_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                  AS content_md5,
+                MIN(doc_id) AS rep, COUNT(*) AS n,
+                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+         FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
     // multimodal_decode: the stub decoder is deterministic byte math,
     // so it IS SQL-expressible for the (all-ASCII) test corpus:
     // width/height from the first two bytes, feature i = sum of bytes
