@@ -23,12 +23,25 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSet).getOrElse(Set.empty[String])
     def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
+    // Between queries, drop the ephemeral blocks the previous query
+    // pinned: iterative operators (lineage closure, connected
+    // components, taxonomy trees) localCheckpoint their loop frames,
+    // and those blocks otherwise live until a JVM GC lets the context
+    // cleaner collect them — across 100+ queries in one session that
+    // accumulation becomes GC-burst noise on unrelated queries.
+    // Cross-query DataFrame caches (df.persist) are untouched;
+    // localCheckpoint'd RDDs are never reused across queries.
+    def sweepEphemeral(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed)
+        .foreach(_.unpersist(blocking = false))
     val results = SparkEntry.queries
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = ms3((System.nanoTime() - t0) / 1e9)
+      sweepEphemeral()
       // one line per query as it completes: survives tail-only log
       // capture and pinpoints a hang/crash to the running query
       println(s"""{"query":"$name","sec":$sec}""")

@@ -140,26 +140,14 @@ object AggQueries {
     // lineage-closure + rank-pivot + bottom-up-assembly operator; the
     // oracle rebuilds the same trees with static joins.
     "agg_tree_ranks" -> ((s, d) => {
-      val taxa = Tables.region(s, d).select(
-          concat(lit("R"), col("r_regionkey").cast("string")).as("id"),
-          lit(null).cast("string").as("parent"),
-          lit("domain").as("rank"), col("r_name").as("name"))
-        .unionByName(Tables.nation(s, d).select(
-          concat(lit("N"), col("n_nationkey").cast("string")).as("id"),
-          concat(lit("R"), col("n_regionkey").cast("string")).as("parent"),
-          lit("phylum").as("rank"), col("n_name").as("name")))
-        .unionByName(Tables.customer(s, d).select(
-          concat(lit("C"), col("c_custkey").cast("string")).as("id"),
-          concat(lit("N"), col("c_nationkey").cast("string")).as("parent"),
-          when(col("c_custkey") % 3 === 0, "genus").otherwise("species")
-            .as("rank"),
-          col("c_name").as("name")))
+      val taxa = SharedFrames.taxaDims(s, d)
       val hits = Tables.orders(s, d)
         .groupBy(concat(lit("IPR"), (col("o_orderkey") % 7).cast("string"))
           .as("entry"),
           concat(lit("C"), col("o_custkey").cast("string")).as("taxon_id"))
         .agg(count(lit(1)).as("n"))
-      graft.ops.TaxaTree.entryRankTrees(hits, taxa)
+      graft.ops.TaxaTree.entryRankTrees(hits, taxa,
+        closure = Some(SharedFrames.taxaLineage(s, d)))
     }),
 
     // A12: filtered agg with fallback regroup (EC kept if support ≥

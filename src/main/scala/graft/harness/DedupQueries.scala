@@ -32,25 +32,15 @@ object DedupQueries {
   private val BlockCap = 1024 // max docs per edit-distance block
   private val LevMax = 12     // max head edit distance for a near-dup
 
-  /** Shared-frame cache. The shingle frame feeds three separate
-    * harness queries (jaccard, minhash-LSH, components) and is
-    * consumed up to 4x inside one query (signature agg, per-doc
+  /** Cross-query frames via [[SharedFrames]]: the shingle frame feeds
+    * three separate harness queries (jaccard, minhash-LSH, components)
+    * and is consumed up to 4x inside one query (signature agg, per-doc
     * counts, both verification join sides); the minhash signature
-    * frame feeds both sides of the band self-join. The harness mains
-    * run query builders back to back in one session with no
-    * per-query teardown hook, so the cache is keyed by (session, sf
-    * dir, frame) and entries of stopped sessions are evicted on
-    * access. MEMORY_AND_DISK so eviction degrades to
-    * recompute-from-disk rather than OOM at larger corpora.
+    * frame feeds both sides of the band self-join.
     */
-  private val frameCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def cachedFrame(s: SparkSession, d: String, key: String)
-                         (build: => DataFrame): DataFrame = {
-    frameCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-    frameCache.getOrElseUpdate((s, d, key),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
-  }
+                         (build: => DataFrame): DataFrame =
+    SharedFrames.cachedFrame(s, d, key)(build)
 
   /** Distinct (doc_id, shingle-id) pairs for docs with >= N tokens.
     * Shingles are HASHED to 52-bit ints at the source (Broder's

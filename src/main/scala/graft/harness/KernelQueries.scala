@@ -87,19 +87,12 @@ object KernelQueries {
     // Iterative lineage closure over region->nation->customer parent
     // edges, then stringified root->self paths (oracle = static joins;
     // the Spark side genuinely iterates, depth-agnostic).
-    "lineage_closure" -> ((s, d) => {
-      val r = Tables.region(s, d).select(
-        concat(lit("R"), col("r_regionkey").cast("string")).as("id"),
-        lit(null).cast("string").as("parent"))
-      val n = Tables.nation(s, d).select(
-        concat(lit("N"), col("n_nationkey").cast("string")).as("id"),
-        concat(lit("R"), col("n_regionkey").cast("string")).as("parent"))
-      val c = Tables.customer(s, d).select(
-        concat(lit("C"), col("c_custkey").cast("string")).as("id"),
-        concat(lit("N"), col("c_nationkey").cast("string")).as("parent"))
-      Graphs.lineageClosure(r.unionByName(n).unionByName(c), "id", "parent")
-        .select(col("id"), concat_ws(">", col("lineage")).as("path"))
-    })
+    "lineage_closure" -> ((s, d) =>
+      // the closure itself comes from the session-shared cache —
+      // agg_tree_ranks walks the same taxonomy, and the iterative
+      // loop is the whole cost of both queries
+      SharedFrames.taxaLineage(s, d)
+        .select(col("id"), concat_ws(">", col("lineage")).as("path")))
   )
 
   val oracle: Map[String, String] = Map(

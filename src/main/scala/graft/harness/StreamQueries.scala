@@ -16,16 +16,19 @@ import org.apache.spark.sql.types.DecimalType
 object StreamQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Run a streaming drain with a bounded state-store partition count:
-    * stateful operators create one state store per shuffle partition,
-    * and at drain scale 8 stores beat 32 (measured ~2x on the dedup).
-    * The session setting is restored afterwards.
+  /** Dedicated child session for a streaming drain: stateful operators
+    * create one state store per shuffle partition, and at drain scale 8
+    * stores beat 32 (measured ~2x on the dedup). `newSession()` scopes
+    * that setting to this drain — same SparkContext, shared cache,
+    * same extensions, but an isolated SQL conf — so a concurrent query
+    * on the parent session never observes a mutated
+    * `spark.sql.shuffle.partitions` (mutating the shared session conf
+    * was the anti-pattern previously fixed in Graphs.scala).
     */
-  private def withStreamPartitions[T](s: SparkSession)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try f finally s.conf.set(key, prev)
+  private def streamSession(s: SparkSession): SparkSession = {
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    child
   }
 
   val queries: Map[String, Q] = Map(
@@ -35,18 +38,16 @@ object StreamQueries {
     // partitions) and renders as double, matching the oracle.
     "stream_window_counts" -> ((s, d) => {
       val name = "stream_window_counts_mem"
-      s.catalog.dropTempView(name)
+      val sess = streamSession(s)
       val agg = EventsStream
-        .windowedCounts(EventsStream.readStream(s, d))
+        .windowedCounts(EventsStream.readStream(sess, d))
         .select(
           date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("event_type"), col("n"), col("total_value"))
-      withStreamPartitions(s) {
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(name)
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sess.table(name)
     }),
 
     // Streaming dedup: dropDuplicates keyed on event_id with a
@@ -54,18 +55,16 @@ object StreamQueries {
     // exact dedup (state evicts beyond the watermark horizon).
     "stream_dedup" -> ((s, d) => {
       val name = "stream_dedup_mem"
-      s.catalog.dropTempView(name)
-      val agg = EventsStream.readStream(s, d)
+      val sess = streamSession(s)
+      val agg = EventsStream.readStream(sess, d)
         .withWatermark("ts", "2 hours")
         .dropDuplicates("event_id")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_unique"))
-      withStreamPartitions(s) {
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(name)
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sess.table(name)
     }),
 
     // Stream-stream interval join: click->purchase attribution per
@@ -76,13 +75,13 @@ object StreamQueries {
     // the only formulation that survives an unbounded stream).
     "stream_join" -> ((s, d) => {
       val name = "stream_join_mem"
-      s.catalog.dropTempView(name)
-      val clicks = EventsStream.readStream(s, d)
+      val sess = streamSession(s)
+      val clicks = EventsStream.readStream(sess, d)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
-      val buys = EventsStream.readStream(s, d)
+      val buys = EventsStream.readStream(sess, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
           col("ts").as("p_ts"))
@@ -91,12 +90,10 @@ object StreamQueries {
         col("c_user") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
-      withStreamPartitions(s) {
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(name).select(col("click_id"), col("purchase_id"),
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sess.table(name).select(col("click_id"), col("purchase_id"),
         col("c_user").as("user_id"),
         date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
@@ -106,19 +103,17 @@ object StreamQueries {
     // flatMapGroupsWithState over the events file stream, drained with
     // AvailableNow (30-minute gap; timestamps as exact micros).
     "stream_sessionize" -> ((s, d) => {
-      import s.implicits._
       val name = "stream_sessionize_mem"
-      s.catalog.dropTempView(name)
-      val events = EventsStream.readStream(s, d)
+      val sess = streamSession(s)
+      import sess.implicits._
+      val events = EventsStream.readStream(sess, d)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
         .as[graft.streaming.Sessionize.SessionEvent]
       val sessions = graft.streaming.Sessionize.sessionize(events, gapMinutes = 30)
-      withStreamPartitions(s) {
-        val q = sessions.toDF().writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(name).select(col("user_id"),
+      val q = sessions.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sess.table(name).select(col("user_id"),
         date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
         date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss")

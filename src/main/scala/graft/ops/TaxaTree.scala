@@ -51,7 +51,8 @@ object TaxaTree {
     * Returns (entry, tree) with tree = the nested JSON distribution.
     */
   def entryRankTrees(hits: DataFrame, taxa: DataFrame,
-                     ranks: Seq[String] = MainRanks): DataFrame = {
+                     ranks: Seq[String] = MainRanks,
+                     closure: Option[DataFrame] = None): DataFrame = {
     val n = ranks.length
 
     // (taxon id, one column per rank with the lineage node occupying
@@ -61,7 +62,9 @@ object TaxaTree {
     // (deepest) one (entries.py lineage[i] overwrite) — so the pivot
     // maxes a (position, node, name) struct: position dominates, and
     // node+name always come from the same lineage row.
-    val lin = Graphs.lineageClosure(taxa, "id", "parent")
+    // callers that walk the same taxonomy from several queries pass a
+    // shared (cached) closure; the iterative loop runs once per session
+    val lin = closure.getOrElse(Graphs.lineageClosure(taxa, "id", "parent"))
       .select(col("id"), posexplode(col("lineage")).as(Seq("pos", "node")))
       .join(taxa.select(col("id").as("node"), col("rank"), col("name")),
         Seq("node"))
