@@ -151,4 +151,35 @@ object RelOps {
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Ordered within-set pairs — every (earlier, later) element pair of
+    * each row's `setCol` array, keyed by `keys` (which must identify
+    * the set row uniquely) — with a skew guard. Sets of up to `cap`
+    * elements expand INSIDE the array (shuffle-free, the co-occurrence
+    * plan the reference's pairwise counters imply,
+    * interpro/xrefs/entries.py:103-134). Sets ABOVE the cap take a
+    * posexplode + self-equi-join on the set key: O(n) rows per set
+    * instead of O(n^2) structs inside ONE row — a single mega-row
+    * cannot be split by AQE and OOMs an executor at 100x scale (the
+    * P-loop-NTPase-style hot group), while the join path shuffles the
+    * same pairs across many tasks. Output columns: keys ++ (pa, pb)
+    * with the array's element type.
+    */
+  def orderedPairs(sets: DataFrame, keys: Seq[String], setCol: String,
+                   cap: Int = 256): DataFrame = {
+    require(cap > 1, s"cap must exceed 1, got $cap")
+    val sc = col(setCol)
+    val small = sets.filter(size(sc) <= cap)
+      .select(keys.map(col) :+ explode(flatten(transform(sc, (x, i) =>
+        transform(slice(sc, i + lit(2), size(sc)),
+          y => struct(x.as("pa"), y.as("pb")))))).as("__pr"): _*)
+      .select(keys.map(col) :+ col("__pr.pa").as("pa")
+        :+ col("__pr.pb").as("pb"): _*)
+    val big = sets.filter(size(sc) > cap)
+    val l = big.select(keys.map(col) :+ posexplode(sc).as(Seq("__ia", "pa")): _*)
+    val r = big.select(keys.map(col) :+ posexplode(sc).as(Seq("__ib", "pb")): _*)
+    val bigPairs = l.join(r, keys).filter(col("__ia") < col("__ib"))
+      .select(keys.map(col) :+ col("pa") :+ col("pb"): _*)
+    small.unionByName(bigPairs)
+  }
 }
