@@ -222,9 +222,9 @@ object AggQueries {
 
     // Clan graph document assembly (interpro/oracle/clans.py:110-162):
     // nodes = clan members with their score; links = min-evalue
-    // reduction over same-clan alignment pairs, expanded INSIDE the
-    // per-(part, clan) member array (the agg_similarity pattern — no
-    // exploded self-join), then both halves stringified to the
+    // reduction over same-clan alignment pairs, expanded through
+    // RelOps.orderedPairs (in-array under the skew cap, posexplode
+    // self-join above it), then both halves stringified to the
     // reference's {"nodes":[...],"links":[...]} shape. Clans are
     // supplier nations; alignments are co-supplied parts.
     "agg_clan_graph" -> ((s, d) => {
@@ -246,13 +246,9 @@ object AggQueries {
       val sets = hits.groupBy(col("l_partkey"), col("clan"))
         .agg(array_sort(collect_list(struct(col("l_suppkey").as("k"),
           col("p")))).as("ms"))
-      val links = sets
-        .select(col("clan"), explode(flatten(transform(col("ms"), (x, i) =>
-          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-            y => struct(x("k").as("qa"), y("k").as("qb"),
-              (x("p") + y("p")).as("ev")))))).as("l"))
-        .groupBy(col("clan"), col("l.qa").as("source"), col("l.qb").as("target"))
-        .agg(min(col("l.ev")).as("ev"))
+      val links = RelOps.orderedPairs(sets, Seq("l_partkey", "clan"), "ms")
+        .groupBy(col("clan"), col("pa.k").as("source"), col("pb.k").as("target"))
+        .agg(min(col("pa.p") + col("pb.p")).as("ev"))
         .groupBy(col("clan")).agg(
           array_join(transform(array_sort(collect_list(struct(col("source"),
             col("target"),
@@ -317,21 +313,18 @@ object AggQueries {
 
     // A15: similarity coefficients over co-occurrence pair counts
     // (Jaccard + containment, interpro/xrefs/entries.py:103-134).
-    // Dedupe + group happen in ONE shuffle (collect_set), and the
-    // ordered pair expansion runs inside the array — no self-join of
-    // the exploded fact, which at scale would re-shuffle the whole
-    // posting list twice.
+    // Dedupe + group happen in ONE shuffle (collect_set); the ordered
+    // pair expansion goes through RelOps.orderedPairs, whose skew cap
+    // keeps normal sets in-array (shuffle-free) while a mega-set
+    // (P-loop-NTPase-scale hot group) takes the posexplode self-join
+    // path instead of materializing O(n^2) structs in one row.
     "agg_similarity" -> ((s, d) => {
       val sets = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
       val cnt = sets.select(explode(col("ps")).as("pk"))
         .groupBy(col("pk")).agg(count(lit(1)).as("np"))
-      val pairs = sets
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-            y => struct(x.as("pa"), y.as("pb")))))).as("p"))
-        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      val pairs = RelOps.orderedPairs(sets, Seq("l_orderkey"), "ps")
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
       pairs
         .join(cnt.select(col("pk").as("pa"), col("np").as("na")), Seq("pa"))

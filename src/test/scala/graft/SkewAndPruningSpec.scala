@@ -33,6 +33,36 @@ class SkewAndPruningSpec extends SparkSpec {
     assert(spread > 1, s"hot key stayed on $spread salt(s)")
   }
 
+  test("orderedPairs: big path returns identical pairs to the in-array path") {
+    // sets straddling the cap on both sides: 0,1,2 (degenerate), 5 and
+    // 16 (<= cap, in-array), 17 and 40 (> cap, posexplode self-join)
+    val sizes = Seq(0, 1, 2, 5, 16, 17, 40)
+    val sets = spark.range(sizes.size.toLong).select(
+      col("id").as("sid"),
+      transform(slice(sequence(lit(1), lit(sizes.max)), lit(1),
+        element_at(lit(sizes.toArray), (col("id") + 1).cast("int"))),
+        i => i * (col("id") + 1)).as("vals"))
+    val capped = RelOps.orderedPairs(sets, Seq("sid"), "vals", cap = 16)
+    val allSmall = RelOps.orderedPairs(sets, Seq("sid"), "vals", cap = 1000)
+    assert(capped.count() === sizes.map(n => n.toLong * (n - 1) / 2).sum)
+    assert(capped.exceptAll(allSmall).isEmpty && allSmall.exceptAll(capped).isEmpty)
+  }
+
+  test("orderedPairs: a 10^4-member mega-group takes the join path, not one row") {
+    // the P-loop-NTPase shape: one group whose in-array expansion would
+    // be ~5*10^7 structs inside a single unsplittable row
+    val n = 10000L
+    val mega = spark.range(1).select(lit("hot").as("sid"),
+      sequence(lit(1L), lit(n)).as("vals"))
+    val pairs = RelOps.orderedPairs(mega, Seq("sid"), "vals", cap = 256)
+    // the plan really is the self-join (no flatten/slice expansion)
+    val planStr = pairs.queryExecution.optimizedPlan.toString()
+    assert(planStr.contains("Join"), planStr)
+    assert(pairs.count() === n * (n - 1) / 2)
+    // ordering contract holds on the join path too
+    assert(pairs.filter(col("pa") >= col("pb")).isEmpty)
+  }
+
   test("hive-layout partition filters prune directories at plan time") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.orders(spark, sf)
