@@ -30,7 +30,7 @@ object ReleasePipeline {
     // 1. protein2matches: the K1-K3 merge kernel output
     //    (export-matches, SURVEY.md §3.2)
     val matches = stage("protein2matches")(
-      KernelQueries.queries("kernel_match_merge")(spark, sfDir))
+      KernelQueries.mergedMatches(spark, sfDir))
 
     // 1b. the §3.2 KVStore handoff: merged matches into the graftkv
     //     sorted log keyed by protein accession — the writer's

@@ -14,44 +14,73 @@ import org.apache.spark.sql.functions._
 object KernelQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** K1/K2/K3 merged matches over synthetic matches derived from
+    * lineitem: protein=order, signature=part%20, entry=part%7 for 1/3
+    * of rows, kind/rank from (linenumber, suppkey), fragments from
+    * (linenumber, quantity). Full rich shape (locations with
+    * representative flags + condensed entry rows) — consumed by
+    * ReleasePipeline; the condense sweep and repr subset search are
+    * gated by MatchMergeSpec + the 80-case reference differential.
+    */
+  def mergedMatches(s: SparkSession, d: String): DataFrame =
+    mergedRaw(s, d)
+      .select(col("proteinAcc").as("protein_acc"), col("acc"),
+        col("isEntry").as("is_entry"),
+        size(col("locations")).cast("long").as("n_locs"),
+        size(filter(col("locations"), l => l("subfamily").isNotNull))
+          .cast("long").as("n_subfam"),
+        concat_ws(";", transform(col("locations"),
+          l => concat_ws("-", l("start").cast("string"), l("end").cast("string"),
+            l("representative").cast("string")))).as("locs"))
+
+  private def mergedRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.lineitem(s, d).select(
+      col("l_orderkey").cast("string").as("proteinAcc"),
+      concat(lit("SIG"), (col("l_partkey") % 20).cast("string")).as("signatureAcc"),
+      when(col("l_partkey") % 3 === 0,
+        concat(lit("IPR"), (col("l_partkey") % 7).cast("string"))).as("entryAcc"),
+      when(col("l_linenumber") % 3 === 0, "domain")
+        .when(col("l_linenumber") % 3 === 1, "family")
+        .otherwise("region").as("kind"),
+      (col("l_suppkey") % 3).cast("int").as("rank"),
+      col("l_extendedprice").as("score"),
+      array(struct(
+        col("l_linenumber").as("start"),
+        (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int")).as("end"),
+        lit("CONTINUOUS").as("status"))).as("fragments"),
+      // a slice of hits carries a PANTHER subfamily model so the
+      // per-location subfamily annotation is exercised end to end
+      when(col("l_partkey") % 4 === 0,
+        concat(lit("PTHR"), (col("l_partkey") % 20).cast("string"),
+          lit(":SF"), (col("l_partkey") % 5).cast("string"))).as("model"))
+      .as[MatchMerge.RawMatch]
+    MatchPipeline.mergeMatches(raw).toDF()
+  }
+
   val queries: Map[String, Q] = Map(
-    // K1/K2/K3 over synthetic matches derived from lineitem:
-    // protein=order, signature=part%20, entry=part%7 for 1/3 of rows,
-    // kind/rank from (linenumber, suppkey), fragments from
-    // (linenumber, quantity). Rows-only check (the 10% condense sweep
-    // and subset search are not SQL-expressible).
-    "kernel_match_merge" -> ((s, d) => {
-      import s.implicits._
-      val raw = Tables.lineitem(s, d).select(
-        col("l_orderkey").cast("string").as("proteinAcc"),
-        concat(lit("SIG"), (col("l_partkey") % 20).cast("string")).as("signatureAcc"),
-        when(col("l_partkey") % 3 === 0,
-          concat(lit("IPR"), (col("l_partkey") % 7).cast("string"))).as("entryAcc"),
-        when(col("l_linenumber") % 3 === 0, "domain")
-          .when(col("l_linenumber") % 3 === 1, "family")
-          .otherwise("region").as("kind"),
-        (col("l_suppkey") % 3).cast("int").as("rank"),
-        col("l_extendedprice").as("score"),
-        array(struct(
-          col("l_linenumber").as("start"),
-          (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int")).as("end"),
-          lit("CONTINUOUS").as("status"))).as("fragments"),
-        // a slice of hits carries a PANTHER subfamily model so the
-        // per-location subfamily annotation is exercised end to end
-        when(col("l_partkey") % 4 === 0,
-          concat(lit("PTHR"), (col("l_partkey") % 20).cast("string"),
-            lit(":SF"), (col("l_partkey") % 5).cast("string"))).as("model"))
-        .as[MatchMerge.RawMatch]
-      MatchPipeline.mergeMatches(raw).toDF()
+    // K1 driver gate: the SQL-expressible projection of the merge
+    // kernel's signature-level rows (reference semantics
+    // interpro/oracle/matches.py:287-350): per (protein, signature)
+    // one location per hit, so the oracle can recount locations and
+    // recompute the leftmost start / rightmost end / subfamily count
+    // straight from lineitem. The non-SQL parts (10% condense sweep
+    // on entry rows, representative subset search) stay covered by
+    // MatchMergeSpec + the 80-case reference differential; the
+    // numbers checked HERE are computed from the kernel's actual
+    // output, so a merge regression that drops/duplicates a location
+    // or misattaches a subfamily breaks the hash.
+    "kernel_match_merge" -> ((s, d) =>
+      mergedRaw(s, d)
+        .filter(!col("isEntry"))
         .select(col("proteinAcc").as("protein_acc"), col("acc"),
-          col("isEntry").as("is_entry"),
           size(col("locations")).cast("long").as("n_locs"),
           size(filter(col("locations"), l => l("subfamily").isNotNull))
             .cast("long").as("n_subfam"),
-          concat_ws(";", transform(col("locations"),
-            l => concat_ws("-", l("start").cast("string"), l("end").cast("string"),
-              l("representative").cast("string")))).as("locs"))
-    }),
+          array_min(transform(col("locations"), l => l("start")))
+            .cast("long").as("min_start"),
+          array_max(transform(col("locations"), l => l("end")))
+            .cast("long").as("max_end"))),
 
     // PANTHER-subfamily / CATH-FunFam hierarchy rewrite + validation
     // (reference entries.py:785-813) over signatures synthesized from
@@ -96,7 +125,24 @@ object KernelQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    // kernel_match_merge: intentionally no oracle (non-SQL kernel).
+    // Recomputes the signature-level projection straight from
+    // lineitem: every hit is one location (single CONTINUOUS
+    // fragment), so n_locs is a row count, min/max bounds come from
+    // (l_linenumber, l_linenumber + floor(qty/10)), and the PANTHER
+    // subfamily annotation fires exactly on partkey%4=0 hits.
+    "kernel_match_merge" ->
+      """WITH raw AS (
+           SELECT CAST(l_orderkey AS VARCHAR) AS protein_acc,
+                  'SIG' || CAST(l_partkey % 20 AS VARCHAR) AS acc,
+                  CAST(l_linenumber AS BIGINT) AS s,
+                  CAST(l_linenumber + CAST(FLOOR(l_quantity / 10) AS INTEGER)
+                       AS BIGINT) AS e,
+                  (l_partkey % 4 = 0) AS subfam
+           FROM lineitem)
+         SELECT protein_acc, acc, COUNT(*) AS n_locs,
+                CAST(SUM(CASE WHEN subfam THEN 1 ELSE 0 END) AS BIGINT) AS n_subfam,
+                MIN(s) AS min_start, MAX(e) AS max_end
+         FROM raw GROUP BY 1, 2""",
     "sig_hierarchy" ->
       """WITH sigs AS (
            SELECT DISTINCT

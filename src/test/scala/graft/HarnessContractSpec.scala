@@ -37,9 +37,8 @@ class HarnessContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("only intentionally-unoracled queries lack SQL") {
+  test("every query has an oracle (zero rows-only checks)") {
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(unoracled === Set("kernel_match_merge"),
-      s"unexpected rows-only queries: $unoracled")
+    assert(unoracled.isEmpty, s"unexpected rows-only queries: $unoracled")
   }
 }
