@@ -285,12 +285,14 @@ object AggQueries {
 
     // KMV (k-minimum-values) distinct-count sketch, fully
     // deterministic so BOTH engines produce identical estimates: keep
-    // each group's k smallest 52-bit md5 hashes (via the custom top-k
-    // -per-group operator — per-partition bounded heaps, ONE shuffle,
-    // never the full distinct set), then estimate
-    // |D| ≈ (k-1) · 2^52 / h_k. Groups holding fewer than k distinct
-    // values are exact by construction. The portable form of the
-    // approx-distinct sketch family (HLL itself hashes
+    // each group's k smallest 52-bit md5 hashes via the custom top-k
+    // -per-group operator, whose PARTIAL pass bounds each input
+    // partition to k rows map-side — essential here because the group
+    // key has 3 values, so without it the heap stage would funnel the
+    // whole distinct set through <= 3 reducer tasks at any cluster
+    // size. Estimate |D| ≈ (k-1) · 2^52 / h_k; groups holding fewer
+    // than k distinct values are exact by construction. The portable
+    // form of the approx-distinct sketch family (HLL itself hashes
     // engine-privately and can never cross-check).
     "agg_kmv_distinct" -> ((s, d) => {
       val k = 256
@@ -298,7 +300,7 @@ object AggQueries {
           col("l_returnflag").as("g"),
           TextOps.minhashX(col("l_partkey").cast("string")).as("h"))
         .distinct()
-      val kmin = RelOps.topKPerGroup(hashed,
+      val kmin = RelOps.topKPerGroupExact(hashed,
         Seq(col("g")), Seq(col("h").asc), k)
       val exact = Tables.lineitem(s, d).groupBy(col("l_returnflag").as("g"))
         .agg(countDistinct(col("l_partkey")).as("n_exact"))

@@ -4,7 +4,6 @@ import graft.Tables
 import graft.ops.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (north-star):
   * exact (normalized-fingerprint groups), word-n-gram Jaccard,

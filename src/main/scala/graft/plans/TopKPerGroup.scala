@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
@@ -52,22 +52,39 @@ object LocalTopKPerGroup {
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case LocalTopKPerGroup(k, group, order, rankAttr, child) =>
-      TopKPerGroupExec(k, group, order, rankAttr, planLater(child)) :: Nil
+      // two-stage, mirroring partial aggregation: a PARTIAL pass keeps
+      // at most k rows per (group, input partition) map-side — no
+      // distribution requirement, so it runs before the exchange the
+      // FINAL node's ClusteredDistribution inserts. With a
+      // low-cardinality group key (g groups over p partitions) the
+      // final heap stage then touches <= g·p·k rows instead of the
+      // whole input — without the partial pass, 3 groups means the
+      // entire dataset funnels through <= 3 reducer tasks no matter
+      // the cluster size. Top-k is a monoid (top-k of a union = top-k
+      // of per-part top-ks), so the rewrite is output-identical.
+      val partial = TopKPerGroupExec(k, group, order, rankAttr,
+        planLater(child), partial = true)
+      TopKPerGroupExec(k, group, order, rankAttr, partial) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(k: Int, group: Seq[Expression],
                             order: Seq[SortOrder], rankAttr: Attribute,
-                            child: SparkPlan) extends UnaryExecNode {
+                            child: SparkPlan,
+                            partial: Boolean = false) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+    if (partial) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (group.isEmpty) AllTuples :: Nil else ClusteredDistribution(group) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (group.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(group) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -133,11 +150,16 @@ case class TopKPerGroupExec(k: Int, group: Seq[Expression],
         }
       }
 
-      val resultProj = UnsafeProjection.create(output, childOutput :+ rankAttr)
-      val joined = new JoinedRow
-      def emit(rows: Seq[InternalRow]): Iterator[InternalRow] =
-        rows.iterator.zipWithIndex.map { case (row, i) =>
-          resultProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
+      // partial mode forwards the surviving rows unranked (the final
+      // pass re-ranks after the merge); final mode appends the rank
+      val emit: Seq[InternalRow] => Iterator[InternalRow] =
+        if (partial) { rows => rows.iterator.map(rowProj) }
+        else {
+          val resultProj = UnsafeProjection.create(output, childOutput :+ rankAttr)
+          val joined = new JoinedRow
+          rows => rows.iterator.zipWithIndex.map { case (row, i) =>
+            resultProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
+          }
         }
 
       if (spills.isEmpty) {

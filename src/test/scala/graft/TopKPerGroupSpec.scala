@@ -9,14 +9,34 @@ import org.apache.spark.sql.functions._
   */
 class TopKPerGroupSpec extends SparkSpec {
 
-  test("plans as TopKPerGroupExec with a single hash exchange") {
+  test("plans as two-stage TopKPerGroupExec around a single hash exchange") {
     val df = RelOps.topKPerGroupExact(Tables.lineitem(spark, sf),
       Seq(col("l_orderkey")),
       Seq(col("l_extendedprice").desc, col("l_linenumber")), 3)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerGroup"), plan)
     assert("Exchange".r.findAllIn(plan).size === 1, plan)
     assert(!plan.contains("Window"), plan)
+    // one final + one partial node, with the exchange BETWEEN them in
+    // the tree rendering (final above the shuffle, partial map-side)
+    val first = plan.indexOf("TopKPerGroup")
+    val second = plan.indexOf("TopKPerGroup", first + 1)
+    val ex = plan.indexOf("Exchange")
+    assert(second >= 0, plan)
+    assert(plan.indexOf("TopKPerGroup", second + 1) < 0, plan)
+    assert(first < ex && ex < second, plan)
+  }
+
+  test("partial pass bounds map-side output and preserves results on a 3-value key") {
+    // the agg_kmv_distinct shape: tiny group cardinality, large input
+    val df = spark.range(0, 50000).select(
+      (col("id") % 3).as("g"), pmod(hash(col("id")), lit(1000000)).as("h"))
+    val viaCustom = RelOps.topKPerGroupExact(df, Seq(col("g")), Seq(col("h")), 16)
+      .select("g", "h", "rk")
+    val viaWindow = RelOps.topKPerGroup(df, Seq(col("g")), Seq(col("h")), 16)
+      .select("g", "h", "rk")
+    assert(viaCustom.count() === viaWindow.count())
+    assert(viaWindow.exceptAll(viaCustom).count() === 0)
+    assert(viaCustom.exceptAll(viaWindow).count() === 0)
   }
 
   test("matches the window row_number formulation exactly") {
