@@ -21,6 +21,73 @@ object SinkQueries {
     regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"),
       "<", "&lt;"), ">", "&gt;")
 
+  /** Synthetic raw InterProScan matches carrying the FULL default-
+    * shape location fields the lookup formatters select from
+    * (interpro/lookup.py:231-266): protein=order, member library from
+    * partkey%5, one location per lineitem row. Each downstream
+    * `fmt_*` query reproduces one library's reshape (field subset +
+    * renames + location[0] promotions) from this frame.
+    */
+  private def rawLookup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(s, d).select(
+      col("l_orderkey").as("protein"),
+      (col("l_partkey") % 5).cast("int").as("libid"),
+      col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber").as("start"),
+      (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int")).as("end"),
+      (col("l_linenumber") % 50 + 1).as("hmm_start"),
+      (col("l_linenumber") % 50 + 21).as("hmm_end"),
+      (col("l_suppkey") % 100).cast("int").as("hmm_length"),
+      when(col("l_suppkey") % 3 === 0, "COMPLETE")
+        .when(col("l_suppkey") % 3 === 1, "N_TERMINAL_COMPLETE")
+        .otherwise("C_TERMINAL_COMPLETE").as("hmm_bounds"),
+      (col("l_linenumber") - 1).as("env_start"),
+      (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int") + 1)
+        .as("env_end"),
+      col("l_extendedprice").cast(DecimalType(12, 2)).cast("string").as("evalue"),
+      col("l_quantity").cast("int").as("score"),
+      // per-library "sequence-feature": PANTHER an-tree node id,
+      // PRINTS graphscan string, PROSITE cigar alignment
+      when(col("l_partkey") % 5 === 1,
+          concat(lit("AN"), (col("l_suppkey") % 40).cast("string")))
+        .when(col("l_partkey") % 5 === 2,
+          concat(lit("I"), repeat(lit("i"), (col("l_suppkey") % 4).cast("int")),
+            lit(".")))
+        .when(col("l_partkey") % 5 === 3,
+          concat((floor(col("l_quantity") / 10).cast("int") + 1).cast("string"),
+            lit("M")))
+        .otherwise(lit(null).cast("string")).as("seqfeat"),
+      when(col("l_suppkey") % 3 === 0, "[]")
+        .otherwise(concat(lit("[\"r"), (col("l_suppkey") % 9).cast("string"),
+          lit("\"]"))).as("sites_json"),
+      concat(lit("[{\"start\":"), col("l_linenumber").cast("string"),
+        lit(",\"end\":"),
+        (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int"))
+          .cast("string"),
+        lit(",\"dc-status\":\"CONTINUOUS\"}]")).as("frags_json"))
+  }
+
+  /** Deterministic location sort / locations[0] tiebreak key: a zero-
+    * padded numeric (start, end) prefix — so locations order by
+    * position like the reference's stored lists — followed by the
+    * rendered location and EVERY payload field a formatter may
+    * promote. Key ties therefore imply byte-identical payloads, and
+    * both engines' sorts agree even though the synthetic testdata
+    * repeats l_linenumber within an order.
+    */
+  private def locSortKey: Column =
+    concat(lpad(col("start").cast("string"), 6, "0"),
+      lpad(col("end").cast("string"), 6, "0"), col("locj"),
+      lit("|"), coalesce(col("seqfeat"), lit("")),
+      lit("|"), col("evalue"), lit("|"), col("score").cast("string"))
+
+  /** Sorted JSON-array body of the per-row `locj` strings. */
+  private def sortedLocs: Column =
+    concat_ws(",", transform(
+      sort_array(collect_list(struct(col("skey"), col("locj")))),
+      x => x("locj")))
+
   val queries: Map[String, Q] = Map(
     // S15: protein2ipr.dat-shaped gzip TSV lines
     // (interpro/ftp/flatfiles.py:88-122): one tab-joined line per
@@ -88,6 +155,130 @@ object SinkQueries {
             lit("\"}"))).as("doc"))
     }),
 
+    // K9 (real formatters): per-library reshapes of the raw match
+    // store for the InterProScan lookup service — each emits exactly
+    // the field subset / renames / location[0] promotions its
+    // reference formatter applies. Locations render per-row into
+    // `locj` and aggregate sorted by [[locSortKey]], so both engines
+    // compare byte-identically even when the testdata repeats
+    // l_linenumber within an order.
+
+    // format_cdd (interpro/lookup.py:268-288): locations keep
+    // (start, end, evalue, score, fragments, sites); the top level
+    // DROPS the default shape's score/evalue.
+    "fmt_cdd" -> ((s, d) =>
+      rawLookup(s, d).filter(col("libid") === 0)
+        .withColumn("signature", concat(lit("cd"),
+          lpad((col("l_partkey") % 1000).cast("string"), 5, "0")))
+        .withColumn("locj",
+          concat(lit("{\"start\":"), col("start").cast("string"),
+            lit(",\"end\":"), col("end").cast("string"),
+            lit(",\"evalue\":"), col("evalue"),
+            lit(",\"score\":"), col("score").cast("string"),
+            lit(",\"location-fragments\":"), col("frags_json"),
+            lit(",\"sites\":"), col("sites_json"), lit("}")))
+        .withColumn("skey", locSortKey)
+        .groupBy(col("protein"), col("signature"))
+        .agg(sortedLocs.as("locs"))
+        .select(col("protein"), col("signature"),
+          col("signature").as("model_ac"), col("locs"))),
+
+    // format_panther (interpro/lookup.py:326-354): locations keep the
+    // hmm/envelope fields but NOT per-location evalue/score; the an-
+    // tree node id, evalue and score are promoted from locations[0]
+    // to the top level; model-ac is the PTHR:SF subfamily model.
+    "fmt_panther" -> ((s, d) =>
+      rawLookup(s, d).filter(col("libid") === 1)
+        .withColumn("signature",
+          concat(lit("PTHR"), (col("l_partkey") % 300).cast("string")))
+        .withColumn("model_ac", concat(col("signature"), lit(":SF"),
+          (col("l_partkey") % 7).cast("string")))
+        .withColumn("locj",
+          concat(lit("{\"start\":"), col("start").cast("string"),
+            lit(",\"end\":"), col("end").cast("string"),
+            lit(",\"hmmStart\":"), col("hmm_start").cast("string"),
+            lit(",\"hmmEnd\":"), col("hmm_end").cast("string"),
+            lit(",\"hmmLength\":"), col("hmm_length").cast("string"),
+            lit(",\"hmmBounds\":\""), col("hmm_bounds"),
+            lit("\",\"envelopeStart\":"), col("env_start").cast("string"),
+            lit(",\"envelopeEnd\":"), col("env_end").cast("string"),
+            lit(",\"location-fragments\":"), col("frags_json"), lit("}")))
+        .withColumn("skey", locSortKey)
+        .groupBy(col("protein"), col("signature"), col("model_ac"))
+        .agg(
+          min_by(col("seqfeat"), col("skey")).as("ancestral_node"),
+          min_by(col("evalue"), col("skey")).as("evalue"),
+          min_by(col("score"), col("skey")).as("score"),
+          sortedLocs.as("locs"))),
+
+    // format_prints (interpro/lookup.py:356-377): per-location evalue
+    // RENAMES to pvalue and hmmLength to motifNumber; the graphscan
+    // string is promoted from locations[0]; top-level match evalue is
+    // kept (synthesized here as the min over locations).
+    "fmt_prints" -> ((s, d) =>
+      rawLookup(s, d).filter(col("libid") === 2)
+        .withColumn("signature",
+          concat(lit("PR"), (col("l_partkey") % 500).cast("string")))
+        .withColumn("locj",
+          concat(lit("{\"start\":"), col("start").cast("string"),
+            lit(",\"end\":"), col("end").cast("string"),
+            lit(",\"pvalue\":"), col("evalue"),
+            lit(",\"score\":"), col("score").cast("string"),
+            lit(",\"motifNumber\":"), col("hmm_length").cast("string"),
+            lit(",\"location-fragments\":"), col("frags_json"), lit("}")))
+        .withColumn("skey", locSortKey)
+        .groupBy(col("protein"), col("signature"))
+        .agg(
+          min(col("evalue")).as("evalue"),
+          min_by(col("seqfeat"), col("skey")).as("graphscan"),
+          sortedLocs.as("locs"))
+        .select(col("protein"), col("signature"),
+          col("signature").as("model_ac"), col("evalue"), col("graphscan"),
+          col("locs"))),
+
+    // format_prosite (interpro/lookup.py:379-399): locations carry the
+    // cigarAlignment (sequence-feature rename); profiles/HAMAP keep
+    // the per-location score, patterns drop it (score=False call).
+    "fmt_prosite" -> ((s, d) =>
+      rawLookup(s, d).filter(col("libid") === 3)
+        .withColumn("signature",
+          concat(lit("PS"), (col("l_partkey") % 800).cast("string")))
+        .withColumn("variant",
+          when(col("l_suppkey") % 2 === 0, "profiles").otherwise("patterns"))
+        .withColumn("locj",
+          concat(lit("{\"start\":"), col("start").cast("string"),
+            lit(",\"end\":"), col("end").cast("string"),
+            lit(",\"cigarAlignment\":\""), col("seqfeat"),
+            lit("\",\"location-fragments\":"), col("frags_json"),
+            when(col("variant") === "profiles",
+              concat(lit(",\"score\":"), col("score").cast("string")))
+              .otherwise(lit("")),
+            lit("}")))
+        .withColumn("skey", locSortKey)
+        .groupBy(col("protein"), col("signature"), col("variant"))
+        .agg(sortedLocs.as("locs"))
+        .select(col("protein"), col("signature"),
+          col("signature").as("model_ac"), col("variant"), col("locs"))),
+
+    // format_superfamily (interpro/lookup.py:401-418): locations keep
+    // (start, end, evalue, hmmLength, fragments) — no score, no
+    // hmm start/end, no envelope.
+    "fmt_superfamily" -> ((s, d) =>
+      rawLookup(s, d).filter(col("libid") === 4)
+        .withColumn("signature",
+          concat(lit("SSF"), (col("l_partkey") % 400).cast("string")))
+        .withColumn("locj",
+          concat(lit("{\"start\":"), col("start").cast("string"),
+            lit(",\"end\":"), col("end").cast("string"),
+            lit(",\"evalue\":"), col("evalue"),
+            lit(",\"hmmLength\":"), col("hmm_length").cast("string"),
+            lit(",\"location-fragments\":"), col("frags_json"), lit("}")))
+        .withColumn("skey", locSortKey)
+        .groupBy(col("protein"), col("signature"))
+        .agg(sortedLocs.as("locs"))
+        .select(col("protein"), col("signature"),
+          col("signature").as("model_ac"), col("locs"))),
+
     // K8: relationship-document denormalizer with fallback docs
     // (interpro/elastic/export.py:478-701): one doc per
     // (order × lineitem), plus a fallback doc for orders with no
@@ -107,7 +298,136 @@ object SinkQueries {
     })
   )
 
+  /** Shared oracle CTE mirroring [[rawLookup]] for one library id. */
+  private def rawLookupSql(libid: Int): String =
+    s"""m AS (
+         SELECT l_orderkey AS protein, l_partkey, l_suppkey,
+                l_linenumber AS s,
+                l_linenumber + CAST(floor(l_quantity / 10) AS INT) AS e,
+                l_linenumber % 50 + 1 AS hs,
+                l_linenumber % 50 + 21 AS he,
+                CAST(l_suppkey % 100 AS INT) AS hl,
+                CASE WHEN l_suppkey % 3 = 0 THEN 'COMPLETE'
+                     WHEN l_suppkey % 3 = 1 THEN 'N_TERMINAL_COMPLETE'
+                     ELSE 'C_TERMINAL_COMPLETE' END AS hb,
+                l_linenumber - 1 AS es,
+                l_linenumber + CAST(floor(l_quantity / 10) AS INT) + 1 AS ee,
+                CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS ev,
+                CAST(l_quantity AS INT) AS sc,
+                CASE WHEN l_suppkey % 3 = 0 THEN '[]'
+                     ELSE '["r' || CAST(l_suppkey % 9 AS VARCHAR) || '"]'
+                END AS sites,
+                '[{"start":' || CAST(l_linenumber AS VARCHAR) || ',"end":' ||
+                  CAST(l_linenumber + CAST(floor(l_quantity / 10) AS INT)
+                       AS VARCHAR) || ',"dc-status":"CONTINUOUS"}]' AS frags
+         FROM lineitem WHERE l_partkey % 5 = $libid)"""
+
+  /** SQL mirror of [[locSortKey]]; `sf` is the library's sequence-
+    * feature expression or `''` where the library has none.
+    */
+  private def locKeySql(sf: String): String =
+    s"""lpad(CAST(s AS VARCHAR), 6, '0') || lpad(CAST(e AS VARCHAR), 6, '0')
+        || locj || '|' || $sf || '|' || ev || '|' || CAST(sc AS VARCHAR)"""
+
   val oracle: Map[String, String] = Map(
+    "fmt_cdd" ->
+      s"""WITH ${rawLookupSql(0)},
+          g AS (SELECT protein,
+                       'cd' || lpad(CAST(l_partkey % 1000 AS VARCHAR), 5, '0')
+                         AS signature,
+                       '{"start":' || CAST(s AS VARCHAR) ||
+                       ',"end":' || CAST(e AS VARCHAR) ||
+                       ',"evalue":' || ev ||
+                       ',"score":' || CAST(sc AS VARCHAR) ||
+                       ',"location-fragments":' || frags ||
+                       ',"sites":' || sites || '}' AS locj,
+                       s, e, ev, sc
+                FROM m),
+          k AS (SELECT *, ${locKeySql("''")} AS skey FROM g)
+          SELECT protein, signature, signature AS model_ac,
+                 string_agg(locj, ',' ORDER BY skey) AS locs
+          FROM k GROUP BY 1, 2""",
+    "fmt_panther" ->
+      s"""WITH ${rawLookupSql(1)},
+          g AS (SELECT protein,
+                       'PTHR' || CAST(l_partkey % 300 AS VARCHAR) AS signature,
+                       'PTHR' || CAST(l_partkey % 300 AS VARCHAR) ||
+                         ':SF' || CAST(l_partkey % 7 AS VARCHAR) AS model_ac,
+                       'AN' || CAST(l_suppkey % 40 AS VARCHAR) AS sf,
+                       '{"start":' || CAST(s AS VARCHAR) ||
+                       ',"end":' || CAST(e AS VARCHAR) ||
+                       ',"hmmStart":' || CAST(hs AS VARCHAR) ||
+                       ',"hmmEnd":' || CAST(he AS VARCHAR) ||
+                       ',"hmmLength":' || CAST(hl AS VARCHAR) ||
+                       ',"hmmBounds":"' || hb ||
+                       '","envelopeStart":' || CAST(es AS VARCHAR) ||
+                       ',"envelopeEnd":' || CAST(ee AS VARCHAR) ||
+                       ',"location-fragments":' || frags || '}' AS locj,
+                       s, e, ev, sc
+                FROM m),
+          k AS (SELECT *, ${locKeySql("sf")} AS skey FROM g)
+          SELECT protein, signature, model_ac,
+                 arg_min(sf, skey) AS ancestral_node,
+                 arg_min(ev, skey) AS evalue,
+                 arg_min(sc, skey) AS score,
+                 string_agg(locj, ',' ORDER BY skey) AS locs
+          FROM k GROUP BY 1, 2, 3""",
+    "fmt_prints" ->
+      s"""WITH ${rawLookupSql(2)},
+          g AS (SELECT protein,
+                       'PR' || CAST(l_partkey % 500 AS VARCHAR) AS signature,
+                       'I' || repeat('i', CAST(l_suppkey % 4 AS INT)) || '.'
+                         AS sf,
+                       '{"start":' || CAST(s AS VARCHAR) ||
+                       ',"end":' || CAST(e AS VARCHAR) ||
+                       ',"pvalue":' || ev ||
+                       ',"score":' || CAST(sc AS VARCHAR) ||
+                       ',"motifNumber":' || CAST(hl AS VARCHAR) ||
+                       ',"location-fragments":' || frags || '}' AS locj,
+                       s, e, ev, sc
+                FROM m),
+          k AS (SELECT *, ${locKeySql("sf")} AS skey FROM g)
+          SELECT protein, signature, signature AS model_ac,
+                 MIN(ev) AS evalue,
+                 arg_min(sf, skey) AS graphscan,
+                 string_agg(locj, ',' ORDER BY skey) AS locs
+          FROM k GROUP BY 1, 2""",
+    "fmt_prosite" ->
+      s"""WITH ${rawLookupSql(3)},
+          g AS (SELECT protein,
+                       'PS' || CAST(l_partkey % 800 AS VARCHAR) AS signature,
+                       CASE WHEN l_suppkey % 2 = 0 THEN 'profiles'
+                            ELSE 'patterns' END AS variant,
+                       CAST(e - s + 1 AS VARCHAR) || 'M' AS sf,
+                       '{"start":' || CAST(s AS VARCHAR) ||
+                       ',"end":' || CAST(e AS VARCHAR) ||
+                       ',"cigarAlignment":"' || CAST(e - s + 1 AS VARCHAR) ||
+                       'M","location-fragments":' || frags ||
+                       CASE WHEN l_suppkey % 2 = 0
+                            THEN ',"score":' || CAST(sc AS VARCHAR)
+                            ELSE '' END || '}' AS locj,
+                       s, e, ev, sc
+                FROM m),
+          k AS (SELECT *, ${locKeySql("sf")} AS skey FROM g)
+          SELECT protein, signature, variant,
+                 signature AS model_ac,
+                 string_agg(locj, ',' ORDER BY skey) AS locs
+          FROM k GROUP BY 1, 2, 3""",
+    "fmt_superfamily" ->
+      s"""WITH ${rawLookupSql(4)},
+          g AS (SELECT protein,
+                       'SSF' || CAST(l_partkey % 400 AS VARCHAR) AS signature,
+                       '{"start":' || CAST(s AS VARCHAR) ||
+                       ',"end":' || CAST(e AS VARCHAR) ||
+                       ',"evalue":' || ev ||
+                       ',"hmmLength":' || CAST(hl AS VARCHAR) ||
+                       ',"location-fragments":' || frags || '}' AS locj,
+                       s, e, ev, sc
+                FROM m),
+          k AS (SELECT *, ${locKeySql("''")} AS skey FROM g)
+          SELECT protein, signature, signature AS model_ac,
+                 string_agg(locj, ',' ORDER BY skey) AS locs
+          FROM k GROUP BY 1, 2""",
     "sink_flatfile_tsv" ->
       """SELECT concat_ws(chr(9),
                 CAST(l_orderkey AS VARCHAR),
