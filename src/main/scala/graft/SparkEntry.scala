@@ -41,7 +41,8 @@ object SparkEntry {
       SampleQueries.queries ++
       VectorQueries.queries ++ MultimodalQueries.queries ++
       KernelQueries.queries ++ SinkQueries.queries ++
-      StreamQueries.queries ++ XrefQueries.queries
+      StreamQueries.queries ++ XrefQueries.queries ++
+      ExportQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       SampleQueries.oracle ++
       VectorQueries.oracle ++ MultimodalQueries.oracle ++
       KernelQueries.oracle ++ SinkQueries.oracle ++
-      StreamQueries.oracle ++ XrefQueries.oracle
+      StreamQueries.oracle ++ XrefQueries.oracle ++
+      ExportQueries.oracle
 }
