@@ -76,10 +76,15 @@ object ReleasePipeline {
       s"$outDir/protein2ipr")
     stages += "protein2ipr" ->
       spark.read.text(s"$outDir/protein2ipr").count()
+    Sinks.stageDtd("match_complete.dtd", outDir)
     Sinks.writeXml(
       SinkQueries.queries("sink_xml_fragments")(spark, sfDir),
       s"$outDir/xml_parts", s"$outDir/match_complete.xml",
-      "<?xml version=\"1.0\"?>\n<interpromatch>\n", "</interpromatch>\n")
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<!DOCTYPE interpromatch SYSTEM \"match_complete.dtd\">\n" +
+        "<interpromatch><release>" +
+        "<dbinfo dbname=\"INTERPRO\" version=\"100.0\"/></release>\n",
+      "</interpromatch>\n")
     stages += "match_complete.xml" ->
       (if (new java.io.File(s"$outDir/match_complete.xml").length() > 0) 1L else 0L)
 

@@ -108,26 +108,59 @@ object SinkQueries {
             .cast("string")).as("line"))
     }),
 
-    // S16/K7: per-protein XML fragment emit (match_complete.xml shape,
-    // interpro/ftp/xmlfiles.py:556-656): nested <match> elements
-    // sorted within each <protein>, escaped, built entirely inside the
-    // group aggregation — the driver only concatenates fragments.
+    // S16/K7: per-protein XML fragment emit in the FULL
+    // match_complete.dtd grammar (interpro/ftp/xmlfiles.py:556-656 and
+    // ftp/match_complete.dtd: protein[id,name,length,crc64,status,
+    // taxid] > match[id,name,dbname,status,evd,model,type] > ipr? +
+    // lcn[start,end,fragments,score,representative]). Nested elements
+    // sort within each <protein> on the unique (linenumber, partkey)
+    // key and are built entirely inside the group aggregation — the
+    // driver only concatenates fragments; XmlDtdSpec validates the
+    // stitched document against the checked-in DTD.
     "sink_xml_fragments" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          xmlEscape(col("p_name")).as("nm"))
+          xmlEscape(col("p_name")).as("nm"),
+          col("l_quantity").cast("int").as("score"),
+          (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int"))
+            .as("lend"))
+        .withColumn("m", concat(
+          lit("<match id=\"P"), col("l_partkey").cast("string"),
+          lit("\" name=\""), col("nm"),
+          lit("\" dbname=\""),
+          element_at(array(lit("PFAM"), lit("CDD"), lit("PROFILE"),
+            lit("SMART"), lit("SSF")), (col("l_partkey") % 5 + 1).cast("int")),
+          lit("\" status=\"T\" evd=\"HMM\" model=\"P"),
+          col("l_partkey").cast("string"), lit("\" type=\""),
+          element_at(array(lit("Domain"), lit("Family"), lit("Repeat"),
+            lit("Site")), (col("l_partkey") % 4 + 1).cast("int")),
+          lit("\">"),
+          when(col("l_partkey") % 3 === 0, concat(
+            lit("<ipr id=\"IPR"), (col("l_partkey") % 500).cast("string"),
+            lit("\" name=\""), col("nm"), lit("\" type=\"Family\"/>")))
+            .otherwise(lit("")),
+          lit("<lcn start=\""), col("l_linenumber").cast("string"),
+          lit("\" end=\""), col("lend").cast("string"),
+          lit("\" fragments=\""), col("l_linenumber").cast("string"),
+          lit("-"), col("lend").cast("string"), lit("-S\" score=\""),
+          col("score").cast("string"), lit("\" representative=\""),
+          when(col("l_linenumber") % 2 === 0, "true").otherwise("false"),
+          lit("\"/></match>")))
         .groupBy(col("l_orderkey"))
         .agg(concat_ws("", transform(
-          sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey"), col("nm")))),
-          r => concat(lit("<match id=\"P"), r("l_partkey").cast("string"),
-            lit("\" name=\""), r("nm"),
-            lit("\" pos=\""), r("l_linenumber").cast("string"),
-            lit("\"/>")))).as("inner"),
-          count(lit(1)).as("n"))
-        .select(concat(lit("<protein id=\""), col("l_orderkey").cast("string"),
-          lit("\" count=\""), col("n").cast("string"), lit("\">"),
+          sort_array(collect_list(struct(col("l_linenumber"),
+            col("l_partkey"), col("m")))),
+          r => r("m"))).as("inner"),
+          max(col("lend")).as("maxend"))
+        .select(concat(
+          lit("<protein id=\"P"), col("l_orderkey").cast("string"),
+          lit("\" name=\"PROT_"), col("l_orderkey").cast("string"),
+          lit("\" length=\""), (col("maxend") + 50).cast("string"),
+          lit("\" crc64=\""), hex(col("l_orderkey") % 100000 * 977),
+          lit("\" status=\"T\" taxid=\""),
+          (col("l_orderkey") % 9999).cast("string"), lit("\">"),
           col("inner"), lit("</protein>")).as("xml"))
     }),
 
@@ -439,18 +472,43 @@ object SinkQueries {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_partkey % 3 = 0""",
     "sink_xml_fragments" ->
-      """SELECT '<protein id="' || CAST(l_orderkey AS VARCHAR) ||
-                '" count="' || CAST(COUNT(*) AS VARCHAR) || '">' ||
-                string_agg('<match id="P' || CAST(l_partkey AS VARCHAR) ||
-                           '" name="' ||
-                           replace(replace(replace(p_name, '&', '&amp;'),
-                                   '<', '&lt;'), '>', '&gt;') ||
-                           '" pos="' || CAST(l_linenumber AS VARCHAR) || '"/>',
-                           '' ORDER BY l_linenumber, l_partkey,
-                           replace(replace(replace(p_name, '&', '&amp;'),
-                                   '<', '&lt;'), '>', '&gt;')) ||
+      """WITH b AS (
+           SELECT l_orderkey, l_linenumber, l_partkey,
+                  replace(replace(replace(p_name, '&', '&amp;'),
+                          '<', '&lt;'), '>', '&gt;') AS nm,
+                  CAST(l_quantity AS INT) AS score,
+                  l_linenumber + CAST(floor(l_quantity / 10) AS INT) AS lend
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         m AS (
+           SELECT *,
+                  '<match id="P' || CAST(l_partkey AS VARCHAR) ||
+                  '" name="' || nm || '" dbname="' ||
+                  ['PFAM','CDD','PROFILE','SMART','SSF'][l_partkey % 5 + 1] ||
+                  '" status="T" evd="HMM" model="P' ||
+                  CAST(l_partkey AS VARCHAR) || '" type="' ||
+                  ['Domain','Family','Repeat','Site'][l_partkey % 4 + 1] ||
+                  '">' ||
+                  CASE WHEN l_partkey % 3 = 0
+                       THEN '<ipr id="IPR' || CAST(l_partkey % 500 AS VARCHAR)
+                         || '" name="' || nm || '" type="Family"/>'
+                       ELSE '' END ||
+                  '<lcn start="' || CAST(l_linenumber AS VARCHAR) ||
+                  '" end="' || CAST(lend AS VARCHAR) ||
+                  '" fragments="' || CAST(l_linenumber AS VARCHAR) || '-' ||
+                  CAST(lend AS VARCHAR) || '-S" score="' ||
+                  CAST(score AS VARCHAR) || '" representative="' ||
+                  CASE WHEN l_linenumber % 2 = 0 THEN 'true'
+                       ELSE 'false' END || '"/></match>' AS mx
+           FROM b)
+         SELECT '<protein id="P' || CAST(l_orderkey AS VARCHAR) ||
+                '" name="PROT_' || CAST(l_orderkey AS VARCHAR) ||
+                '" length="' || CAST(MAX(lend) + 50 AS VARCHAR) ||
+                '" crc64="' || hex(l_orderkey % 100000 * 977) ||
+                '" status="T" taxid="' ||
+                CAST(l_orderkey % 9999 AS VARCHAR) || '">' ||
+                string_agg(mx, '' ORDER BY l_linenumber, l_partkey, mx) ||
                 '</protein>' AS xml
-         FROM lineitem JOIN part ON l_partkey = p_partkey
+         FROM m
          GROUP BY l_orderkey""",
     "fmt_dispatch" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag AS db,

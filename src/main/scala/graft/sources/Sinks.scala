@@ -62,4 +62,18 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).text(dir)
     Files.write(Paths.get(dir, "_DONE"), Array.emptyByteArray)
   }
+
+  /** Stage a bundled DTD next to an XML export so its relative
+    * `<!DOCTYPE ... SYSTEM "name.dtd">` resolves (the reference ships
+    * interpro.dtd / match_complete.dtd alongside the XML and writes
+    * the DOCTYPE at ftp/xmlfiles.py:212,626). `name` is the dtd file
+    * name under the bundled graft/dtd/ resources.
+    */
+  def stageDtd(name: String, destDir: String): Unit = {
+    val in = getClass.getResourceAsStream(s"/graft/dtd/$name")
+    require(in != null, s"bundled DTD not found: $name")
+    try Files.copy(in, Paths.get(destDir, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+  }
 }
