@@ -151,6 +151,7 @@ private[kvlog] class GraftKVScanBuilder(full: StructType, dir: String)
   private val keyName = full.head.name
   private var required: StructType = full
   private var range: KeyRange = FullRange
+  private var colPreds: Seq[ColPred] = Seq.empty
   private var pushed: Array[Filter] = Array.empty
   private var countFromFooter = false
 
@@ -184,7 +185,26 @@ private[kvlog] class GraftKVScanBuilder(full: StructType, dir: String)
         Some(r.copy(upper = minUpper(r.upper, v)))
       case _ => None
     }
-    pushed = filters.filter(f => tighten(FullRange, f).isDefined)
+    // non-key comparisons prune via the footer's per-bucket column
+    // stats (parquet-style); only supported scalar types participate
+    def colPred(f: Filter): Option[ColPred] = {
+      def ok(name: String, v: Any): Boolean =
+        name != keyName && full.fieldNames.contains(name) && (v match {
+          case _: String | _: java.lang.Number | _: java.lang.Boolean => true
+          case _ => false
+        })
+      f match {
+        case EqualTo(n, v) if ok(n, v)            => Some(ColPred(n, "eq", v))
+        case GreaterThan(n, v) if ok(n, v)        => Some(ColPred(n, "gt", v))
+        case GreaterThanOrEqual(n, v) if ok(n, v) => Some(ColPred(n, "ge", v))
+        case LessThan(n, v) if ok(n, v)           => Some(ColPred(n, "lt", v))
+        case LessThanOrEqual(n, v) if ok(n, v)    => Some(ColPred(n, "le", v))
+        case _ => None
+      }
+    }
+    colPreds = filters.flatMap(colPred(_)).toSeq
+    pushed = filters.filter(f =>
+      tighten(FullRange, f).isDefined || colPred(f).isDefined)
     range = pushed.foldLeft(FullRange)((r, f) => tighten(r, f).getOrElse(r))
     filters // all residual: Spark evaluates every predicate exactly
   }
@@ -200,7 +220,7 @@ private[kvlog] class GraftKVScanBuilder(full: StructType, dir: String)
 
   override def build(): Scan =
     if (countFromFooter) new GraftKVCountScan(dir)
-    else new GraftKVScan(full, required, range, dir)
+    else new GraftKVScan(full, required, range, colPreds, dir)
 }
 
 /** Footer-only COUNT(*): one partial-count row per part file. */
@@ -242,13 +262,15 @@ private[kvlog] object GraftKVCountScan {
 }
 
 private[kvlog] class GraftKVScan(full: StructType, required: StructType,
-                                 range: KeyRange, dir: String)
+                                 range: KeyRange, colPreds: Seq[ColPred],
+                                 dir: String)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graftkv $dir range=$range columns=${required.fieldNames.mkString(",")}"
+    s"graftkv $dir range=$range colPreds=${colPreds.mkString(";")} " +
+      s"columns=${required.fieldNames.mkString(",")}"
 
   // Runtime filtering (the DSv2 analog of dynamic partition pruning):
   // when this scan sits under a join whose other side is small, Spark
@@ -282,7 +304,8 @@ private[kvlog] class GraftKVScan(full: StructType, required: StructType,
   override def estimateStatistics(): Statistics = {
     val (f, _) = GraftKVUtil.fs(dir)
     val kept = GraftKVUtil.partFiles(dir)
-      .flatMap(p => selectBuckets(GraftKVUtil.readFooterOf(f, p).buckets, range))
+      .flatMap(p => selectBuckets(GraftKVUtil.readFooterOf(f, p).buckets,
+        range, full, colPreds))
     val rows = kept.map(_.rows).sum
     val bytes = math.max(kept.map(_.length).sum, 1L)
     new Statistics {
@@ -296,7 +319,7 @@ private[kvlog] class GraftKVScan(full: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val r = effectiveRange
     GraftKVUtil.partFiles(dir)
-      .map(p => GraftKVInputPartition(p.toString, r.lower, r.upper))
+      .map(p => GraftKVInputPartition(p.toString, r.lower, r.upper, colPreds))
       .toArray
   }
 
@@ -306,7 +329,8 @@ private[kvlog] class GraftKVScan(full: StructType, required: StructType,
 
 case class GraftKVInputPartition(file: String,
                                  lower: Option[String],
-                                 upper: Option[String])
+                                 upper: Option[String],
+                                 colPreds: Seq[ColPred] = Seq.empty)
     extends InputPartition
 
 private[kvlog] class GraftKVReaderFactory(fullDDL: String,
@@ -319,11 +343,19 @@ private[kvlog] class GraftKVReaderFactory(fullDDL: String,
     // DDL round-tripping can't express — carry field names instead
     val required = StructType(requiredNames.map(n => full(full.fieldIndex(n))))
     new GraftKVPartitionReader(gp.file, KeyRange(gp.lower, gp.upper),
-      full, required)
+      gp.colPreds, full, required)
   }
 }
 
+/** Test-visible pruning counters (cumulative per JVM). */
+object GraftKVScanCounters {
+  val bucketsRead = new java.util.concurrent.atomic.AtomicLong(0)
+  val bucketsSkipped = new java.util.concurrent.atomic.AtomicLong(0)
+  def reset(): Unit = { bucketsRead.set(0); bucketsSkipped.set(0) }
+}
+
 private[kvlog] class GraftKVPartitionReader(file: String, range: KeyRange,
+                                            colPreds: Seq[ColPred],
                                             full: StructType,
                                             required: StructType)
     extends PartitionReader[InternalRow] {
@@ -331,9 +363,14 @@ private[kvlog] class GraftKVPartitionReader(file: String, range: KeyRange,
   private val (hfs, _) = GraftKVUtil.fs(file)
   private val hpath = new Path(file)
   private val footer = GraftKVUtil.readFooterOf(hfs, hpath)
-  // the pruning decision: only buckets whose [minKey, maxKey] overlaps
-  // the pushed range are ever read or decompressed
-  private val buckets = selectBuckets(footer.buckets, range).iterator
+  // the pruning decision: only buckets whose key range overlaps the
+  // pushed range AND whose column stats admit every pushed non-key
+  // comparison are ever read or decompressed
+  private val kept = selectBuckets(footer.buckets, range, full, colPreds)
+  GraftKVScanCounters.bucketsRead.addAndGet(kept.size.toLong)
+  GraftKVScanCounters.bucketsSkipped.addAndGet(
+    (footer.buckets.size - kept.size).toLong)
+  private val buckets = kept.iterator
   private val in = hfs.open(hpath)
 
   private val rangeSet = range != FullRange
@@ -523,6 +560,25 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
   private var bucketRows = 0L
   private var minKey: String = null
   private var maxKey: String = null
+  // per-bucket [min, max] of each non-key field (nulls excluded) —
+  // the footer stats non-key predicates prune on
+  private val statMin = new Array[Any](math.max(schema.length - 1, 0))
+  private val statMax = new Array[Any](statMin.length)
+
+  private def ltTyped(i: Int, a: Any, b: Any): Boolean =
+    schema(i + 1).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        a.toString < b.toString
+      case org.apache.spark.sql.types.LongType =>
+        a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case org.apache.spark.sql.types.IntegerType =>
+        a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case org.apache.spark.sql.types.DoubleType =>
+        a.asInstanceOf[Double] < b.asInstanceOf[Double]
+      case org.apache.spark.sql.types.BooleanType =>
+        !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+      case dt => throw new IllegalStateException(dt.sql)
+    }
 
   private def ensureOpen(): Unit = if (out == null) {
     val (f, p) = GraftKVUtil.fs(dir)
@@ -540,10 +596,14 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
     gz.close() // finishes the gzip stream
     val bytes = buf.toByteArray
     out.write(bytes)
-    metas += BucketMeta(offset, bytes.length.toLong, bucketRows, minKey, maxKey)
+    val stats = Seq.tabulate(statMin.length)(i => ColStat(statMin(i), statMax(i)))
+    metas += BucketMeta(offset, bytes.length.toLong, bucketRows, minKey,
+      maxKey, stats)
     offset += bytes.length
     rows += bucketRows
     buf = null; gz = null; bucketRows = 0; minKey = null; maxKey = null
+    java.util.Arrays.fill(statMin.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(statMax.asInstanceOf[Array[AnyRef]], null)
   }
 
   override def write(row: InternalRow): Unit = {
@@ -559,7 +619,7 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
     // index must stay correct for any producer order
     if (minKey == null || key < minKey) minKey = key
     if (maxKey == null || key > maxKey) maxKey = key
-    writeRecord(gz, schema, { i =>
+    val vals = Array.tabulate[Any](schema.length) { i =>
       if (row.isNullAt(i)) null
       else schema(i).dataType match {
         case org.apache.spark.sql.types.StringType => row.getUTF8String(i).toString
@@ -569,7 +629,17 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
         case org.apache.spark.sql.types.BooleanType => row.getBoolean(i)
         case dt => throw new IllegalStateException(dt.sql)
       }
-    })
+    }
+    var i = 0
+    while (i < statMin.length) {
+      val v = vals(i + 1)
+      if (v != null) {
+        if (statMin(i) == null || ltTyped(i, v, statMin(i))) statMin(i) = v
+        if (statMax(i) == null || ltTyped(i, statMax(i), v)) statMax(i) = v
+      }
+      i += 1
+    }
+    writeRecord(gz, schema, vals(_))
     bucketRows += 1
     if (bucketRows >= bucketSize) flushBucket()
   }

@@ -39,9 +39,22 @@ object KVLogFormat {
 
   val Magic: Array[Byte] = "GKV1".getBytes(StandardCharsets.US_ASCII)
 
-  /** (offset, length, rows, minKey, maxKey) of one gzip bucket. */
+  /** Min/max of one non-key field inside one bucket, nulls excluded;
+    * (null, null) means every value in the bucket was null (or stats
+    * were not collected) — such a stat never prunes.
+    */
+  final case class ColStat(min: Any, max: Any) {
+    def defined: Boolean = min != null && max != null
+  }
+
+  /** (offset, length, rows, minKey, maxKey) of one gzip bucket, plus
+    * optional per-non-key-field [min, max] stats (schema order,
+    * fields 1..n-1) so NON-key predicates can prune buckets too —
+    * the same role parquet column chunk statistics play.
+    */
   final case class BucketMeta(offset: Long, length: Long, rows: Long,
-                              minKey: String, maxKey: String)
+                              minKey: String, maxKey: String,
+                              colStats: Seq[ColStat] = Seq.empty)
 
   final case class Footer(schema: StructType, rows: Long,
                           buckets: Seq[BucketMeta])
@@ -127,6 +140,29 @@ object KVLogFormat {
 
   // ---- footer codec -------------------------------------------------
 
+  private def writeTyped(d: DataOutputStream, dt: DataType, v: Any): Unit =
+    dt match {
+      case StringType =>
+        val b = v.toString.getBytes(StandardCharsets.UTF_8)
+        d.writeInt(b.length); d.write(b)
+      case LongType    => d.writeLong(v.asInstanceOf[Long])
+      case IntegerType => d.writeInt(v.asInstanceOf[Int])
+      case DoubleType  => d.writeDouble(v.asInstanceOf[Double])
+      case BooleanType => d.writeBoolean(v.asInstanceOf[Boolean])
+      case other       => throw new IllegalStateException(other.sql)
+    }
+
+  private def readTyped(in: DataInputStream, dt: DataType): Any = dt match {
+    case StringType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      new String(b, StandardCharsets.UTF_8)
+    case LongType    => in.readLong()
+    case IntegerType => in.readInt()
+    case DoubleType  => in.readDouble()
+    case BooleanType => in.readBoolean()
+    case other       => throw new IllegalStateException(other.sql)
+  }
+
   def writeFooter(out: DataOutputStream, f: Footer): Int = {
     val buf = new java.io.ByteArrayOutputStream()
     val d = new DataOutputStream(buf)
@@ -140,6 +176,18 @@ object KVLogFormat {
       val mx = b.maxKey.getBytes(StandardCharsets.UTF_8)
       d.writeInt(mn.length); d.write(mn)
       d.writeInt(mx.length); d.write(mx)
+      // column stats: count, then per stat a presence byte + typed
+      // min/max; stat i describes schema field i+1 (the non-key tail)
+      d.writeInt(b.colStats.length)
+      b.colStats.zipWithIndex.foreach { case (cs, i) =>
+        if (!cs.defined) d.writeByte(0)
+        else {
+          d.writeByte(1)
+          val dt = f.schema(i + 1).dataType
+          writeTyped(d, dt, cs.min)
+          writeTyped(d, dt, cs.max)
+        }
+      }
     }
     d.flush()
     out.write(buf.toByteArray)
@@ -155,7 +203,16 @@ object KVLogFormat {
     val schema = StructType.fromDDL(str())
     val rows = in.readLong()
     val buckets = Seq.fill(in.readInt()) {
-      BucketMeta(in.readLong(), in.readLong(), in.readLong(), str(), str())
+      val (off, len, n) = (in.readLong(), in.readLong(), in.readLong())
+      val (mn, mx) = (str(), str())
+      val stats = Seq.tabulate(in.readInt()) { i =>
+        if (in.readByte() == 0) ColStat(null, null)
+        else {
+          val dt = schema(i + 1).dataType
+          ColStat(readTyped(in, dt), readTyped(in, dt))
+        }
+      }
+      BucketMeta(off, len, n, mn, mx, stats)
     }
     Footer(schema, rows, buckets)
   }
@@ -178,6 +235,58 @@ object KVLogFormat {
     */
   def selectBuckets(buckets: Seq[BucketMeta], r: KeyRange): Seq[BucketMeta] =
     buckets.filter(r.overlaps)
+
+  // ---- non-key column-stat pruning ---------------------------------
+
+  /** One pushed comparison on a NON-key field; `op` is one of
+    * eq/gt/ge/lt/le. Values are the plain JVM forms of the supported
+    * field types, so the case class serializes into the input
+    * partition as-is.
+    */
+  final case class ColPred(field: String, op: String, value: Any)
+
+  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case StringType  => a.toString.compareTo(b.toString)
+    case LongType    =>
+      java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+        b.asInstanceOf[Number].longValue())
+    case IntegerType =>
+      java.lang.Integer.compare(a.asInstanceOf[Number].intValue(),
+        b.asInstanceOf[Number].intValue())
+    case DoubleType  =>
+      java.lang.Double.compare(a.asInstanceOf[Number].doubleValue(),
+        b.asInstanceOf[Number].doubleValue())
+    case BooleanType =>
+      java.lang.Boolean.compare(a.asInstanceOf[Boolean],
+        b.asInstanceOf[Boolean])
+    case other => throw new IllegalStateException(other.sql)
+  }
+
+  /** Can any row of `b` satisfy `p`? Conservative: missing stats (old
+    * or all-null bucket, unknown field) never prune. Like key-range
+    * pruning this is a performance contract only — every pushed filter
+    * is also a residual Spark re-evaluates exactly.
+    */
+  def mayContain(schema: StructType, b: BucketMeta, p: ColPred): Boolean = {
+    val idx = schema.fieldNames.indexOf(p.field)
+    if (idx <= 0 || idx - 1 >= b.colStats.length) return true
+    val cs = b.colStats(idx - 1)
+    if (!cs.defined) return true
+    val dt = schema(idx).dataType
+    p.op match {
+      case "eq" => cmp(dt, cs.min, p.value) <= 0 && cmp(dt, cs.max, p.value) >= 0
+      case "gt" => cmp(dt, cs.max, p.value) > 0
+      case "ge" => cmp(dt, cs.max, p.value) >= 0
+      case "lt" => cmp(dt, cs.min, p.value) < 0
+      case "le" => cmp(dt, cs.min, p.value) <= 0
+      case _    => true
+    }
+  }
+
+  def selectBuckets(buckets: Seq[BucketMeta], r: KeyRange,
+                    schema: StructType,
+                    preds: Seq[ColPred]): Seq[BucketMeta] =
+    buckets.filter(b => r.overlaps(b) && preds.forall(mayContain(schema, b, _)))
 
   def readAllBytes(in: InputStream): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()

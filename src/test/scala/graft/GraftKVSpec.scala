@@ -95,6 +95,43 @@ class GraftKVSpec extends SparkSpec {
     assert(kept < total, s"pruning kept $kept of $total buckets")
   }
 
+  test("non-key predicates prune buckets via footer column stats") {
+    import graft.sources.kvlog.GraftKVScanCounters
+    val dir = tmp()
+    seed.write.format("graftkv").option("bucketsize", 100).mode("append").save(dir)
+
+    // n correlates with the key sort, so bucket [min, max] stats on n
+    // exclude most buckets for a tail filter — counted live
+    GraftKVScanCounters.reset()
+    val q = spark.read.format("graftkv").load(dir).filter(col("n") >= 1900L)
+    assert(q.count() === 100)
+    assert(q.agg(sum("n")).head.getLong(0) === (1900L until 2000L).sum)
+    assert(GraftKVScanCounters.bucketsSkipped.get() > 0,
+      "a non-key filter skipped no buckets")
+    assert(GraftKVScanCounters.bucketsRead.get() <
+      GraftKVScanCounters.bucketsSkipped.get(),
+      "tail filter should read fewer buckets than it skips")
+
+    // the pure decision, on the footer directly
+    val footer = graft.sources.kvlog.GraftKVUtilAccess
+      .footerOf(new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".gkv")).head.getPath)
+    val total = footer.buckets.length
+    val keptGe = KVLogFormat.selectBuckets(footer.buckets,
+      KVLogFormat.FullRange, footer.schema,
+      Seq(KVLogFormat.ColPred("n", "ge", 1900L))).length
+    assert(keptGe < total, s"ge-pruning kept $keptGe of $total buckets")
+    val keptEq = KVLogFormat.selectBuckets(footer.buckets,
+      KVLogFormat.FullRange, footer.schema,
+      Seq(KVLogFormat.ColPred("n", "eq", 1234L))).length
+    assert(keptEq === 1, s"point predicate should keep exactly 1 bucket")
+    // a predicate on a stat-less field never prunes
+    val noStats = footer.buckets.map(b => b.copy(colStats = Seq.empty))
+    assert(KVLogFormat.selectBuckets(noStats, KVLogFormat.FullRange,
+      footer.schema, Seq(KVLogFormat.ColPred("n", "eq", 1234L))).length
+      === total)
+  }
+
   test("overwrite truncates previous files; nulls round-trip") {
     import spark.implicits._
     val dir = tmp()

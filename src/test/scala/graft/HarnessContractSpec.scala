@@ -22,7 +22,8 @@ class HarnessContractSpec extends AnyFunSuite {
     ("kernel", KernelQueries.queries, KernelQueries.oracle),
     ("sink", SinkQueries.queries, SinkQueries.oracle),
     ("stream", StreamQueries.queries, StreamQueries.oracle),
-    ("xref", XrefQueries.queries, XrefQueries.oracle))
+    ("xref", XrefQueries.queries, XrefQueries.oracle),
+    ("export", ExportQueries.queries, ExportQueries.oracle))
 
   test("no query name collides across modules") {
     val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }
