@@ -14,6 +14,42 @@ import org.apache.spark.sql.functions._
 object ExportQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** release_notes.txt assembly (ftp/relnotes.py:39-56,96-128): the
+    * ordinal day suffix and the section stitching around the
+    * distributed-rendered lines. Only the tiny envelope is
+    * driver-side — every table line comes from the relnotes_* queries.
+    */
+  object Relnotes {
+    def daySuffix(day: Int): String = day match {
+      case 1 | 21 | 31 => "st"
+      case 2 | 22      => "nd"
+      case 3 | 23      => "rd"
+      case _           => "th"
+    }
+
+    def assemble(s: SparkSession, sfDir: String, outFile: String,
+                 version: String, day: Int, month: String,
+                 year: Int): Unit = {
+      def lines(q: String): Seq[String] =
+        queries(q)(s, sfDir).select(col("line")).collect()
+          .map(_.getString(0)).sorted.toSeq
+      val sb = new StringBuilder
+      sb ++= "Release Notes\n\n"
+      sb ++= "======================================\n\n"
+      sb ++= s"Release $version, $day${daySuffix(day)} $month $year\n\n"
+      sb ++= s"Contents and coverage of InterPro $version\n"
+      lines("relnotes_types").foreach(l => sb ++= l += '\n')
+      sb ++= "\nMember database information\n"
+      sb ++= f"${"Signature Database"}%18s${"Version"}%12s" +
+        f"${"Signatures*"}%25s${"Integrated Signatures**"}%33s\n"
+      lines("relnotes_members").foreach(l => sb ++= l += '\n')
+      sb ++= "\n"
+      lines("relnotes_coverage").foreach(l => sb ++= l += '\n')
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        sb.toString.getBytes("UTF-8"))
+    }
+  }
+
   /** JSON object for one EBI-search field. */
   private def field(name: String, value: Column): Column =
     concat(lit(s"""{"name":"$name","value":""""), value, lit("\"}"))
@@ -194,6 +230,137 @@ object ExportQueries {
           concat_ws(",", sort_array(collect_set(col("pathway_id"))))
             .as("pathways"))),
 
+    // relnotes_types (ftp/relnotes.py:100-105): the per-entry-type
+    // count block of release_notes.txt — `{type:>22} {count:>6}` with
+    // underscores spaced and Python-capitalize() casing.
+    "relnotes_types" -> ((s, d) =>
+      Tables.part(s, d).select(
+        element_at(array(lit("family"), lit("domain"), lit("repeat"),
+          lit("conserved_site"), lit("homologous_superfamily")),
+          (col("p_partkey") % 5 + 1).cast("int")).as("etype"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("etype"),
+          concat(
+            lpad(concat(upper(substring(replace(col("etype"), lit("_"),
+              lit(" ")), 1, 1)),
+              substring(replace(col("etype"), lit("_"), lit(" ")), 2, 100)),
+              22, " "),
+            lit(" "), lpad(col("n").cast("string"), 6, " ")).as("line"))),
+
+    // relnotes_members (ftp/relnotes.py:117-128): the member-database
+    // table — `{name:>18}{version:>12}{signatures:>25}{integrated:>33}`
+    // — aggregated per database over the signature store.
+    "relnotes_members" -> ((s, d) => {
+      val checked = Tables.part(s, d).filter(col("p_size") % 2 === 0)
+        .select(col("p_partkey"))
+      Tables.supplier(s, d)
+        .join(broadcast(checked), col("p_partkey") === col("s_suppkey"), "left")
+        .select(
+          element_at(array(lit("Pfam"), lit("CDD"), lit("PROSITE profiles"),
+            lit("SMART"), lit("CATH-Gene3D"), lit("PANTHER"),
+            lit("SUPERFAMILY")),
+            (col("s_nationkey") % 7 + 1).cast("int")).as("db"),
+          col("s_suppkey"), col("p_partkey"))
+        .groupBy(col("db"))
+        .agg(count(lit(1)).as("sigs"),
+          count(col("p_partkey")).as("integrated"),
+          concat((min(col("s_suppkey")) % 90).cast("string"), lit(".0"))
+            .as("version"))
+        .select(col("db"),
+          concat(lpad(col("db"), 18, " "), lpad(col("version"), 12, " "),
+            lpad(col("sigs").cast("string"), 25, " "),
+            lpad(col("integrated").cast("string"), 33, " ")).as("line"))
+    }),
+
+    // relnotes_coverage (ftp/relnotes.py:142-163): the sequence-
+    // database coverage table with `{n:>9} ({pct:.1f}%)` columns; the
+    // percentage rounds to one decimal BEFORE rendering so both
+    // engines print identical strings.
+    "relnotes_coverage" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_p"),
+          count(when(col("o_custkey") % 3 =!= 0, 1)).as("n_s"),
+          count(when(col("o_custkey") % 7 === 0, 1)).as("n_is"))
+        .select(
+          element_at(array(lit("UniProtKB/TrEMBL"), lit("UniProtKB"),
+            lit("UniProtKB/Swiss-Prot")),
+            when(col("o_orderstatus") === "F", 1)
+              .when(col("o_orderstatus") === "O", 2).otherwise(3))
+            .as("seqdb"),
+          concat(
+            lpad(col("n_p").cast("string"), 21, " "), lit("    "),
+            lpad(col("n_s").cast("string"), 9, " "), lit(" ("),
+            (round(col("n_s") * lit(1000.0) / col("n_p")) / 10.0)
+              .cast("string"),
+            lit("%)    "),
+            lpad(col("n_is").cast("string"), 9, " "), lit(" ("),
+            (round(col("n_is") * lit(1000.0) / col("n_p")) / 10.0)
+              .cast("string"),
+            lit("%)")).as("line"))),
+
+    // uniparc_xml (ftp/uniparc.py:60-124 write_xml): per-UniParc
+    // protein match XML with the two per-library behaviors the
+    // reference hand-codes — PIRSR matches are excluded entirely, and
+    // the location sequence-feature renders as `alignment` for
+    // HAMAP/PROSITE libraries but `sequence-feature` elsewhere; the
+    // optional ipr child carries parent_id only when the entry has a
+    // parent.
+    "uniparc_xml" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .filter(col("l_partkey") % 6 =!= 0) // PIRSR excluded
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          regexp_replace(regexp_replace(regexp_replace(col("p_name"),
+            "&", "&amp;"), "<", "&lt;"), ">", "&gt;").as("nm"),
+          col("l_suppkey"),
+          col("l_quantity").cast("int").as("score"),
+          (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int"))
+            .as("lend"),
+          element_at(array(lit("PIRSR"), lit("HAMAP"),
+            lit("PROSITE patterns"), lit("PROSITE profiles"), lit("PFAM"),
+            lit("CDD")), (col("l_partkey") % 6 + 1).cast("int")).as("lib"))
+        .withColumn("m", concat(
+          lit("<match id=\"SIG"), col("l_partkey").cast("string"),
+          lit("\" name=\""), col("nm"), lit("\" dbname=\""), col("lib"),
+          lit("\" status=\"T\" evd=\"HMM\" model=\"SIG"),
+          col("l_partkey").cast("string"), lit("\">"),
+          when(col("l_partkey") % 3 === 0, concat(
+            lit("<ipr id=\"IPR"), (col("l_partkey") % 500).cast("string"),
+            lit("\" name=\""), col("nm"), lit("\" type=\"Family\""),
+            when(col("l_partkey") % 9 === 0, concat(
+              lit(" parent_id=\"IPR"), (col("l_partkey") % 100).cast("string"),
+              lit("\""))).otherwise(lit("")),
+            lit("/>"))).otherwise(lit("")),
+          lit("<lcn start=\""), col("l_linenumber").cast("string"),
+          lit("\" end=\""), col("lend").cast("string"),
+          lit("\" score=\""), col("score").cast("string"), lit("\""),
+          when(col("l_suppkey") % 4 =!= 0, concat(
+            lit(" fragments=\""), col("l_linenumber").cast("string"),
+            lit("-"), col("lend").cast("string"), lit("-S\"")))
+            .otherwise(lit("")),
+          when(col("l_suppkey") % 2 === 0, concat(
+            when(col("lib").isin("HAMAP", "PROSITE patterns",
+              "PROSITE profiles"), lit(" alignment=\""))
+              .otherwise(lit(" sequence-feature=\"")),
+            lit("ft"), (col("l_suppkey") % 50).cast("string"), lit("\"")))
+            .otherwise(lit("")),
+          lit("/></match>")))
+        .groupBy(col("l_orderkey"))
+        .agg(concat_ws("", transform(
+          sort_array(collect_list(struct(col("l_linenumber"),
+            col("l_partkey"), col("m")))),
+          r => r("m"))).as("inner"),
+          max(col("lend")).as("maxend"))
+        .select(concat(
+          lit("<protein id=\"UPI"),
+          lpad(col("l_orderkey").cast("string"), 10, "0"),
+          lit("\" length=\""), (col("maxend") + 50).cast("string"),
+          lit("\" crc64=\""), hex(col("l_orderkey") % 100000 * 977),
+          lit("\">"), col("inner"), lit("</protein>")).as("xml"))
+    }),
+
     // iprscan_go (iprscan.py:127-165 _export_go_terms): entry->GO pairs
     // restricted to checked entries, inner-joined against the GO term
     // dictionary — a pair whose term is missing from the dictionary is
@@ -353,6 +520,98 @@ object ExportQueries {
                         || CAST(l_orderkey % 300 AS VARCHAR) AS pathway_id
                FROM lineitem)
          GROUP BY 1""",
+    "relnotes_types" ->
+      """SELECT etype,
+                lpad(upper(substring(replace(etype, '_', ' '), 1, 1))
+                  || substring(replace(etype, '_', ' '), 2), 22, ' ')
+                || ' ' || lpad(CAST(n AS VARCHAR), 6, ' ') AS line
+         FROM (SELECT ['family','domain','repeat','conserved_site',
+                       'homologous_superfamily'][p_partkey % 5 + 1] AS etype,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM part GROUP BY 1)""",
+    "relnotes_members" ->
+      """WITH checked AS (SELECT p_partkey FROM part WHERE p_size % 2 = 0),
+         g AS (
+           SELECT ['Pfam','CDD','PROSITE profiles','SMART','CATH-Gene3D',
+                   'PANTHER','SUPERFAMILY'][s_nationkey % 7 + 1] AS db,
+                  s_suppkey, e.p_partkey AS pk
+           FROM supplier LEFT JOIN checked e ON e.p_partkey = s_suppkey),
+         a AS (SELECT db, CAST(COUNT(*) AS BIGINT) AS sigs,
+                      CAST(COUNT(pk) AS BIGINT) AS integrated,
+                      CAST(MIN(s_suppkey) % 90 AS VARCHAR) || '.0' AS version
+               FROM g GROUP BY 1)
+         SELECT db,
+                lpad(db, 18, ' ') || lpad(version, 12, ' ')
+                || lpad(CAST(sigs AS VARCHAR), 25, ' ')
+                || lpad(CAST(integrated AS VARCHAR), 33, ' ') AS line
+         FROM a""",
+    "relnotes_coverage" ->
+      """SELECT CASE o_orderstatus
+                  WHEN 'F' THEN 'UniProtKB/TrEMBL'
+                  WHEN 'O' THEN 'UniProtKB'
+                  ELSE 'UniProtKB/Swiss-Prot' END AS seqdb,
+                lpad(CAST(n_p AS VARCHAR), 21, ' ') || '    '
+                || lpad(CAST(n_s AS VARCHAR), 9, ' ') || ' ('
+                || CAST(round(n_s * 1000.0 / n_p) / 10.0 AS VARCHAR)
+                || '%)    '
+                || lpad(CAST(n_is AS VARCHAR), 9, ' ') || ' ('
+                || CAST(round(n_is * 1000.0 / n_p) / 10.0 AS VARCHAR)
+                || '%)' AS line
+         FROM (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_p,
+                      CAST(COUNT(CASE WHEN o_custkey % 3 <> 0 THEN 1 END)
+                           AS BIGINT) AS n_s,
+                      CAST(COUNT(CASE WHEN o_custkey % 7 = 0 THEN 1 END)
+                           AS BIGINT) AS n_is
+               FROM orders GROUP BY 1)""",
+    "uniparc_xml" ->
+      """WITH b AS (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                  replace(replace(replace(p_name, '&', '&amp;'),
+                          '<', '&lt;'), '>', '&gt;') AS nm,
+                  CAST(l_quantity AS INT) AS score,
+                  l_linenumber + CAST(floor(l_quantity / 10) AS INT) AS lend,
+                  ['PIRSR','HAMAP','PROSITE patterns','PROSITE profiles',
+                   'PFAM','CDD'][l_partkey % 6 + 1] AS lib
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_partkey % 6 <> 0),
+         m AS (
+           SELECT *,
+                  '<match id="SIG' || CAST(l_partkey AS VARCHAR)
+                  || '" name="' || nm || '" dbname="' || lib
+                  || '" status="T" evd="HMM" model="SIG'
+                  || CAST(l_partkey AS VARCHAR) || '">'
+                  || CASE WHEN l_partkey % 3 = 0
+                       THEN '<ipr id="IPR' || CAST(l_partkey % 500 AS VARCHAR)
+                         || '" name="' || nm || '" type="Family"'
+                         || CASE WHEN l_partkey % 9 = 0
+                              THEN ' parent_id="IPR'
+                                || CAST(l_partkey % 100 AS VARCHAR) || '"'
+                              ELSE '' END
+                         || '/>'
+                       ELSE '' END
+                  || '<lcn start="' || CAST(l_linenumber AS VARCHAR)
+                  || '" end="' || CAST(lend AS VARCHAR)
+                  || '" score="' || CAST(score AS VARCHAR) || '"'
+                  || CASE WHEN l_suppkey % 4 <> 0
+                       THEN ' fragments="' || CAST(l_linenumber AS VARCHAR)
+                         || '-' || CAST(lend AS VARCHAR) || '-S"'
+                       ELSE '' END
+                  || CASE WHEN l_suppkey % 2 = 0
+                       THEN (CASE WHEN lib IN ('HAMAP','PROSITE patterns',
+                                    'PROSITE profiles')
+                               THEN ' alignment="'
+                               ELSE ' sequence-feature="' END)
+                         || 'ft' || CAST(l_suppkey % 50 AS VARCHAR) || '"'
+                       ELSE '' END
+                  || '/></match>' AS mx
+           FROM b)
+         SELECT '<protein id="UPI'
+                || lpad(CAST(l_orderkey AS VARCHAR), 10, '0')
+                || '" length="' || CAST(MAX(lend) + 50 AS VARCHAR)
+                || '" crc64="' || hex(l_orderkey % 100000 * 977) || '">'
+                || string_agg(mx, '' ORDER BY l_linenumber, l_partkey, mx)
+                || '</protein>' AS xml
+         FROM m GROUP BY l_orderkey""",
     "iprscan_go" ->
       """WITH terms AS (
            SELECT 'GO:' || lpad(CAST(n_nationkey AS VARCHAR), 7, '0')

@@ -31,6 +31,21 @@ object StreamQueries {
     child
   }
 
+  /** Hand the drained memory-sink table back to the PARENT session and
+    * drop the child's temp view: the sink's rows are already
+    * driver-resident, so this copies once and then frees the sink —
+    * without it every drain in a long-lived JVM leaks a full table
+    * copy inside its discarded child session.
+    */
+  private def drained(parent: SparkSession, sess: SparkSession,
+                      name: String): DataFrame = {
+    val t = sess.table(name)
+    val out = parent.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    sess.catalog.dropTempView(name)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     // Watermark + 1h tumbling window over the events file stream,
     // drained via AvailableNow into a memory sink. The value sum runs
@@ -47,7 +62,7 @@ object StreamQueries {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      sess.table(name)
+      drained(s, sess, name)
     }),
 
     // Streaming dedup: dropDuplicates keyed on event_id with a
@@ -64,7 +79,7 @@ object StreamQueries {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      sess.table(name)
+      drained(s, sess, name)
     }),
 
     // Stream-stream interval join: click->purchase attribution per
@@ -93,7 +108,7 @@ object StreamQueries {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      sess.table(name).select(col("click_id"), col("purchase_id"),
+      drained(s, sess, name).select(col("click_id"), col("purchase_id"),
         col("c_user").as("user_id"),
         date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
@@ -113,7 +128,7 @@ object StreamQueries {
       val q = sessions.toDF().writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      sess.table(name).select(col("user_id"),
+      drained(s, sess, name).select(col("user_id"),
         date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
         date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss")
