@@ -30,6 +30,9 @@ object DedupQueries {
   private val SimRadius = 3   //   radius <= SimBlocks - 1 (pigeonhole)
   private val BlockCap = 1024 // max docs per edit-distance block
   private val LevMax = 12     // max head edit distance for a near-dup
+  private val TrainHi = 204   // hash-split byte bounds shared with
+  private val EvalLo = 230    //   SampleQueries' split_train_eval:
+                              //   train = hv<204, eval/test = hv>=230
 
   /** Cross-query frames via [[SharedFrames]]: the shingle frame feeds
     * three separate harness queries (jaccard, minhash-LSH, components)
@@ -104,6 +107,18 @@ object DedupQueries {
       .filter(col("jaccard") >= JACC)
       .select("da", "db", "nab", "na", "nb", "jaccard")
   }
+
+  /** (node, component) over the verified near-dup pair graph, computed
+    * once per (session, sf): `dedup_components` reports it and
+    * `dedup_keep_representatives` anti-joins the corpus against it —
+    * in a real pipeline the CC labeling runs once and feeds both.
+    */
+  private def componentsFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "dedup_components") {
+      val sh = shingleFrame(s, d)
+      val pairs = jaccardPairs(sh, postingCandidates(sh)).select(col("da"), col("db"))
+      graft.ops.Graphs.connectedComponents(pairs, "da", "db")
+    }
 
   /** (doc_id, sig) — SimBits-wide SimHash signature per document,
     * shared by the exact-cluster and hamming-radius queries.
@@ -204,10 +219,43 @@ object DedupQueries {
     // connected components via min-label propagation (the dedup
     // endgame — pick one representative per component). O(diameter)
     // keyed shuffles, no driver-side union-find.
-    "dedup_components" -> ((s, d) => {
-      val sh = shingleFrame(s, d)
-      val pairs = jaccardPairs(sh, postingCandidates(sh)).select(col("da"), col("db"))
-      graft.ops.Graphs.connectedComponents(pairs, "da", "db")
+    "dedup_components" -> ((s, d) => componentsFrame(s, d)),
+
+    // Post-dedup corpus assembly: drop every non-representative member
+    // of a near-dup component (the representative is the min-label
+    // node, i.e. the component id itself) and keep everything else.
+    // One anti-join against the duplicate list — the final step every
+    // dedup pipeline actually ships, producing the cleaned corpus.
+    "dedup_keep_representatives" -> ((s, d) => {
+      val dups = componentsFrame(s, d)
+        .filter(col("component") =!= col("node"))
+        .select(col("node").as("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(dups, Seq("doc_id"), "left_anti")
+    }),
+
+    // Train/eval decontamination: flag train-split documents sharing
+    // any N-token shingle with the held-out eval split (the n-gram
+    // overlap check run before every pretraining launch). The eval
+    // shingle set is broadcast — at corpus scale the benchmark side is
+    // tiny (thousands of docs) while train is the 100 TB side, so the
+    // probe rides the train scan with no shuffle; per-doc overlap
+    // counts then aggregate on the already-keyed shingle frame.
+    "dedup_decontaminate" -> ((s, d) => {
+      val hv = TextOps.hexByteValue(
+        md5(concat(lit("split1:"), col("doc_id").cast("string"))))
+      val tagged = shingleFrame(s, d).withColumn("hv", hv)
+      val evalSh = tagged.filter(col("hv") >= EvalLo).select(col("s")).distinct()
+      val train = tagged.filter(col("hv") < TrainHi)
+      val ns = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      // shingleFrame rows are distinct (doc_id, s), so count(*) after
+      // the semi-style probe is the distinct-overlap count
+      val hits = train.join(broadcast(evalSh), Seq("s"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      hits.join(ns, Seq("doc_id"))
+        .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
+          round(col("n_overlap").cast("double") / col("n_shingles"), 6)
+            .as("contamination"))
     }),
 
     // Edit-distance near-dup over document heads: first-token blocking
@@ -376,6 +424,40 @@ object DedupQueries {
             UNION
             SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
           SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a""",
+    "dedup_keep_representatives" ->
+      s"""WITH RECURSIVE $shCte,
+          $postingCandCte
+          pr AS (SELECT da, db, COUNT(*) AS nab FROM m GROUP BY da, db),
+          pairs AS (SELECT da, db FROM pr
+                    JOIN ns x ON da = x.doc_id JOIN ns y ON db = y.doc_id
+                    WHERE round(CAST(nab AS DOUBLE)/(x.n+y.n-nab), 6) >= $JACC),
+          e AS (SELECT da AS a, db AS b FROM pairs
+                UNION SELECT db, da FROM pairs),
+          reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+          comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+          SELECT d.doc_id, d.source FROM documents d
+          WHERE NOT EXISTS (SELECT 1 FROM comp c
+                            WHERE c.node = d.doc_id AND c.component <> c.node)""",
+    "dedup_decontaminate" -> {
+      val hvSql =
+        """(instr('0123456789abcdef',
+              substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef',
+              substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"""
+      s"""WITH $shCte,
+          tagged AS (SELECT doc_id, s, $hvSql AS hv FROM sh),
+          ev AS (SELECT DISTINCT s FROM tagged WHERE hv >= $EvalLo),
+          tr AS (SELECT doc_id, s FROM tagged WHERE hv < $TrainHi),
+          nt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+          hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+                   FROM tr JOIN ev USING (s) GROUP BY doc_id)
+          SELECT doc_id, n_overlap, n_shingles,
+                 round(CAST(n_overlap AS DOUBLE)/n_shingles, 6) AS contamination
+          FROM hits JOIN nt USING (doc_id)"""
+    },
     "dedup_editdistance" ->
       s"""WITH h0 AS (SELECT doc_id, substr(text, 1, 32) AS head,
                              string_split(text, ' ')[1] AS t1

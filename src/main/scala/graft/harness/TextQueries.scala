@@ -155,6 +155,36 @@ object TextQueries {
           Window.orderBy(col("n").desc, col("tok"))))
     }),
 
+    // Repetition quality signals (the Gopher-rule family): duplicate
+    // -token fraction, the share of 2-gram occurrences claimed by the
+    // most frequent 2-gram, and the share of 3-gram occurrences whose
+    // gram repeats within the document. All three are per-doc keyed
+    // aggregations over exploded n-grams — partial aggregation
+    // combines map-side, and nothing ever leaves the doc_id key, so
+    // the shape is flat at corpus scale.
+    "text_repetition" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      def gramCounts(n: Int) = base
+        .select(col("doc_id"), explode(TextOps.shingles(col("toks"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val a2 = gramCounts(2).groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max2"), sum(col("c")).as("n2"))
+      val a3 = gramCounts(3).groupBy(col("doc_id"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
+          sum(col("c")).as("n3"))
+      base.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+        .join(a2, Seq("doc_id")).join(a3, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tok"), 6)
+            .as("dup_tok_frac"),
+          round(col("max2").cast("double") / col("n2"), 6).as("top2_frac"),
+          round(col("dup3").cast("double") / col("n3"), 6).as("dup3_frac"))
+    }),
+
     // BPE-ish token counting: GPT2-style pre-tokenizer regex (letters /
     // digits / punctuation runs with leading-space absorption) next to
     // plain whitespace tokens — the cost-estimation operator of a
@@ -268,6 +298,23 @@ object TextQueries {
                        WHEN quality < 0.3 THEN 'low_quality'
                        WHEN dup_rank > 1 THEN 'duplicate' END IS NULL) AS keep
           FROM ranked""",
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents
+                        WHERE len($sqlToks) >= 3),
+          g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, COUNT(*) AS c
+                 FROM toks, UNNEST(range(1, len(t))) AS u(i) GROUP BY doc_id, g),
+          a2 AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS n2 FROM g2 GROUP BY doc_id),
+          g3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, COUNT(*) AS c
+                 FROM toks, UNNEST(range(1, len(t)-1)) AS u(i) GROUP BY doc_id, g),
+          a3 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+                        SUM(c) AS n3 FROM g3 GROUP BY doc_id),
+          tk AS (SELECT doc_id, len(t) AS n_tok,
+                        len(list_distinct(t)) AS n_distinct FROM toks)
+          SELECT tk.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                 round(1.0 - CAST(n_distinct AS DOUBLE)/n_tok, 6) AS dup_tok_frac,
+                 round(CAST(max2 AS DOUBLE)/n2, 6) AS top2_frac,
+                 round(CAST(dup3 AS DOUBLE)/n3, 6) AS dup3_frac
+          FROM tk JOIN a2 USING (doc_id) JOIN a3 USING (doc_id)""",
     "text_vocab" ->
       s"""WITH f AS (
             SELECT unnest(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS tok
