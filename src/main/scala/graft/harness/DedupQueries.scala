@@ -33,6 +33,7 @@ object DedupQueries {
   private val TrainHi = 204   // hash-split byte bounds shared with
   private val EvalLo = 230    //   SampleQueries' split_train_eval:
                               //   train = hv<204, eval/test = hv>=230
+  private val SpanW = 10      // repeated-substring seed width (tokens)
 
   /** Cross-query frames via [[SharedFrames]]: the shingle frame feeds
     * three separate harness queries (jaccard, minhash-LSH, components)
@@ -258,6 +259,41 @@ object DedupQueries {
             .as("contamination"))
     }),
 
+    // Exact repeated-substring spans (the suffix-array dedup family,
+    // recast for a shuffle engine): every W-token window is a seed;
+    // seeds whose hash occurs more than once globally mark their
+    // window as duplicated text; per document, overlapping/adjacent
+    // duplicated windows condense into maximal spans (the same
+    // interval-islands sweep as `window_islands`). The global seed
+    // census is one keyed agg, the hit probe one keyed join, the
+    // condensation one per-doc window — nothing is pairwise, so the
+    // shape is flat at corpus scale where true suffix arrays are not.
+    "dedup_substring_spans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seeds = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= SpanW)
+        .select(col("doc_id"),
+          posexplode(TextOps.shingles(col("toks"), SpanW)).as(Seq("pos", "g")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+          TextOps.minhashX(col("g")).as("s"))
+      val dupSeeds = seeds.groupBy(col("s"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select(col("s"))
+      val hits = seeds.join(dupSeeds, Seq("s")).select(col("doc_id"), col("p"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val prevEnd = max(col("p") + (SpanW - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      hits
+        .withColumn("__new",
+          when(prevEnd.isNull || col("p") > prevEnd + 1, 1).otherwise(0))
+        .withColumn("__isl", sum(col("__new")).over(w))
+        .groupBy(col("doc_id"), col("__isl"))
+        .agg(min(col("p")).as("span_start"),
+          (max(col("p")) + (SpanW - 1)).as("span_end"),
+          count(lit(1)).as("n_seeds"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_seeds"))
+    }),
+
     // Edit-distance near-dup over document heads: first-token blocking
     // (a typo'd copy almost always keeps the first word) with a
     // hot-block cap — a block of > BlockCap docs is boilerplate, not
@@ -457,6 +493,28 @@ object DedupQueries {
           SELECT doc_id, n_overlap, n_shingles,
                  round(CAST(n_overlap AS DOUBLE)/n_shingles, 6) AS contamination
           FROM hits JOIN nt USING (doc_id)"""
+    },
+    "dedup_substring_spans" -> {
+      val w = SpanW
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                        WHERE len(string_split(text,' ')) >= $w),
+          seeds AS (SELECT doc_id, i AS p,
+                           ('0x' || substr(md5(array_to_string(t[i:i+${w - 1}],' ')), 1, 13))::BIGINT AS s
+                    FROM toks, UNNEST(range(1, len(t)-${w - 2})) AS u(i)),
+          dup AS (SELECT s FROM seeds GROUP BY s HAVING COUNT(*) > 1),
+          hits AS (SELECT doc_id, p FROM seeds JOIN dup USING (s)),
+          mk AS (SELECT doc_id, p,
+                        MAX(p + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                 FROM hits),
+          isl AS (SELECT doc_id, p,
+                         SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY p) AS isl
+                  FROM mk)
+          SELECT doc_id, MIN(p) AS span_start, MAX(p) + ${w - 1} AS span_end,
+                 COUNT(*) AS n_seeds
+          FROM isl GROUP BY doc_id, isl"""
     },
     "dedup_editdistance" ->
       s"""WITH h0 AS (SELECT doc_id, substr(text, 1, 32) AS head,

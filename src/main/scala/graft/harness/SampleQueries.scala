@@ -55,6 +55,28 @@ object SampleQueries {
         .select(col("lang"), col("source"), col("doc_id"), col("hv"), col("rk"))
     }),
 
+    // Temperature-weighted mixture sampling (the data-mixing step of a
+    // pretraining pipeline): per-language keep probability ∝ n^(α-1)
+    // with α=1/2, so over-represented languages are downsampled toward
+    // the smallest one. α=1/2 is deliberate — sqrt is IEEE-exact on
+    // every engine, so the per-stratum threshold (and therefore the
+    // kept id set, not just its size) is bit-reproducible across
+    // Spark and the DuckDB oracle; a free-form pow() would not be.
+    // The per-stratum census is one tiny agg broadcast back onto the
+    // scan — the document side never shuffles.
+    "sample_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+      val weighted = counts.crossJoin(counts.agg(min(col("n_s")).as("n_min")))
+        .select(col("lang"),
+          round(lit(256.0) * sqrt(col("n_min").cast("double") / col("n_s")), 6)
+            .as("thresh"))
+      docs.join(broadcast(weighted), Seq("lang"))
+        .withColumn("hv", hv("mix1"))
+        .filter(col("hv") < col("thresh"))
+        .select(col("doc_id"), col("lang"), col("hv"), col("thresh"))
+    }),
+
     // Stable 3-way split; emits per-split counts and an id checksum so
     // the assignment itself (not just the sizes) is hash-compared.
     "split_train_eval" -> ((s, d) =>
@@ -85,6 +107,15 @@ object SampleQueries {
           FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
                   ORDER BY hv, doc_id) AS rk FROM h)
           WHERE rk <= $StratumK""",
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+          m AS (SELECT MIN(n_s) AS n_min FROM c),
+          t AS (SELECT lang,
+                       round(256.0 * sqrt(CAST(n_min AS DOUBLE) / n_s), 6) AS thresh
+                FROM c, m),
+          h AS (SELECT doc_id, lang, ${hvSql("mix1")} AS hv FROM documents)
+          SELECT doc_id, h.lang, hv, thresh
+          FROM h JOIN t USING (lang) WHERE hv < thresh""",
     "split_train_eval" ->
       s"""WITH h AS (SELECT doc_id, ${hvSql("split1")} AS hv FROM documents)
           SELECT CASE WHEN hv < $TrainHi THEN 'train'
