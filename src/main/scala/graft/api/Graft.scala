@@ -3,7 +3,7 @@ package graft.api
 import graft.intervals.Intervals
 import graft.kernels.{HmmLogo, MatchMerge, MatchPipeline}
 import graft.ops.SignatureHierarchy
-import graft.ops.{Graphs, RelOps, TaxaTree, TextOps, VectorOps}
+import graft.ops.{CorpusOps, Graphs, RelOps, TaxaTree, TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 
 /** The library facade: one import for a user replacing the reference
@@ -122,4 +122,36 @@ object Graft {
   def blockedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                          blockCol: String): DataFrame =
     VectorOps.blockedPairs(df, idCol, vecCol, blockCol)
+
+  // ---- corpus curation (north-star ops)
+
+  /** Gopher-family repetition quality signals per document. */
+  def repetitionSignals(docs: DataFrame, idCol: String, toksCol: String): DataFrame =
+    CorpusOps.repetitionSignals(docs, idCol, toksCol)
+
+  /** Maximal exact repeated-substring spans (suffix-array dedup,
+    * recast as seed census + interval condensation).
+    */
+  def substringSpans(docs: DataFrame, idCol: String, toksCol: String,
+                     w: Int): DataFrame =
+    CorpusOps.substringSpans(docs, idCol, toksCol, w)
+
+  /** Train/eval n-gram decontamination (broadcast eval probe). */
+  def decontaminate(train: DataFrame, evalShingles: DataFrame,
+                    idCol: String, shingleCol: String): DataFrame =
+    CorpusOps.decontaminate(train, evalShingles, idCol, shingleCol)
+
+  /** Temperature (α=1/2) mixture downsampling of over-represented
+    * strata; `hashByte` is a deterministic 0-255 row hash.
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String,
+                        hashByte: Column): DataFrame =
+    CorpusOps.temperatureSample(df, stratumCol, hashByte)
+
+  /** Kept corpus after near-dup clustering (anti-join against non
+    * -representative component members).
+    */
+  def keepRepresentatives(corpus: DataFrame, idCol: String,
+                          components: DataFrame): DataFrame =
+    CorpusOps.keepRepresentatives(corpus, idCol, components)
 }

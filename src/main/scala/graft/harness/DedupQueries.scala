@@ -227,13 +227,10 @@ object DedupQueries {
     // node, i.e. the component id itself) and keep everything else.
     // One anti-join against the duplicate list — the final step every
     // dedup pipeline actually ships, producing the cleaned corpus.
-    "dedup_keep_representatives" -> ((s, d) => {
-      val dups = componentsFrame(s, d)
-        .filter(col("component") =!= col("node"))
-        .select(col("node").as("doc_id"))
-      Tables.documents(s, d).select(col("doc_id"), col("source"))
-        .join(dups, Seq("doc_id"), "left_anti")
-    }),
+    "dedup_keep_representatives" -> ((s, d) =>
+      graft.ops.CorpusOps.keepRepresentatives(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", componentsFrame(s, d))),
 
     // Train/eval decontamination: flag train-split documents sharing
     // any N-token shingle with the held-out eval split (the n-gram
@@ -246,17 +243,12 @@ object DedupQueries {
       val hv = TextOps.hexByteValue(
         md5(concat(lit("split1:"), col("doc_id").cast("string"))))
       val tagged = shingleFrame(s, d).withColumn("hv", hv)
-      val evalSh = tagged.filter(col("hv") >= EvalLo).select(col("s")).distinct()
-      val train = tagged.filter(col("hv") < TrainHi)
-      val ns = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      // shingleFrame rows are distinct (doc_id, s), so count(*) after
-      // the semi-style probe is the distinct-overlap count
-      val hits = train.join(broadcast(evalSh), Seq("s"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      hits.join(ns, Seq("doc_id"))
-        .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
-          round(col("n_overlap").cast("double") / col("n_shingles"), 6)
-            .as("contamination"))
+      // shingleFrame rows are distinct (doc_id, s), so the probe's
+      // count(*) per doc is the distinct-overlap count
+      graft.ops.CorpusOps.decontaminate(
+        tagged.filter(col("hv") < TrainHi).select(col("doc_id"), col("s")),
+        tagged.filter(col("hv") >= EvalLo).select(col("s")),
+        "doc_id", "s")
     }),
 
     // Exact repeated-substring spans (the suffix-array dedup family,
@@ -268,31 +260,11 @@ object DedupQueries {
     // census is one keyed agg, the hit probe one keyed join, the
     // condensation one per-doc window — nothing is pairwise, so the
     // shape is flat at corpus scale where true suffix arrays are not.
-    "dedup_substring_spans" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val seeds = Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= SpanW)
-        .select(col("doc_id"),
-          posexplode(TextOps.shingles(col("toks"), SpanW)).as(Seq("pos", "g")))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-          TextOps.minhashX(col("g")).as("s"))
-      val dupSeeds = seeds.groupBy(col("s"))
-        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select(col("s"))
-      val hits = seeds.join(dupSeeds, Seq("s")).select(col("doc_id"), col("p"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      val prevEnd = max(col("p") + (SpanW - 1))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-      hits
-        .withColumn("__new",
-          when(prevEnd.isNull || col("p") > prevEnd + 1, 1).otherwise(0))
-        .withColumn("__isl", sum(col("__new")).over(w))
-        .groupBy(col("doc_id"), col("__isl"))
-        .agg(min(col("p")).as("span_start"),
-          (max(col("p")) + (SpanW - 1)).as("span_end"),
-          count(lit(1)).as("n_seeds"))
-        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_seeds"))
-    }),
+    "dedup_substring_spans" -> ((s, d) =>
+      graft.ops.CorpusOps.substringSpans(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+        "doc_id", "toks", SpanW)),
 
     // Edit-distance near-dup over document heads: first-token blocking
     // (a typo'd copy almost always keeps the first word) with a

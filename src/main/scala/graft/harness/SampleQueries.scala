@@ -64,18 +64,10 @@ object SampleQueries {
     // Spark and the DuckDB oracle; a free-form pow() would not be.
     // The per-stratum census is one tiny agg broadcast back onto the
     // scan — the document side never shuffles.
-    "sample_temperature" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
-      val weighted = counts.crossJoin(counts.agg(min(col("n_s")).as("n_min")))
-        .select(col("lang"),
-          round(lit(256.0) * sqrt(col("n_min").cast("double") / col("n_s")), 6)
-            .as("thresh"))
-      docs.join(broadcast(weighted), Seq("lang"))
-        .withColumn("hv", hv("mix1"))
-        .filter(col("hv") < col("thresh"))
-        .select(col("doc_id"), col("lang"), col("hv"), col("thresh"))
-    }),
+    "sample_temperature" -> ((s, d) =>
+      graft.ops.CorpusOps.temperatureSample(
+          Tables.documents(s, d), "lang", hv("mix1"))
+        .select(col("doc_id"), col("lang"), col("hv"), col("thresh"))),
 
     // Stable 3-way split; emits per-split counts and an id checksum so
     // the assignment itself (not just the sizes) is hash-compared.

@@ -162,28 +162,11 @@ object TextQueries {
     // aggregations over exploded n-grams — partial aggregation
     // combines map-side, and nothing ever leaves the doc_id key, so
     // the shape is flat at corpus scale.
-    "text_repetition" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
-      def gramCounts(n: Int) = base
-        .select(col("doc_id"), explode(TextOps.shingles(col("toks"), n)).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      val a2 = gramCounts(2).groupBy(col("doc_id"))
-        .agg(max(col("c")).as("max2"), sum(col("c")).as("n2"))
-      val a3 = gramCounts(3).groupBy(col("doc_id"))
-        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
-          sum(col("c")).as("n3"))
-      base.select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tok"),
-          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-        .join(a2, Seq("doc_id")).join(a3, Seq("doc_id"))
-        .select(col("doc_id"), col("n_tok"),
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tok"), 6)
-            .as("dup_tok_frac"),
-          round(col("max2").cast("double") / col("n2"), 6).as("top2_frac"),
-          round(col("dup3").cast("double") / col("n3"), 6).as("dup3_frac"))
-    }),
+    "text_repetition" -> ((s, d) =>
+      graft.ops.CorpusOps.repetitionSignals(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+        "doc_id", "toks")),
 
     // BPE-ish token counting: GPT2-style pre-tokenizer regex (letters /
     // digits / punctuation runs with leading-space absorption) next to

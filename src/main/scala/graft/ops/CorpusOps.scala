@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: repetition
+  * quality signals, exact repeated-substring spans, train/eval
+  * decontamination, temperature mixture sampling, and kept-corpus
+  * assembly. All are generic over the caller's frames/column names;
+  * the harness queries (TextQueries/DedupQueries/SampleQueries) are
+  * thin oracle-checked bindings of these onto the synthetic tables.
+  *
+  * Every shape is keyed — per-document aggregations, keyed joins, one
+  * broadcast census — so nothing here degrades at corpus scale.
+  */
+object CorpusOps {
+
+  /** Gopher-family repetition signals per document over a
+    * pre-tokenized frame `(idCol, toksCol)` (docs with < 3 tokens are
+    * dropped): duplicate-token fraction, the share of 2-gram
+    * occurrences claimed by the most frequent 2-gram, and the share
+    * of 3-gram occurrences whose gram repeats within the document.
+    * Nothing leaves the document key; partial aggregation combines
+    * map-side.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val id = col(idCol)
+    val base = docs.select(id, col(toksCol).as("__toks"))
+      .filter(size(col("__toks")) >= 3)
+    def gramCounts(n: Int) = base
+      .select(id, explode(TextOps.shingles(col("__toks"), n)).as("__g"))
+      .groupBy(id, col("__g")).agg(count(lit(1)).as("__c"))
+    val a2 = gramCounts(2).groupBy(id)
+      .agg(max(col("__c")).as("__max2"), sum(col("__c")).as("__n2"))
+    val a3 = gramCounts(3).groupBy(id)
+      .agg(sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("__dup3"),
+        sum(col("__c")).as("__n3"))
+    base.select(id,
+        size(col("__toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("__toks"))).cast("long").as("__nd"))
+      .join(a2, Seq(idCol)).join(a3, Seq(idCol))
+      .select(id, col("n_tok"),
+        round(lit(1.0) - col("__nd").cast("double") / col("n_tok"), 6)
+          .as("dup_tok_frac"),
+        round(col("__max2").cast("double") / col("__n2"), 6).as("top2_frac"),
+        round(col("__dup3").cast("double") / col("__n3"), 6).as("dup3_frac"))
+  }
+
+  /** Exact repeated-substring spans (the suffix-array dedup family
+    * recast for a shuffle engine) over a pre-tokenized frame: every
+    * `w`-token window is a seed, seeds whose 52-bit hash occurs more
+    * than once globally mark their window as duplicated, and per
+    * document the overlapping/adjacent duplicated windows condense
+    * into maximal spans via the interval-islands sweep. Returns
+    * `(idCol, span_start, span_end, n_seeds)` with 1-based inclusive
+    * token positions.
+    */
+  def substringSpans(docs: DataFrame, idCol: String, toksCol: String,
+                     w: Int): DataFrame = {
+    val id = col(idCol)
+    val seeds = docs.select(id, col(toksCol).as("__toks"))
+      .filter(size(col("__toks")) >= w)
+      .select(id, posexplode(TextOps.shingles(col("__toks"), w))
+        .as(Seq("__pos", "__g")))
+      .select(id, (col("__pos") + 1).cast("long").as("__p"),
+        TextOps.minhashX(col("__g")).as("__s"))
+    val dupSeeds = seeds.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select(col("__s"))
+    val hits = seeds.join(dupSeeds, Seq("__s")).select(id, col("__p"))
+    val win = Window.partitionBy(id).orderBy(col("__p"))
+    val prevEnd = max(col("__p") + (w - 1))
+      .over(win.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__new",
+        when(prevEnd.isNull || col("__p") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(win))
+      .groupBy(id, col("__isl"))
+      .agg(min(col("__p")).as("span_start"),
+        (max(col("__p")) + (w - 1)).as("span_end"),
+        count(lit(1)).as("n_seeds"))
+      .select(id, col("span_start"), col("span_end"), col("n_seeds"))
+  }
+
+  /** Train/eval decontamination over shingle frames: `train` holds
+    * distinct `(idCol, shingleCol)` rows for the training corpus,
+    * `evalShingles` the shingle ids of the held-out benchmark. The
+    * eval side is broadcast — at corpus scale it is the tiny side and
+    * the train scan must not shuffle against it. Returns per
+    * contaminated train document `(idCol, n_overlap, n_shingles,
+    * contamination)`.
+    */
+  def decontaminate(train: DataFrame, evalShingles: DataFrame,
+                    idCol: String, shingleCol: String): DataFrame = {
+    val id = col(idCol)
+    val ns = train.groupBy(id).agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(broadcast(evalShingles.select(col(shingleCol)).distinct()),
+        Seq(shingleCol))
+      .groupBy(id).agg(count(lit(1)).as("n_overlap"))
+    hits.join(ns, Seq(idCol))
+      .select(id, col("n_overlap"), col("n_shingles"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
+  /** Temperature mixture sampling with α = 1/2: per-stratum keep
+    * probability ∝ n^(α-1) = n^(-1/2), normalized so the smallest
+    * stratum keeps everything. `hashByte` must be a deterministic
+    * 0-255 hash of the row id (e.g. TextOps.hexByteValue over a
+    * salted md5). α = 1/2 is deliberate: sqrt is IEEE-exact on every
+    * engine, so the per-stratum threshold — and therefore the kept id
+    * set — is bit-reproducible. The stratum census is one tiny agg
+    * broadcast back onto the scan; the data side never shuffles.
+    * Returns the input rows that survive, plus `hv` and `thresh`.
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String,
+                        hashByte: Column): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n_s"))
+    val weighted = counts.crossJoin(counts.agg(min(col("__n_s")).as("__n_min")))
+      .select(col(stratumCol),
+        round(lit(256.0) * sqrt(col("__n_min").cast("double") / col("__n_s")), 6)
+          .as("thresh"))
+    df.join(broadcast(weighted), Seq(stratumCol))
+      .withColumn("hv", hashByte)
+      .filter(col("hv") < col("thresh"))
+  }
+
+  /** Kept-corpus assembly after near-dup clustering: drop every non
+    * -representative member of a component (the representative is the
+    * min-label node, i.e. the component id itself). `components` is
+    * the `(node, component)` labeling from
+    * [[Graphs.connectedComponents]]; one anti-join against the
+    * duplicate list.
+    */
+  def keepRepresentatives(corpus: DataFrame, idCol: String,
+                          components: DataFrame): DataFrame = {
+    val dups = components.filter(col("component") =!= col("node"))
+      .select(col("node").as(idCol))
+    corpus.join(dups, Seq(idCol), "left_anti")
+  }
+}

@@ -36,6 +36,43 @@ class GraftApiSpec extends SparkSpec {
     assert(joined.count() === 200)
   }
 
+  test("facade corpus curation: spans, repetition, decontaminate, temperature") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x1 x2 w1 w2 w3 w4 y1 y2", "en"),
+      (2L, "z1 z2 w1 w2 w3 w4 z3 z4", "en"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8", "fr")
+    ).toDF("id", "text", "lang")
+      .withColumn("toks", split(col("text"), " "))
+    // docs 1 and 2 share the 4-token run w1..w4 → one span each,
+    // positions 3..6 (1-based), a single merged island of 1 seed at
+    // w=4
+    val spans = Graft.substringSpans(docs, "id", "toks", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 3L, 6L), (2L, 3L, 6L)))
+
+    val rep = Graft.repetitionSignals(
+      Seq((1L, Seq("a", "a", "a", "b"))).toDF("id", "toks"), "id", "toks")
+      .head
+    assert(rep.getLong(1) === 4L)               // n_tok
+    assert(rep.getDouble(2) === 0.5)            // dup_tok_frac: 2 distinct / 4
+    // 2-grams: (a a)x2, (a b) → top2 = 2/3
+    assert(math.abs(rep.getDouble(3) - 2.0 / 3) < 1e-6)
+
+    val sh = docs.select(col("id"), explode(Graft.shingles(col("toks"), 2)).as("s"))
+    val decon = Graft.decontaminate(
+      sh.filter(col("id") =!= 3L), sh.filter(col("id") === 2L).select("s"),
+      "id", "s")
+    // doc 1 shares exactly the 3 shingles inside w1..w4 with doc 2
+    val d1 = decon.filter(col("id") === 1L).head
+    assert(d1.getLong(1) === 3L && d1.getLong(2) === 7L)
+
+    val kept = Graft.temperatureSample(docs, "lang",
+      graft.ops.TextOps.hexByteValue(md5(concat(lit("t:"), col("id")))))
+    // fr is the smallest stratum → thresh 256, always kept
+    assert(kept.filter(col("lang") === "fr").count() === 1L)
+  }
+
   test("facade taxonomy trees") {
     import spark.implicits._
     val taxa = Seq(("R1", null, "domain", "Root"), ("C1", "R1", "species", "Leaf"))
