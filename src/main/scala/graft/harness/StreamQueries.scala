@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.DecimalType
 object StreamQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  // near-dedup LSH geometry — kept identical to DedupQueries'
+  // batch minhash (N/K/BANDS) so the stream flags the same buckets
+  private val NearN = 5
+  private val NearK = 16
+  private val NearBands = 8
+
   /** Dedicated child session for a streaming drain: stateful operators
     * create one state store per shuffle partition, and at drain scale 8
     * stores beat 32 (measured ~2x on the dedup). `newSession()` scopes
@@ -114,6 +120,49 @@ object StreamQueries {
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
     }),
 
+    // Streaming NEAR-dedup: MinHash signatures computed per row with
+    // higher-order functions (no groupBy — a stateless projection
+    // inside the streaming batch), LSH band keys exploded, then a
+    // stateful per-bucket pass (flatMapGroupsWithState) that remembers
+    // each bucket's first-seen (minimum) doc and flags every later
+    // arrival as a near-dup of it. The batch LSH plan shuffles twice
+    // (signature agg + band join); here the only shuffle is the band
+    // -key grouping, and bucket state is one long — the shape a
+    // 100 TB ingest stream needs. At true stream scale the state adds
+    // a TTL timeout/watermark for eviction; the drain keeps NoTimeout.
+    "stream_near_dedup" -> ((s, d) => {
+      val name = "stream_near_dedup_mem"
+      val sess = streamSession(s)
+      import sess.implicits._
+      import graft.ops.TextOps
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val toks = TextOps.tokens(col("text"))
+      val withIds = graft.streaming.DocsStream.readStream(sess, d)
+        .filter(size(toks) >= NearN)
+        // materialize the digested shingle ids ONCE: lambdas get no
+        // CSE, so inlining into the k signature mins would re-hash
+        // every shingle k times
+        .withColumn("__ids",
+          transform(TextOps.shingles(toks, NearN), g => TextOps.minhashX(g)))
+      val sig = withIds.select(
+        col("doc_id") +: TextOps.minhashRowSigs(col("__ids"), NearK): _*)
+      val bands = sig.select(col("doc_id"),
+        explode(TextOps.bandKeys(NearBands, NearK / NearBands)).as("bk"))
+      val pairs = bands.as[(Long, String)].groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+            val ids = rows.map(_._1).toArray.sorted
+            val rep = math.min(state.getOption.getOrElse(Long.MaxValue), ids.head)
+            state.update(rep)
+            ids.iterator.filter(_ != rep).map(id => (id, rep))
+        }.toDF("dup_id", "rep_id")
+      val q = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // a doc collides with the same representative in several bands
+      drained(s, sess, name).distinct()
+    }),
+
     // Custom stateful streaming: gap sessionization per user via
     // flatMapGroupsWithState over the events file stream, drained with
     // AvailableNow (30-minute gap; timestamps as exact micros).
@@ -155,6 +204,26 @@ object StreamQueries {
            ON a.user_id = b.user_id
           AND a.event_type = 'click' AND b.event_type = 'purchase'
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR""",
+    "stream_near_dedup" -> {
+      import graft.ops.TextOps
+      val minhashCols = TextOps.minhashParams(NearK).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"MIN(($a * s + $b) % ${TextOps.MinhashP}) AS h${i + 1}" }
+        .mkString(", ")
+      val bandList = (0 until NearBands)
+        .map(b => s"'$b:' || md5(CAST(h${2 * b + 1} AS VARCHAR) || " +
+          s"CAST(h${2 * b + 2} AS VARCHAR))").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                        WHERE len(string_split(text,' ')) >= $NearN),
+          sh AS (SELECT DISTINCT doc_id,
+                        ('0x' || substr(md5(array_to_string(t[i:i+${NearN - 1}],' ')), 1, 13))::BIGINT AS s
+                 FROM toks, UNNEST(range(1, len(t)-${NearN - 2})) AS u(i)),
+          sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+          bands AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
+          b2 AS (SELECT bk, MIN(doc_id) AS rep FROM bands GROUP BY bk)
+          SELECT DISTINCT a.doc_id AS dup_id, b2.rep AS rep_id
+          FROM bands a JOIN b2 USING (bk) WHERE a.doc_id > b2.rep"""
+    },
     "stream_sessionize" ->
       """WITH l AS (SELECT user_id, ts,
                            CASE WHEN lag(ts) OVER w IS NULL

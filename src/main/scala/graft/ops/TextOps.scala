@@ -68,6 +68,21 @@ object TextOps {
       min((lit(a) * x + lit(b)) % MinhashP).as(s"h${idx + 1}")
     }
 
+  /** Per-row minhash signature columns from a shingle-id ARRAY column
+    * — the stateless form of [[minhashAggs]] for streaming
+    * projections (no groupBy, so it runs inside a streaming batch
+    * with no shuffle). Semantically identical: the min over duplicate
+    * ids equals the min over distinct ids. `ids` must be a
+    * PRE-MATERIALIZED column of [[minhashX]] values — lambdas get no
+    * CSE, so inlining the digest here would re-hash every shingle k
+    * times.
+    */
+  def minhashRowSigs(ids: Column, k: Int): Seq[Column] =
+    minhashParams(k).zipWithIndex.map { case ((a, b), idx) =>
+      array_min(transform(ids, x => (lit(a) * x + lit(b)) % MinhashP))
+        .as(s"h${idx + 1}")
+    }
+
   /** LSH band keys from a minhash signature: band j hashes rows
     * (h_{rj+1}..h_{rj+r}); the band index is embedded so equal hashes
     * in different bands never collide.

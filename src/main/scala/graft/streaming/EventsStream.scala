@@ -36,30 +36,12 @@ object EventsStream {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"),
         col("total_value"))
 
-  /** Open events as a file stream. Spark's file source watches a
-    * DIRECTORY (the inbox pattern — exactly the reference's
-    * `.load`/`.done` sentinel-file handoff, interpro/elastic/
-    * config.py:4-6); the test layout is one file per table in a shared
-    * dir, so the file is staged once into a per-sf inbox under /tmp.
-    * In production the upstream job writes straight into the inbox.
+  /** Open events as a file stream via the [[FileInbox]] staging
+    * pattern (ns timestamps kept as long, then truncated to µs).
     */
   def readStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val inbox = new java.io.File(
-      s"/tmp/graft-stream-inbox-${new java.io.File(dir).getName}")
-    inbox.mkdirs()
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val staged = new java.io.File(inbox, "events.parquet")
-    // re-stage when the source is newer or a different size: a staged
-    // copy left over from a regenerated dataset would silently feed
-    // every streaming query stale rows
-    val stale = !staged.exists() ||
-      java.nio.file.Files.size(src) != staged.length() ||
-      java.nio.file.Files.getLastModifiedTime(src).toMillis > staged.lastModified()
-    if (stale) {
-      java.nio.file.Files.copy(src, staged.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    normalize(spark.readStream.schema(rawSchema).parquet(inbox.getAbsolutePath))
+    normalize(spark.readStream.schema(rawSchema)
+      .parquet(FileInbox.stage(dir, "events")))
   }
 }
