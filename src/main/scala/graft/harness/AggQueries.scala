@@ -267,6 +267,30 @@ object AggQueries {
       Tables.orders(s, d).groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))),
 
+    // Exact per-group quantiles by explicit rank selection: the p-th
+    // quantile is the value at rank ceil(p·n), computed as one sorted
+    // window per group — no interpolation and no sketch, so both
+    // engines return bit-identical values (percentile()'s linear
+    // interpolation and t-digest approximations do not cross-engine).
+    // The ceil is integer arithmetic: ceil(a·n/b) = floor((a·n+b-1)/b).
+    // At scale this is a range-partitioned sort per group key — the
+    // length-distribution report every corpus pipeline prints.
+    "agg_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      val wAll = Window.partitionBy(col("lang"))
+      def atRank(a: Int, b: Int) =
+        max(when(col("rn") ===
+          floor((col("n") * a + (b - 1)) / lit(b)), col("n_chars")))
+      Tables.documents(s, d).select(col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("lang")).agg(
+          max(col("n")).as("n"),
+          atRank(1, 2).as("p50"), atRank(9, 10).as("p90"),
+          atRank(99, 100).as("p99"))
+    }),
+
     // §2.10 typed-Aggregator surface: the reference's copy_dict
     // recursive monoid merge (utils.py:4-18) as a case-class-buffer
     // Aggregator over a typed Dataset — counts add, decimal totals
@@ -496,6 +520,20 @@ object AggQueries {
          FROM lineitem""",
     "agg_histogram" ->
       "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+    "agg_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+                           CAST(row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars) AS BIGINT) AS rn,
+                           COUNT(*) OVER (PARTITION BY lang) AS n
+                    FROM documents)
+         SELECT lang, MAX(n) AS n,
+                MAX(CASE WHEN rn = CAST(floor((n*1 + 1) / 2) AS BIGINT)
+                         THEN n_chars END) AS p50,
+                MAX(CASE WHEN rn = CAST(floor((n*9 + 9) / 10) AS BIGINT)
+                         THEN n_chars END) AS p90,
+                MAX(CASE WHEN rn = CAST(floor((n*99 + 99) / 100) AS BIGINT)
+                         THEN n_chars END) AS p99
+         FROM r GROUP BY lang""",
     "agg_typed_monoid" ->
       """SELECT c_nationkey,
                 '{"n":' || COUNT(*) ||
