@@ -74,6 +74,42 @@ object MultimodalQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), col("text").cast("binary").as("blob")), 4)),
 
+    // Perceptual near-dup over the binary payload: 64-bit block-mean
+    // hash per blob (the pHash family — kernel in
+    // Multimodal.perceptualHash, pure integer byte math so the oracle
+    // reproduces it), then the same pigeonhole block join as SimHash:
+    // any pair within hamming radius 3 must agree on one of 4 16-bit
+    // blocks, so a per-block equi-join finds ALL such pairs with no
+    // all-pairs comparison, verified by the native hamming_bits
+    // codegen expression. The payload is canonicalized FIRST (the
+    // normalize-before-pHash step every image pipeline runs —
+    // per-pixel normalization there, sorted token bytes here): the
+    // hash is positional, so without canonicalization re-orderings of
+    // the same content land far apart (measured min distance 9 on raw
+    // bytes vs 0 on canonical bytes for this corpus's planted dups).
+    "multimodal_phash" -> ((s, d) => {
+      val sig = Multimodal.perceptualHash(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
+              .cast("binary").as("blob"))
+          .filter(length(col("blob")) > 0))
+      val blocks = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b =>
+          concat(lit(s"$b:"), substring(col("sig"), 1 + b * 16, 16))): _*))
+        .as("bk"))
+      val cand = blocks.select(col("doc_id").as("da"), col("bk"))
+        .join(blocks.select(col("doc_id").as("db"), col("bk").as("__bk2")),
+          col("bk") === col("__bk2") && col("da") < col("db"))
+        .select("da", "db").distinct()
+      cand
+        .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))
+        .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), Seq("db"))
+        .withColumn("dist", call_function("hamming_bits", col("siga"), col("sigb")))
+        .filter(col("dist") <= 3)
+        .select("da", "db", "siga", "sigb", "dist")
+    }),
+
     // F11: gzip codec roundtrip through the custom GzipCompress /
     // GzipDecompress expressions (reference gzips sequences/HMM blobs,
     // interpro/oracle/proteins.py:68). The compressed bytes are
@@ -150,6 +186,45 @@ object MultimodalQueries {
                  CAST(SUM(byte) % 1000 AS BIGINT) AS checksum
           FROM f GROUP BY doc_id, frame_no""",
     "fn_gzip_roundtrip" ->
-      """SELECT doc_id, text, TRUE AS compressed_ok FROM documents"""
+      """SELECT doc_id, text, TRUE AS compressed_ok FROM documents""",
+    "multimodal_phash" -> {
+      val blockList = (0 until 4)
+        .map(b => s"'$b:' || substr(sig, ${1 + b * 16}, 16)").mkString(", ")
+      val dist = (1 to 64)
+        .map(i => s"CASE WHEN substr(sa.sig,$i,1) = substr(sb.sig,$i,1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH canon AS (SELECT doc_id,
+                 array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+                   AS text
+               FROM documents),
+          b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+                FROM canon WHERE octet_length(encode(text)) > 0),
+          pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p
+                  FROM b, UNNEST(range(0, n)) AS u(p)),
+          by_b AS (SELECT pos.doc_id, (p * 64) // n AS bkt,
+                          SUM(ascii(substring(text, p + 1, 1))) AS s,
+                          COUNT(*) AS c
+                   FROM pos JOIN b USING (doc_id) GROUP BY pos.doc_id, (p * 64) // n),
+          tot AS (SELECT doc_id, SUM(s) AS ts, SUM(c) AS nb FROM by_b GROUP BY doc_id),
+          allb AS (SELECT doc_id, CAST(g.b AS BIGINT) AS bkt
+                   FROM b, UNNEST(range(0, 64)) AS g(b)),
+          bits AS (SELECT a.doc_id, a.bkt,
+                          CASE WHEN COALESCE(x.s, 0) * t.nb > t.ts * COALESCE(x.c, 0)
+                               THEN '1' ELSE '0' END AS bit
+                   FROM allb a
+                   LEFT JOIN by_b x ON a.doc_id = x.doc_id AND a.bkt = x.bkt
+                   JOIN tot t ON a.doc_id = t.doc_id),
+          sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY bkt) AS sig
+                  FROM bits GROUP BY doc_id),
+          blocks AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM blocks a JOIN blocks b
+                     ON a.bk = b.bk AND a.doc_id < b.doc_id)
+          SELECT da, db, sa.sig AS siga, sb.sig AS sigb,
+                 CAST($dist AS BIGINT) AS dist
+          FROM cand JOIN sig sa ON da = sa.doc_id
+                    JOIN sig sb ON db = sb.doc_id
+          WHERE $dist <= 3"""
+    }
   )
 }

@@ -123,6 +123,48 @@ object Multimodal {
     * shuffle; input columns (doc_id, blob). The partition boundary is
     * where a real decoder would amortize codec/model initialization.
     */
+  /** (doc_id, sig) — 64-bit block-mean perceptual hash as a '0'/'1'
+    * string: the blob is split into 64 positional buckets and bit b is
+    * set iff bucket b's byte mean exceeds the whole-blob mean (the
+    * pHash/blockhash family; a real implementation hashes decoded
+    * pixel blocks — this hashes the canonical byte stream, same
+    * plumbing). The mean comparison is cross-multiplied so the kernel
+    * is pure integer math (sum_b·n > total·cnt_b) and the SQL oracle
+    * reproduces it exactly. Empty blobs must be filtered upstream.
+    */
+  case class PHash(doc_id: Long, sig: String)
+
+  def perceptualHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    implicit val enc = org.apache.spark.sql.Encoders.product[PHash]
+    df.select("doc_id", "blob").as(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions(_.map { case (id, blob) =>
+        val bytes = if (blob == null) Array.empty[Byte] else blob
+        val n = bytes.length
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var tot = 0L
+        var p = 0
+        while (p < n) {
+          val b = (p.toLong * 64 / n).toInt
+          val v = java.lang.Byte.toUnsignedInt(bytes(p))
+          sums(b) += v; cnts(b) += 1; tot += v
+          p += 1
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var b = 0
+        while (b < 64) {
+          sb.append(if (sums(b) * n > tot * cnts(b)) '1' else '0')
+          b += 1
+        }
+        PHash(id, sb.toString)
+      })
+      .toDF()
+  }
+
   def decodeFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
