@@ -154,4 +154,11 @@ object Graft {
   def keepRepresentatives(corpus: DataFrame, idCol: String,
                           components: DataFrame): DataFrame =
     CorpusOps.keepRepresentatives(corpus, idCol, components)
+
+  /** 64-bit block-mean perceptual hash over a `(doc_id, blob)` frame
+    * (canonicalize the payload first; pair with a pigeonhole hamming
+    * join for near-dup candidates).
+    */
+  def perceptualHash(df: DataFrame): DataFrame =
+    graft.ops.Multimodal.perceptualHash(df)
 }
