@@ -1,0 +1,146 @@
+package graft
+
+import graft.api.Graft
+import graft.ops.{CorpusOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-data curation run as one Spark application — the
+  * LLM-pipeline counterpart of [[ReleasePipeline]]: quality filter →
+  * exact-dup demotion → MinHash-LSH near-dedup → representative
+  * selection → eval-split decontamination → temperature mixture
+  * sampling → per-language stats, with the final corpus written both
+  * as parquet and as a graftkv sorted log keyed by doc_id (the
+  * serving-side handoff). Every stage checkpoints to parquet so a
+  * restart resumes at stage granularity, exactly like the release
+  * build. Composed entirely from the public library surface
+  * (Graft facade + CorpusOps). Run: `graft.CorpusPipeline <sfDir>
+  * <outDir>`.
+  */
+object CorpusPipeline {
+
+  private val ShingleN = 5
+  private val MinhashK = 16
+  private val Bands = 8
+  private val Jacc = 0.5
+  private val EvalLo = 230     // hash byte >= 230 → held-out split
+  private val DeconThresh = 0.2
+
+  private def hashByte(salt: String) =
+    TextOps.hexByteValue(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))))
+
+  /** Returns per-stage row counts, in build order. */
+  def build(spark: SparkSession, sfDir: String, outDir: String): Seq[(String, Long)] = {
+    def checkpoint(name: String, df: DataFrame): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.read.parquet(s"$outDir/$name")
+    }
+    val stages = Seq.newBuilder[(String, Long)]
+    def stage(name: String)(df: DataFrame): DataFrame = {
+      val out = checkpoint(name, df)
+      stages += name -> out.count()
+      out
+    }
+
+    val raw = Tables.documents(spark, sfDir)
+    stages += "corpus_raw" -> raw.count()
+
+    // 1. composed quality filter (length prior, stopword density,
+    //    quality score, exact-dup demotion) — the oracle-checked
+    //    text_filter_pipeline decision applied to the corpus
+    val decisions = harness.TextQueries.queries("text_filter_pipeline")(spark, sfDir)
+    val filtered = stage("corpus_filtered")(
+      raw.join(decisions.filter(col("keep")).select(col("doc_id")), Seq("doc_id")))
+
+    // 2. near-dedup: shingle → signature → LSH candidates → exact
+    //    Jaccard verify → connected components → keep one
+    //    representative per component
+    val toks = filtered
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val sh = checkpoint("shingles",
+      CorpusOps.shingleFrame(toks, "doc_id", "toks", ShingleN))
+    val sig = CorpusOps.minhashSignatures(sh, "doc_id", MinhashK)
+    val pairs = stage("neardup_pairs")(
+      CorpusOps.jaccardVerify(sh,
+        CorpusOps.lshCandidates(sig, "doc_id", Bands, MinhashK / Bands),
+        "doc_id", Jacc))
+    val comps = Graft.connectedComponents(
+      pairs.select(col("da"), col("db")), "da", "db")
+    val kept = stage("corpus_deduped")(
+      Graft.keepRepresentatives(filtered, "doc_id", comps))
+
+    // 3. decontamination: drop train-split docs sharing too many
+    //    shingles with the held-out split (the eval side broadcasts)
+    val tagged = sh.withColumn("hv", hashByte("split1"))
+    val contaminated = stage("contaminated")(
+      Graft.decontaminate(
+          tagged.filter(col("hv") < EvalLo).select(col("doc_id"), col("s")),
+          tagged.filter(col("hv") >= EvalLo).select(col("s")),
+          "doc_id", "s")
+        .filter(col("contamination") >= DeconThresh))
+    val clean = stage("corpus_clean")(
+      kept.join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+
+    // 4. temperature mixture sampling over languages
+    val sampled = stage("corpus_sampled")(
+      Graft.temperatureSample(clean, "lang", hashByte("mix1"))
+        .drop("hv", "thresh"))
+
+    // 5. per-language report: doc counts + exact length quantiles +
+    //    mean repetition signals over the FINAL corpus
+    val rep = Graft.repetitionSignals(
+      sampled.select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("toks")), "doc_id", "toks")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    val wAll = Window.partitionBy(col("lang"))
+    def atRank(a: Int, b: Int) =
+      max(when(col("rn") === floor((col("n") * a + (b - 1)) / lit(b)),
+        col("n_chars")))
+    val quantiles = sampled.select(col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("lang")).agg(max(col("n")).as("n_docs"),
+        atRank(1, 2).as("p50_chars"), atRank(9, 10).as("p90_chars"))
+    stage("corpus_stats")(
+      quantiles.join(
+        sampled.select(col("doc_id"), col("lang"))
+          .join(rep, Seq("doc_id"))
+          .groupBy(sampled("lang"))
+          .agg(round(avg(col("dup_tok_frac")), 6).as("mean_dup_tok_frac"),
+            round(avg(col("top2_frac")), 6).as("mean_top2_frac")),
+        Seq("lang")))
+
+    // 6. serving handoff: the final corpus as a graftkv sorted log
+    //    keyed by doc_id (point lookups prune to one bucket)
+    // the first column is the graftkv sort/index key (string-typed;
+    // zero-pad so lexicographic bucket ranges follow numeric id order)
+    sampled.select(lpad(col("doc_id").cast("string"), 12, "0").as("k"),
+        col("text"), col("lang"), col("source"))
+      .write.format("graftkv").option("bucketsize", 1024)
+      .mode("overwrite").save(s"$outDir/corpus_kv")
+    stages += "corpus_kv" ->
+      spark.read.format("graftkv").load(s"$outDir/corpus_kv").count()
+
+    stages.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-corpus"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val stages = build(spark, sfDir, outDir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val stageJson = stages.map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}")
+    println(s"""{"pipeline":"corpus","sf":"$sfDir","sec":$secs,"stages":$stageJson}""")
+    spark.stop()
+  }
+}

@@ -56,16 +56,14 @@ object DedupQueries {
     */
   private def shingleFrame(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "shingles") {
-      // tokens materialize as a column BEFORE the shingle lambda: inlining
-      // the split into the transform() re-evaluates it per shingle
-      // position (O(tokens^2) per doc — profiled 3x slower)
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= N)
-        .select(col("doc_id"),
-          explode(TextOps.shingles(col("toks"), N)).as("sraw"))
-        .select(col("doc_id"), TextOps.minhashX(col("sraw")).as("s"))
-        .distinct()
+      // tokens materialize as a column BEFORE the shingle lambda
+      // (inlining the split into the transform() re-evaluates it per
+      // shingle position — O(tokens^2) per doc, profiled 3x slower);
+      // the op itself lives in CorpusOps.shingleFrame
+      graft.ops.CorpusOps.shingleFrame(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+        "doc_id", "toks", N)
     }
 
   /** Candidate (da, db) pairs from the shingle inverted index, with a
@@ -89,25 +87,11 @@ object DedupQueries {
   }
 
   /** (da, db, nab, na, nb, jaccard) for the given candidate pairs,
-    * verified exactly over the full (uncapped) shingle frame.
+    * verified exactly over the full (uncapped) shingle frame
+    * (CorpusOps.jaccardVerify at this module's threshold).
     */
-  private def jaccardPairs(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val ns = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("da"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("s").as("__sb"))
-    // disambiguate: the candidate pair's right id joins b's id, then
-    // the surviving column is renamed back to db for the groupBy
-    val matched = cand.select(col("da"), col("db").as("__db"))
-      .join(a, Seq("da"))
-      .join(b, col("s") === col("__sb") && col("__db") === col("db"))
-    matched.groupBy(col("da"), col("db")).agg(count(lit(1)).as("nab"))
-      .join(ns.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(ns.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-      .withColumn("jaccard",
-        round(col("nab").cast("double") / (col("na") + col("nb") - col("nab")), 6))
-      .filter(col("jaccard") >= JACC)
-      .select("da", "db", "nab", "na", "nb", "jaccard")
-  }
+  private def jaccardPairs(sh: DataFrame, cand: DataFrame): DataFrame =
+    graft.ops.CorpusOps.jaccardVerify(sh, cand, "doc_id", JACC)
 
   /** (node, component) over the verified near-dup pair graph, computed
     * once per (session, sf): `dedup_components` reports it and
@@ -165,16 +149,10 @@ object DedupQueries {
       val sig = cachedFrame(s, d, "minhash_sig") {
         // the shingle id IS the 52-bit hash — the k min aggs are pure
         // multiply-add arithmetic, no digest work at all
-        val aggs = TextOps.minhashAggs(col("s"), K)
-        sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        graft.ops.CorpusOps.minhashSignatures(sh, "doc_id", K)
       }
-      val bands = sig.select(col("doc_id"),
-        explode(TextOps.bandKeys(BANDS, K / BANDS)).as("bk"))
-      val cand = bands.select(col("doc_id").as("da"), col("bk"))
-        .join(bands.select(col("doc_id").as("db"), col("bk").as("__bk2")),
-          col("bk") === col("__bk2") && col("da") < col("db"))
-        .select("da", "db").distinct()
-      jaccardPairs(sh, cand)
+      jaccardPairs(sh,
+        graft.ops.CorpusOps.lshCandidates(sig, "doc_id", BANDS, K / BANDS))
     }),
 
     // SimHash: 16-bit signature from md5-digit parities; exact-signature

@@ -82,6 +82,65 @@ object CorpusOps {
       .select(id, col("span_start"), col("span_end"), col("n_seeds"))
   }
 
+  /** Distinct `(idCol, shingle-id)` rows for documents with at least
+    * `n` tokens: shingles are hashed to 52-bit ints AT THE SOURCE so
+    * every downstream shuffle/join moves 8-byte ints, and the minhash
+    * family consumes the id directly (one digest per shingle total).
+    */
+  def shingleFrame(docs: DataFrame, idCol: String, toksCol: String,
+                   n: Int): DataFrame =
+    docs.select(col(idCol), col(toksCol).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(TextOps.shingles(col("__toks"), n)).as("__g"))
+      .select(col(idCol), TextOps.minhashX(col("__g")).as("s"))
+      .distinct()
+
+  /** MinHash signature frame `(idCol, h1..hk)` over a shingle frame —
+    * one keyed agg of k multiply-add mins.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = TextOps.minhashAggs(col("s"), k)
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs `(da, db)` from a signature frame: explode
+    * band keys, self-join per bucket — only documents sharing a band
+    * bucket ever meet, which is what replaces the quadratic all-pairs
+    * comparison at corpus scale.
+    */
+  def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
+                    rowsPerBand: Int): DataFrame = {
+    val bs = sig.select(col(idCol),
+      explode(TextOps.bandKeys(bands, rowsPerBand)).as("__bk"))
+    bs.select(col(idCol).as("da"), col("__bk"))
+      .join(bs.select(col(idCol).as("db"), col("__bk").as("__bk2")),
+        col("__bk") === col("__bk2") && col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs over the full
+    * shingle frame: `(da, db, nab, na, nb, jaccard)` for pairs at or
+    * above `thresh`. All joins are keyed on document ids.
+    */
+  def jaccardVerify(sh: DataFrame, cand: DataFrame, idCol: String,
+                    thresh: Double): DataFrame = {
+    val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col(idCol).as("da"), col("s"))
+    val b = sh.select(col(idCol).as("db"), col("s").as("__sb"))
+    // disambiguate: the candidate pair's right id joins b's id, then
+    // the surviving column is renamed back to db for the groupBy
+    val matched = cand.select(col("da"), col("db").as("__db"))
+      .join(a, Seq("da"))
+      .join(b, col("s") === col("__sb") && col("__db") === col("db"))
+    matched.groupBy(col("da"), col("db")).agg(count(lit(1)).as("nab"))
+      .join(ns.select(col(idCol).as("da"), col("__n").as("na")), Seq("da"))
+      .join(ns.select(col(idCol).as("db"), col("__n").as("nb")), Seq("db"))
+      .withColumn("jaccard",
+        round(col("nab").cast("double") / (col("na") + col("nb") - col("nab")), 6))
+      .filter(col("jaccard") >= thresh)
+      .select("da", "db", "nab", "na", "nb", "jaccard")
+  }
+
   /** Train/eval decontamination over shingle frames: `train` holds
     * distinct `(idCol, shingleCol)` rows for the training corpus,
     * `evalShingles` the shingle ids of the held-out benchmark. The
