@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.CorpusOps
+import org.apache.spark.sql.functions._
+
+/** Property net for the corpus-curation operators: the distributed
+  * implementations must agree with independent brute-force Scala
+  * reference implementations on seeded pseudo-random corpora
+  * (deterministic LCG — no java.util.Random, so failures replay).
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  // deterministic token streams: small vocabulary + planted repeats
+  private def docs(nDocs: Int, seed: Long): Seq[(Long, Seq[String])] = {
+    var x = seed
+    def next(bound: Int): Int = {
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      (((x >>> 33) % bound).toInt + bound) % bound
+    }
+    val vocab = (0 until 12).map(i => s"w$i")
+    (0 until nDocs).map { id =>
+      val n = 8 + next(40)
+      val base = Seq.fill(n)(vocab(next(vocab.size)))
+      // plant a shared run in half the docs so repeated spans exist
+      val toks =
+        if (id % 2 == 0) base.take(3) ++ (0 until 12).map(i => s"r$i") ++ base.drop(3)
+        else base
+      (id.toLong, toks)
+    }
+  }
+
+  test("substringSpans matches a brute-force span merge") {
+    val w = 4
+    val corpus = docs(40, seed = 7)
+    // brute force: census of every w-window, then per-doc merge of
+    // duplicated window positions into maximal spans
+    val census = collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, t) <- corpus; i <- 0 to t.size - w)
+      census.updateWith(t.slice(i, i + w))(c => Some(c.getOrElse(0) + 1))
+    val expected = (for ((id, t) <- corpus) yield {
+      val hits = (0 to t.size - w).filter(i => census(t.slice(i, i + w)) > 1)
+      val spans = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      for (p <- hits) {
+        val (s1, e1) = (p + 1L, p + w.toLong) // 1-based inclusive
+        spans.lastOption match {
+          case Some((s0, e0, n0)) if s1 <= e0 + 1 =>
+            spans(spans.size - 1) = (s0, math.max(e0, e1), n0 + 1)
+          case _ => spans += ((s1, e1, 1L))
+        }
+      }
+      spans.map { case (s1, e1, n1) => (id, s1, e1, n1) }
+    }).flatten.toSet
+
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "toks")
+    val got = CorpusOps.substringSpans(df, "doc_id", "toks", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("repetitionSignals matches brute-force fractions") {
+    val corpus = docs(30, seed = 13)
+    import spark.implicits._
+    val got = CorpusOps.repetitionSignals(
+        corpus.toDF("doc_id", "toks"), "doc_id", "toks")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    def round6(d: Double) = math.round(d * 1e6) / 1e6
+    for ((id, t) <- corpus if t.size >= 3) {
+      val g2 = t.sliding(2).map(_.mkString(" ")).toSeq
+      val g3 = t.sliding(3).map(_.mkString(" ")).toSeq
+      val c2 = g2.groupBy(identity).values.map(_.size)
+      val c3 = g3.groupBy(identity).values.map(_.size)
+      val (nTok, dupF, top2, dup3) = got(id)
+      assert(nTok === t.size.toLong)
+      assert(dupF === round6(1.0 - t.distinct.size.toDouble / t.size))
+      assert(top2 === round6(c2.max.toDouble / g2.size))
+      assert(dup3 === round6(c3.filter(_ > 1).sum.toDouble / g3.size))
+    }
+  }
+
+  test("decontaminate counts distinct shared shingles exactly") {
+    val corpus = docs(30, seed = 29)
+    import spark.implicits._
+    val sh = CorpusOps.shingleFrame(corpus.toDF("doc_id", "toks"),
+      "doc_id", "toks", 5)
+    val train = sh.filter(col("doc_id") % 3 =!= 0)
+    val ev = sh.filter(col("doc_id") % 3 === 0).select(col("s"))
+    val got = CorpusOps.decontaminate(train, ev, "doc_id", "s")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // brute force over hashed-free shingle STRINGS (the 52-bit hash is
+    // injective here with overwhelming probability; counts must agree)
+    def shset(t: Seq[String]) = t.sliding(5).map(_.mkString(" ")).toSet
+    val evalSet = corpus.filter(_._1 % 3 == 0).flatMap(d => shset(d._2)).toSet
+    for ((id, t) <- corpus if id % 3 != 0 && t.size >= 5) {
+      val mine = shset(t)
+      val overlap = (mine & evalSet).size.toLong
+      if (overlap > 0) {
+        assert(got(id) === ((overlap, mine.size.toLong)), s"doc $id")
+      } else assert(!got.contains(id), s"doc $id should be absent")
+    }
+  }
+}
