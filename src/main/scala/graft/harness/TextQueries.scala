@@ -168,6 +168,25 @@ object TextQueries {
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
         "doc_id", "toks")),
 
+    // Rare-token density: mean corpus document-frequency of a doc's
+    // distinct tokens (the log-prob-free analogue of LM-perplexity
+    // quality filtering — OOV/rare-token-heavy docs score low and are
+    // noise candidates; logs are avoided deliberately because ln() is
+    // not correctly-rounded identically across engines, while integer
+    // df sums and one final division are). Census is one keyed agg
+    // over exploded distinct tokens; scoring is a keyed join back.
+    "text_rarity" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("t"))
+      val df = tok.groupBy(col("t")).agg(count(lit(1)).as("tdf"))
+      tok.join(df, Seq("t"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_tok"),
+          round(sum(col("tdf")).cast("double") / count(lit(1)), 6)
+            .as("mean_tdf"))
+    }),
+
     // BPE-ish token counting: GPT2-style pre-tokenizer regex (letters /
     // digits / punctuation runs with leading-space absorption) next to
     // plain whitespace tokens — the cost-estimation operator of a
@@ -281,6 +300,13 @@ object TextQueries {
                        WHEN quality < 0.3 THEN 'low_quality'
                        WHEN dup_rank > 1 THEN 'duplicate' END IS NULL) AS keep
           FROM ranked""",
+    "text_rarity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($sqlToks)) AS t
+                       FROM documents),
+          df AS (SELECT t, COUNT(*) AS tdf FROM tok GROUP BY t)
+          SELECT doc_id, COUNT(*) AS n_distinct_tok,
+                 round(CAST(SUM(tdf) AS DOUBLE) / COUNT(*), 6) AS mean_tdf
+          FROM tok JOIN df USING (t) GROUP BY doc_id""",
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents
                         WHERE len($sqlToks) >= 3),
