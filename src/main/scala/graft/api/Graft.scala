@@ -136,6 +136,13 @@ object Graft {
                      w: Int): DataFrame =
     CorpusOps.substringSpans(docs, idCol, toksCol, w)
 
+  /** Cut repeated spans (from [[substringSpans]]) out of documents —
+    * the action step of exact-substring dedup.
+    */
+  def removeSpans(docs: DataFrame, idCol: String, toksCol: String,
+                  spans: DataFrame): DataFrame =
+    CorpusOps.removeSpans(docs, idCol, toksCol, spans)
+
   /** Train/eval n-gram decontamination (broadcast eval probe). */
   def decontaminate(train: DataFrame, evalShingles: DataFrame,
                     idCol: String, shingleCol: String): DataFrame =

@@ -244,6 +244,18 @@ object DedupQueries {
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
         "doc_id", "toks", SpanW)),
 
+    // The action step of exact-substring dedup: cut every repeated
+    // span out of the document. The span list folds back per doc as
+    // one keyed collect_list and the cut is a per-row higher-order
+    // filter over token positions — the corpus is never shuffled a
+    // second time.
+    "dedup_substring_rewrite" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      graft.ops.CorpusOps.removeSpans(docs, "doc_id", "toks",
+        graft.ops.CorpusOps.substringSpans(docs, "doc_id", "toks", SpanW))
+    }),
+
     // Edit-distance near-dup over document heads: first-token blocking
     // (a typo'd copy almost always keeps the first word) with a
     // hot-block cap — a block of > BlockCap docs is boilerplate, not
@@ -465,6 +477,43 @@ object DedupQueries {
           SELECT doc_id, MIN(p) AS span_start, MAX(p) + ${w - 1} AS span_end,
                  COUNT(*) AS n_seeds
           FROM isl GROUP BY doc_id, isl"""
+    },
+    "dedup_substring_rewrite" -> {
+      val w = SpanW
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                        WHERE len(string_split(text,' ')) >= $w),
+          seeds AS (SELECT doc_id, i AS p,
+                           ('0x' || substr(md5(array_to_string(t[i:i+${w - 1}],' ')), 1, 13))::BIGINT AS s
+                    FROM toks, UNNEST(range(1, len(t)-${w - 2})) AS u(i)),
+          dup AS (SELECT s FROM seeds GROUP BY s HAVING COUNT(*) > 1),
+          hits AS (SELECT doc_id, p FROM seeds JOIN dup USING (s)),
+          mk AS (SELECT doc_id, p,
+                        MAX(p + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                 FROM hits),
+          isl AS (SELECT doc_id, p,
+                         SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY p) AS isl
+                  FROM mk),
+          spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + ${w - 1} AS e
+                    FROM isl GROUP BY doc_id, isl),
+          alltok AS (SELECT doc_id, CAST(u.i AS BIGINT) AS p, t[i] AS tok
+                     FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+          removed AS (SELECT DISTINCT a.doc_id, a.p
+                      FROM alltok a JOIN spans sp
+                        ON a.doc_id = sp.doc_id AND a.p BETWEEN sp.s AND sp.e),
+          agg AS (SELECT a.doc_id,
+                         SUM(CASE WHEN r.p IS NULL THEN 0 ELSE 1 END) AS n_removed,
+                         string_agg(CASE WHEN r.p IS NULL THEN a.tok END,
+                                    ' ' ORDER BY a.p) AS new_text
+                  FROM alltok a
+                  LEFT JOIN removed r ON a.doc_id = r.doc_id AND a.p = r.p
+                  GROUP BY a.doc_id)
+          SELECT d.doc_id, CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed_tok,
+                 CASE WHEN a.doc_id IS NULL THEN d.text
+                      ELSE COALESCE(a.new_text, '') END AS new_text
+          FROM documents d LEFT JOIN agg a USING (doc_id)"""
     },
     "dedup_editdistance" ->
       s"""WITH h0 AS (SELECT doc_id, substr(text, 1, 32) AS head,

@@ -141,6 +141,32 @@ object CorpusOps {
       .select("da", "db", "nab", "na", "nb", "jaccard")
   }
 
+  /** Rewrite documents with their repeated spans cut out — the action
+    * step of exact-substring dedup (keep one copy globally is the
+    * caller's policy choice; this removes every marked span). `spans`
+    * is [[substringSpans]] output. The span list per document is tiny
+    * (a handful of intervals), so it folds back as one keyed
+    * collect_list and the cut is a per-row higher-order filter over
+    * token positions — no second shuffle of the corpus.
+    */
+  def removeSpans(docs: DataFrame, idCol: String, toksCol: String,
+                  spans: DataFrame): DataFrame = {
+    val spanList = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    docs.join(spanList, Seq(idCol), "left_outer")
+      .select(col(idCol), col(toksCol).as("__toks"), col("__spans"))
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (t, i) =>
+            !exists(col("__spans"), sp =>
+              i + 1 >= sp.getField("s") && i + 1 <= sp.getField("e")))))
+      .select(col(idCol),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed_tok"),
+        concat_ws(" ", col("__kept")).as("new_text"))
+  }
+
   /** Train/eval decontamination over shingle frames: `train` holds
     * distinct `(idCol, shingleCol)` rows for the training corpus,
     * `evalShingles` the shingle ids of the held-out benchmark. The

@@ -53,10 +53,24 @@ class CorpusOpsSpec extends SparkSpec {
 
     import spark.implicits._
     val df = corpus.toDF("doc_id", "toks")
-    val got = CorpusOps.substringSpans(df, "doc_id", "toks", w)
+    val spansDf = CorpusOps.substringSpans(df, "doc_id", "toks", w)
+    val got = spansDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(got === expected)
+
+    // removeSpans must keep exactly the tokens outside the spans
+    val rewritten = CorpusOps.removeSpans(df, "doc_id", "toks", spansDf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val spansByDoc = expected.groupBy(_._1)
+    for ((id, t) <- corpus) {
+      val sp = spansByDoc.getOrElse(id, Set.empty)
+      val kept = t.zipWithIndex.collect {
+        case (tok, i) if !sp.exists(s => i + 1 >= s._2 && i + 1 <= s._3) => tok
+      }
+      assert(rewritten(id) === ((t.size - kept.size).toLong, kept.mkString(" ")),
+        s"doc $id")
+    }
   }
 
   test("repetitionSignals matches brute-force fractions") {
