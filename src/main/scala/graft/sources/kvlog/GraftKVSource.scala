@@ -564,6 +564,7 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
   // the footer stats non-key predicates prune on
   private val statMin = new Array[Any](math.max(schema.length - 1, 0))
   private val statMax = new Array[Any](statMin.length)
+  private var bloom: Array[Byte] = null
 
   private def ltTyped(i: Int, a: Any, b: Any): Boolean =
     schema(i + 1).dataType match {
@@ -598,10 +599,12 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
     out.write(bytes)
     val stats = Seq.tabulate(statMin.length)(i => ColStat(statMin(i), statMax(i)))
     metas += BucketMeta(offset, bytes.length.toLong, bucketRows, minKey,
-      maxKey, stats)
+      maxKey, stats,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bloom))
     offset += bytes.length
     rows += bucketRows
     buf = null; gz = null; bucketRows = 0; minKey = null; maxKey = null
+    bloom = null
     java.util.Arrays.fill(statMin.asInstanceOf[Array[AnyRef]], null)
     java.util.Arrays.fill(statMax.asInstanceOf[Array[AnyRef]], null)
   }
@@ -619,6 +622,8 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
     // index must stay correct for any producer order
     if (minKey == null || key < minKey) minKey = key
     if (maxKey == null || key > maxKey) maxKey = key
+    if (bloom == null) bloom = new Array[Byte](KVLogFormat.BloomBytes)
+    KVLogFormat.bloomAdd(bloom, key)
     val vals = Array.tabulate[Any](schema.length) { i =>
       if (row.isNullAt(i)) null
       else schema(i).dataType match {

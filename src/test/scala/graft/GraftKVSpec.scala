@@ -132,6 +132,43 @@ class GraftKVSpec extends SparkSpec {
       === total)
   }
 
+  test("key blooms skip buckets on negative point lookups") {
+    import graft.sources.kvlog.GraftKVScanCounters
+    val dir = tmp()
+    seed.write.format("graftkv").option("bucketsize", 100).mode("append").save(dir)
+    val footer = graft.sources.kvlog.GraftKVUtilAccess
+      .footerOf(new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".gkv")).head.getPath)
+
+    // keys are k00000..k01999 with no gaps in steps of 1, so "k00500x"
+    // sorts INSIDE a bucket's [min, max] range but was never written:
+    // range pruning keeps exactly one bucket, the bloom drops it too
+    val absent = "k00500x"
+    val range = KVLogFormat.KeyRange(Some(absent), Some(absent))
+    val byRangeOnly = footer.buckets.filter(range.overlaps)
+    assert(byRangeOnly.length === 1, "absent key should land in one bucket")
+    assert(KVLogFormat.selectBuckets(footer.buckets, range).isEmpty,
+      "bloom should drop the in-range bucket for an absent key")
+
+    // a present key must survive both range and bloom
+    val present = KVLogFormat.KeyRange(Some("k00500"), Some("k00500"))
+    assert(KVLogFormat.selectBuckets(footer.buckets, present).length === 1)
+    // a bloom-less footer (older file) never prunes
+    val noBloom = footer.buckets.map(_.copy(bloom = scala.collection.immutable.ArraySeq.empty))
+    assert(KVLogFormat.selectBuckets(noBloom, range).length === 1)
+
+    // live: the negative lookup decompresses ZERO buckets
+    GraftKVScanCounters.reset()
+    val none = spark.read.format("graftkv").load(dir)
+      .filter(col("key") === absent)
+    assert(none.count() === 0)
+    assert(GraftKVScanCounters.bucketsRead.get() === 0,
+      "negative point lookup should decompress no buckets")
+    val hit = spark.read.format("graftkv").load(dir)
+      .filter(col("key") === "k01234")
+    assert(hit.count() === 1)
+  }
+
   test("overwrite truncates previous files; nulls round-trip") {
     import spark.implicits._
     val dir = tmp()

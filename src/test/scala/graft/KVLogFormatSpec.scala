@@ -55,10 +55,19 @@ class KVLogFormatSpec extends AnyFunSuite {
       val metas = Seq.fill(rnd.nextInt(20)) {
         val a = "k" + rnd.alphanumeric.take(6).mkString
         val b = "k" + rnd.alphanumeric.take(6).mkString
+        val bloom =
+          if (rnd.nextBoolean()) scala.collection.immutable.ArraySeq.empty[Byte]
+          else {
+            val bits = new Array[Byte](KVLogFormat.BloomBytes)
+            (0 until rnd.nextInt(50)).foreach(i =>
+              KVLogFormat.bloomAdd(bits, s"k$i"))
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(bits)
+          }
         BucketMeta(rnd.nextLong().abs % (1L << 40),
           rnd.nextLong().abs % (1L << 20) + 1,
           rnd.nextInt(100000).toLong + 1,
-          if (a <= b) a else b, if (a <= b) b else a)
+          if (a <= b) a else b, if (a <= b) b else a,
+          Seq.empty, bloom)
       }
       val rows = rnd.nextLong().abs % (1L << 40)
       val buf = new ByteArrayOutputStream()
