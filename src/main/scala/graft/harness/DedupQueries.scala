@@ -34,6 +34,8 @@ object DedupQueries {
   private val EvalLo = 230    //   SampleQueries' split_train_eval:
                               //   train = hv<204, eval/test = hv>=230
   private val SpanW = 10      // repeated-substring seed width (tokens)
+  private val IncomingLo = 224 // hash byte >= 224 → the "incoming
+                               // batch" of the incremental-dedup split
 
   /** Cross-query frames via [[SharedFrames]]: the shingle frame feeds
     * three separate harness queries (jaccard, minhash-LSH, components)
@@ -243,6 +245,44 @@ object DedupQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
         "doc_id", "toks", SpanW)),
+
+    // Incremental dedup: a continual-ingest pipeline dedupes the
+    // INCOMING batch against the existing corpus index, never
+    // re-running global dedup. Existing side = hash-split "previous
+    // release"; incoming docs are flagged exact (fingerprint hit) or
+    // near (shared LSH band bucket with an existing doc) — both
+    // probes are keyed joins against index structures the previous
+    // run already materialized, so ingest cost is O(batch), not
+    // O(corpus).
+    "dedup_incremental" -> ((s, d) => {
+      val hv = TextOps.hexByteValue(
+        md5(concat(lit("inc1:"), col("doc_id").cast("string"))))
+      val docs = Tables.documents(s, d).withColumn("__hv", hv)
+      val existing = docs.filter(col("__hv") < IncomingLo)
+      val incoming = docs.filter(col("__hv") >= IncomingLo)
+      def fp(df: DataFrame) =
+        df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val exactHit = fp(incoming)
+        .join(fp(existing).select(col("fp")).distinct(), Seq("fp"))
+        .select(col("doc_id"), lit("exact").as("reason"))
+      val sh = shingleFrame(s, d)
+      val sig = cachedFrame(s, d, "minhash_sig") {
+        graft.ops.CorpusOps.minhashSignatures(sh, "doc_id", K)
+      }
+      val bands = sig.select(col("doc_id"),
+        explode(TextOps.bandKeys(BANDS, K / BANDS)).as("bk"))
+      val ids = docs.select(col("doc_id"), col("__hv"))
+      val exBk = bands.join(ids, Seq("doc_id")).filter(col("__hv") < IncomingLo)
+        .select(col("bk")).distinct()
+      val nearHit = bands.join(ids, Seq("doc_id"))
+        .filter(col("__hv") >= IncomingLo)
+        .join(exBk, Seq("bk"))
+        .select(col("doc_id"), lit("near").as("reason")).distinct()
+      // exact flag wins when both fire (min over reason strings:
+      // "exact" < "near" lexicographically — deterministic)
+      exactHit.unionByName(nearHit)
+        .groupBy(col("doc_id")).agg(min(col("reason")).as("reason"))
+    }),
 
     // The action step of exact-substring dedup: cut every repeated
     // span out of the document. The span list folds back per doc as
@@ -477,6 +517,31 @@ object DedupQueries {
           SELECT doc_id, MIN(p) AS span_start, MAX(p) + ${w - 1} AS span_end,
                  COUNT(*) AS n_seeds
           FROM isl GROUP BY doc_id, isl"""
+    },
+    "dedup_incremental" -> {
+      val hvSql =
+        """(instr('0123456789abcdef',
+              substr(md5('inc1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef',
+              substr(md5('inc1:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"""
+      s"""WITH $shCte,
+          h AS (SELECT doc_id, $hvSql AS hv FROM documents),
+          fpx AS (SELECT doc_id, $fpSql AS fp FROM documents),
+          fh AS (SELECT fpx.doc_id, fp, hv FROM fpx JOIN h USING (doc_id)),
+          exact AS (SELECT i.doc_id, 'exact' AS reason
+                    FROM fh i
+                    JOIN (SELECT DISTINCT fp FROM fh WHERE hv < $IncomingLo) e
+                      USING (fp)
+                    WHERE i.hv >= $IncomingLo),
+          sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+          bands AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
+          bh AS (SELECT b.doc_id, b.bk, h.hv FROM bands b JOIN h USING (doc_id)),
+          exbk AS (SELECT DISTINCT bk FROM bh WHERE hv < $IncomingLo),
+          near AS (SELECT DISTINCT bh.doc_id, 'near' AS reason
+                   FROM bh JOIN exbk USING (bk) WHERE hv >= $IncomingLo)
+          SELECT doc_id, MIN(reason) AS reason
+          FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
+          GROUP BY doc_id"""
     },
     "dedup_substring_rewrite" -> {
       val w = SpanW
