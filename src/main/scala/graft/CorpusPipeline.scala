@@ -78,8 +78,13 @@ object CorpusPipeline {
           tagged.filter(col("hv") >= EvalLo).select(col("s")),
           "doc_id", "s")
         .filter(col("contamination") >= DeconThresh))
+    // the held-out split itself must ALSO leave the training corpus —
+    // dropping only the overlapping train docs while serving the
+    // benchmark documents verbatim would be the exact contamination
+    // this stage exists to prevent
     val clean = stage("corpus_clean")(
-      kept.join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      kept.filter(hashByte("split1") < EvalLo)
+        .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti"))
 
     // 4. temperature mixture sampling over languages
     val sampled = stage("corpus_sampled")(
@@ -87,21 +92,15 @@ object CorpusPipeline {
         .drop("hv", "thresh"))
 
     // 5. per-language report: doc counts + exact length quantiles +
-    //    mean repetition signals over the FINAL corpus
+    //    mean repetition signals over the FINAL corpus. Left join: a
+    //    language whose surviving docs all have < 3 tokens has no
+    //    repetition rows, but must keep its count/quantile row.
     val rep = Graft.repetitionSignals(
       sampled.select(col("doc_id"), col("lang"),
         TextOps.tokens(col("text")).as("toks")), "doc_id", "toks")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
-    val wAll = Window.partitionBy(col("lang"))
-    def atRank(a: Int, b: Int) =
-      max(when(col("rn") === floor((col("n") * a + (b - 1)) / lit(b)),
-        col("n_chars")))
-    val quantiles = sampled.select(col("lang"), col("n_chars"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .groupBy(col("lang")).agg(max(col("n")).as("n_docs"),
-        atRank(1, 2).as("p50_chars"), atRank(9, 10).as("p90_chars"))
+    val quantiles = CorpusOps.rankQuantiles(sampled, "lang", "n_chars",
+        Seq(("p50_chars", 1, 2), ("p90_chars", 9, 10)))
+      .withColumnRenamed("n", "n_docs")
     stage("corpus_stats")(
       quantiles.join(
         sampled.select(col("doc_id"), col("lang"))
@@ -109,7 +108,7 @@ object CorpusPipeline {
           .groupBy(sampled("lang"))
           .agg(round(avg(col("dup_tok_frac")), 6).as("mean_dup_tok_frac"),
             round(avg(col("top2_frac")), 6).as("mean_top2_frac")),
-        Seq("lang")))
+        Seq("lang"), "left_outer"))
 
     // 6. serving handoff: the final corpus as a graftkv sorted log
     //    keyed by doc_id (point lookups prune to one bucket)

@@ -275,21 +275,10 @@ object AggQueries {
     // The ceil is integer arithmetic: ceil(a·n/b) = floor((a·n+b-1)/b).
     // At scale this is a range-partitioned sort per group key — the
     // length-distribution report every corpus pipeline prints.
-    "agg_quantiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
-      val wAll = Window.partitionBy(col("lang"))
-      def atRank(a: Int, b: Int) =
-        max(when(col("rn") ===
-          floor((col("n") * a + (b - 1)) / lit(b)), col("n_chars")))
-      Tables.documents(s, d).select(col("lang"), col("n_chars"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .groupBy(col("lang")).agg(
-          max(col("n")).as("n"),
-          atRank(1, 2).as("p50"), atRank(9, 10).as("p90"),
-          atRank(99, 100).as("p99"))
-    }),
+    "agg_quantiles" -> ((s, d) =>
+      graft.ops.CorpusOps.rankQuantiles(Tables.documents(s, d),
+        "lang", "n_chars",
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))),
 
     // §2.10 typed-Aggregator surface: the reference's copy_dict
     // recursive monoid merge (utils.py:4-18) as a case-class-buffer

@@ -343,6 +343,40 @@ object DedupQueries {
   private val fpSql =
     "md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' '))"
 
+  /** Salted 0-255 hash byte of doc_id (mirrors TextOps.hexByteValue
+    * over a salted md5 — the split/sampling primitive).
+    */
+  private def hvSql(salt: String) =
+    s"""(instr('0123456789abcdef',
+           substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        (instr('0123456789abcdef',
+           substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"""
+
+  /** Repeated-substring machinery shared by dedup_substring_spans and
+    * dedup_substring_rewrite: seed census → duplicated-window hits →
+    * interval-islands condensation (mirrors CorpusOps.substringSpans).
+    * Defines toks/seeds/dup/hits/mk/isl; `isl` group-bys to spans.
+    */
+  private val spanCte = {
+    val w = SpanW
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                 WHERE len(string_split(text,' ')) >= $w),
+        seeds AS (SELECT doc_id, i AS p,
+                         ('0x' || substr(md5(array_to_string(t[i:i+${w - 1}],' ')), 1, 13))::BIGINT AS s
+                  FROM toks, UNNEST(range(1, len(t)-${w - 2})) AS u(i)),
+        dup AS (SELECT s FROM seeds GROUP BY s HAVING COUNT(*) > 1),
+        hits AS (SELECT doc_id, p FROM seeds JOIN dup USING (s)),
+        mk AS (SELECT doc_id, p,
+                      MAX(p + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM hits),
+        isl AS (SELECT doc_id, p,
+                       SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY p) AS isl
+                FROM mk)"""
+  }
+
   /** Shared CTEs: shingle set, per-doc shingle counts. */
   private val shCte =
     s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
@@ -479,14 +513,9 @@ object DedupQueries {
           SELECT d.doc_id, d.source FROM documents d
           WHERE NOT EXISTS (SELECT 1 FROM comp c
                             WHERE c.node = d.doc_id AND c.component <> c.node)""",
-    "dedup_decontaminate" -> {
-      val hvSql =
-        """(instr('0123456789abcdef',
-              substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-           (instr('0123456789abcdef',
-              substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"""
+    "dedup_decontaminate" ->
       s"""WITH $shCte,
-          tagged AS (SELECT doc_id, s, $hvSql AS hv FROM sh),
+          tagged AS (SELECT doc_id, s, ${hvSql("split1")} AS hv FROM sh),
           ev AS (SELECT DISTINCT s FROM tagged WHERE hv >= $EvalLo),
           tr AS (SELECT doc_id, s FROM tagged WHERE hv < $TrainHi),
           nt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
@@ -494,38 +523,15 @@ object DedupQueries {
                    FROM tr JOIN ev USING (s) GROUP BY doc_id)
           SELECT doc_id, n_overlap, n_shingles,
                  round(CAST(n_overlap AS DOUBLE)/n_shingles, 6) AS contamination
-          FROM hits JOIN nt USING (doc_id)"""
-    },
-    "dedup_substring_spans" -> {
-      val w = SpanW
-      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
-                        WHERE len(string_split(text,' ')) >= $w),
-          seeds AS (SELECT doc_id, i AS p,
-                           ('0x' || substr(md5(array_to_string(t[i:i+${w - 1}],' ')), 1, 13))::BIGINT AS s
-                    FROM toks, UNNEST(range(1, len(t)-${w - 2})) AS u(i)),
-          dup AS (SELECT s FROM seeds GROUP BY s HAVING COUNT(*) > 1),
-          hits AS (SELECT doc_id, p FROM seeds JOIN dup USING (s)),
-          mk AS (SELECT doc_id, p,
-                        MAX(p + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY p
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-                 FROM hits),
-          isl AS (SELECT doc_id, p,
-                         SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
-                                  THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY doc_id ORDER BY p) AS isl
-                  FROM mk)
-          SELECT doc_id, MIN(p) AS span_start, MAX(p) + ${w - 1} AS span_end,
+          FROM hits JOIN nt USING (doc_id)""",
+    "dedup_substring_spans" ->
+      s"""WITH $spanCte
+          SELECT doc_id, MIN(p) AS span_start, MAX(p) + ${SpanW - 1} AS span_end,
                  COUNT(*) AS n_seeds
-          FROM isl GROUP BY doc_id, isl"""
-    },
-    "dedup_incremental" -> {
-      val hvSql =
-        """(instr('0123456789abcdef',
-              substr(md5('inc1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-           (instr('0123456789abcdef',
-              substr(md5('inc1:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"""
+          FROM isl GROUP BY doc_id, isl""",
+    "dedup_incremental" ->
       s"""WITH $shCte,
-          h AS (SELECT doc_id, $hvSql AS hv FROM documents),
+          h AS (SELECT doc_id, ${hvSql("inc1")} AS hv FROM documents),
           fpx AS (SELECT doc_id, $fpSql AS fp FROM documents),
           fh AS (SELECT fpx.doc_id, fp, hv FROM fpx JOIN h USING (doc_id)),
           exact AS (SELECT i.doc_id, 'exact' AS reason
@@ -541,27 +547,10 @@ object DedupQueries {
                    FROM bh JOIN exbk USING (bk) WHERE hv >= $IncomingLo)
           SELECT doc_id, MIN(reason) AS reason
           FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
-          GROUP BY doc_id"""
-    },
-    "dedup_substring_rewrite" -> {
-      val w = SpanW
-      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
-                        WHERE len(string_split(text,' ')) >= $w),
-          seeds AS (SELECT doc_id, i AS p,
-                           ('0x' || substr(md5(array_to_string(t[i:i+${w - 1}],' ')), 1, 13))::BIGINT AS s
-                    FROM toks, UNNEST(range(1, len(t)-${w - 2})) AS u(i)),
-          dup AS (SELECT s FROM seeds GROUP BY s HAVING COUNT(*) > 1),
-          hits AS (SELECT doc_id, p FROM seeds JOIN dup USING (s)),
-          mk AS (SELECT doc_id, p,
-                        MAX(p + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY p
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-                 FROM hits),
-          isl AS (SELECT doc_id, p,
-                         SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
-                                  THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY doc_id ORDER BY p) AS isl
-                  FROM mk),
-          spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + ${w - 1} AS e
+          GROUP BY doc_id""",
+    "dedup_substring_rewrite" ->
+      s"""WITH $spanCte,
+          spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + ${SpanW - 1} AS e
                     FROM isl GROUP BY doc_id, isl),
           alltok AS (SELECT doc_id, CAST(u.i AS BIGINT) AS p, t[i] AS tok
                      FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
@@ -578,8 +567,7 @@ object DedupQueries {
           SELECT d.doc_id, CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed_tok,
                  CASE WHEN a.doc_id IS NULL THEN d.text
                       ELSE COALESCE(a.new_text, '') END AS new_text
-          FROM documents d LEFT JOIN agg a USING (doc_id)"""
-    },
+          FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "dedup_editdistance" ->
       s"""WITH h0 AS (SELECT doc_id, substr(text, 1, 32) AS head,
                              string_split(text, ' ')[1] AS t1

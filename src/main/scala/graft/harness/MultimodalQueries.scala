@@ -187,6 +187,11 @@ object MultimodalQueries {
           FROM f GROUP BY doc_id, frame_no""",
     "fn_gzip_roundtrip" ->
       """SELECT doc_id, text, TRUE AS compressed_ok FROM documents""",
+    // NOTE: like multimodal_decode's oracle, this relies on the test
+    // corpus being pure ASCII — the Spark kernel iterates UTF-8 BYTES
+    // while the SQL below indexes CHARACTERS (substring + ascii); the
+    // two agree exactly iff every char is one byte. The kernel is the
+    // byte-exact ground truth for non-ASCII payloads.
     "multimodal_phash" -> {
       val blockList = (0 until 4)
         .map(b => s"'$b:' || substr(sig, ${1 + b * 16}, 16)").mkString(", ")

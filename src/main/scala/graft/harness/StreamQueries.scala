@@ -152,11 +152,20 @@ object StreamQueries {
         col("doc_id") +: TextOps.minhashRowSigs(col("__ids"), NearK): _*)
       val bands = sig.select(col("doc_id"),
         explode(TextOps.bandKeys(NearBands, NearK / NearBands)).as("bk"))
+      // FIRST-SEEN-WINS: the bucket's representative is fixed the
+      // first time the bucket is observed and never rewritten — the
+      // only coherent semantics for an append-only ingest stream
+      // (retro-flagging history is not possible). Within that first
+      // batch the minimum id is the representative, which is also why
+      // the DuckDB oracle (global per-bucket MIN) matches the
+      // AvailableNow drain exactly: it delivers one batch. A
+      // multi-batch deployment keeps flagging later arrivals against
+      // the first-seen representative by id-independent arrival order.
       val pairs = bands.as[(Long, String)].groupByKey(_._2)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
             val ids = rows.map(_._1).toArray.sorted
-            val rep = math.min(state.getOption.getOrElse(Long.MaxValue), ids.head)
+            val rep = state.getOption.getOrElse(ids.head)
             state.update(rep)
             ids.iterator.filter(_ != rep).map(id => (id, rep))
         }.toDF("dup_id", "rep_id")

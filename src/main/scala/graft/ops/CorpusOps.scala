@@ -141,6 +141,30 @@ object CorpusOps {
       .select("da", "db", "nab", "na", "nb", "jaccard")
   }
 
+  /** Exact per-group quantiles by rank selection: each requested
+    * quantile `(name, a, b)` is the value at rank ceil(a·n/b),
+    * computed as one sorted window per group — no interpolation and
+    * no sketch, so results are bit-identical across engines and
+    * reruns (percentile()'s linear interpolation and t-digest
+    * approximations are not). The ceil is integer arithmetic:
+    * ceil(a·n/b) = floor((a·n + b − 1)/b). At scale this is a
+    * range-partitioned sort per group key.
+    */
+  def rankQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                    qs: Seq[(String, Int, Int)]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val qCols = qs.map { case (name, a, b) =>
+      max(when(col("__rn") ===
+        floor((col("__n") * a + (b - 1)) / lit(b)), col(valueCol))).as(name)
+    }
+    df.select(col(groupCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), qCols: _*)
+  }
+
   /** Rewrite documents with their repeated spans cut out — the action
     * step of exact-substring dedup (keep one copy globally is the
     * caller's policy choice; this removes every marked span). `spans`

@@ -37,7 +37,12 @@ import java.nio.charset.StandardCharsets
   */
 object KVLogFormat {
 
-  val Magic: Array[Byte] = "GKV1".getBytes(StandardCharsets.US_ASCII)
+  // GKV2 added the per-bucket key bloom to the footer layout; bumping
+  // the magic makes a pre-bloom file fail loudly at open ("bad magic")
+  // instead of the footer parser silently misaligning on the missing
+  // field. The empty-bloom never-prunes path stays for writers that
+  // legitimately skip blooms.
+  val Magic: Array[Byte] = "GKV2".getBytes(StandardCharsets.US_ASCII)
 
   /** Min/max of one non-key field inside one bucket, nulls excluded;
     * (null, null) means every value in the bucket was null (or stats
@@ -91,7 +96,10 @@ object KVLogFormat {
     }
 
   def bloomMayContain(b: BucketMeta, key: String): Boolean =
-    b.bloom.isEmpty || bloomProbe(key).forall { p =>
+    mayContainProbes(b, bloomProbe(key))
+
+  private def mayContainProbes(b: BucketMeta, probes: Array[Int]): Boolean =
+    b.bloom.isEmpty || probes.forall { p =>
       (b.bloom(p >>> 3) & (1 << (p & 7))) != 0
     }
 
@@ -278,10 +286,11 @@ object KVLogFormat {
     */
   def selectBuckets(buckets: Seq[BucketMeta], r: KeyRange): Seq[BucketMeta] = {
     // a point lookup (lower == upper) additionally consults the key
-    // bloom: inside-range-but-absent keys skip the bucket entirely
-    val point = r.lower.filter(l => r.upper.contains(l))
+    // bloom: inside-range-but-absent keys skip the bucket entirely.
+    // Probe positions are digested ONCE, not per bucket.
+    val probes = r.lower.filter(l => r.upper.contains(l)).map(bloomProbe)
     buckets.filter(b =>
-      r.overlaps(b) && point.forall(bloomMayContain(b, _)))
+      r.overlaps(b) && probes.forall(mayContainProbes(b, _)))
   }
 
   // ---- non-key column-stat pruning ---------------------------------
