@@ -162,6 +162,14 @@ object Graft {
                           components: DataFrame): DataFrame =
     CorpusOps.keepRepresentatives(corpus, idCol, components)
 
+  /** Exact per-group quantiles by integer rank selection — value at
+    * rank ceil(a·n/b) per `(name, a, b)`; bit-identical across
+    * engines and reruns where interpolation/sketches are not.
+    */
+  def rankQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                    qs: Seq[(String, Int, Int)]): DataFrame =
+    CorpusOps.rankQuantiles(df, groupCol, valueCol, qs)
+
   /** 64-bit block-mean perceptual hash over a `(doc_id, blob)` frame
     * (canonicalize the payload first; pair with a pigeonhole hamming
     * join for near-dup candidates).

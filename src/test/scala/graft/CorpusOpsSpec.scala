@@ -73,6 +73,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("substringSpans handles a 100k-token document without row blowup") {
+    import spark.implicits._
+    // one mega-doc (the 100 TB skew case: a pathological giant page)
+    // plus a small doc sharing one run with it — the giant's shingle
+    // array lives in ONE row, so this proves the per-row HOF path and
+    // the seed census survive a document 3 orders of magnitude above
+    // the mean without needing a row split
+    val giant = (0 until 100000).map(i => s"g${i % 9973}")
+    val small = giant.slice(500, 520)
+    val df = Seq((1L, giant), (2L, small)).toDF("id", "toks")
+    val spans = CorpusOps.substringSpans(df, "id", "toks", 10)
+    // doc 2's whole body is a copy of a giant slice → one full span
+    val s2 = spans.filter(col("id") === 2L).collect()
+    assert(s2.length === 1)
+    assert(s2.head.getLong(1) === 1L && s2.head.getLong(2) === small.size.toLong)
+    // the giant itself repeats its vocab cycle, so spans exist and
+    // positions stay within bounds
+    val s1 = spans.filter(col("id") === 1L)
+      .agg(min(col("span_start")), max(col("span_end"))).head
+    assert(s1.getLong(0) >= 1L && s1.getLong(1) <= giant.size.toLong)
+  }
+
   test("repetitionSignals matches brute-force fractions") {
     val corpus = docs(30, seed = 13)
     import spark.implicits._
