@@ -85,13 +85,14 @@ object VectorQueries {
           VectorOps.norm(col("cv")).as("cn"))
     }
 
-  /** IVF with one Lloyd refinement round and nprobe=2: queries probe
-    * their two nearest refined cells, the corpus lives in one. More
+  /** IVF with one Lloyd refinement round: queries probe their
+    * `nprobe` nearest refined cells, the corpus lives in one. More
     * rounds = loop the same assign+update stages over [[ivfCentroids]].
     */
-  private def ivfKmeansTopk(s: SparkSession, d: String): DataFrame = {
+  private def ivfKmeansTopk(s: SparkSession, d: String,
+                            nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a1 = assign(embFrame(s, d), ivfCentroids(s, d), 2)
+    val a1 = assign(embFrame(s, d), ivfCentroids(s, d), nprobe)
     val corpus = a1.filter(col("rc") === 1)
       .select(col("vec_id"), col("v"), col("nv"), col("cell"))
     val qp = a1.filter(col("vec_id") < 50)
@@ -207,6 +208,35 @@ object VectorQueries {
           sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_hit"))
         .select(col("n_queries"), col("n_expected"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_expected"), 6).as("recall"))
+    }),
+
+    // The nprobe tuning curve: recall@5 at nprobe ∈ {1, 2, 4} in one
+    // pass — the measurement that picks an IVF operating point at
+    // scale (recall rises with probes, so does the probed fraction of
+    // the corpus). Brute-force ground truth computes ONCE; the three
+    // probe levels share the cached refined centroids, so each added
+    // level costs one cell-blocked search join, nothing else.
+    "ann_ivf_nprobe_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val bf = VectorOps.bruteForceTopK(q, emb, "qid", "vec_id", "qe",
+          "embedding", 5)
+        .select(col("qid"), col("vec_id"))
+      Seq(1, 2, 4).map { np =>
+        val ivf = ivfKmeansTopk(s, d, np)
+          .select(col("qid").as("__q"), col("vec_id").as("__v"))
+        bf.join(ivf,
+            col("qid") === col("__q") && col("vec_id") === col("__v"),
+            "left_outer")
+          .agg(countDistinct(col("qid")).as("n_queries"),
+            count(lit(1)).as("n_expected"),
+            sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .select(lit(np).as("nprobe"), col("n_queries"), col("n_expected"),
+            col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_expected"), 6)
+              .as("recall"))
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -214,7 +244,7 @@ object VectorQueries {
     * ivfKmeansTopk stage by stage; DECIMAL sums keep the centroid
     * update order-independent, matching the Spark side exactly).
     */
-  private val ivfKmeansCtes =
+  private val ivfSharedCtes =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
        a0 AS (SELECT vec_id, v, cid,
@@ -235,17 +265,25 @@ object VectorQueries {
                        ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
                                 cid) AS rc
               FROM e CROSS JOIN c1),
-       asgc AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE rc = 1),
-       asgq AS (SELECT vec_id AS qid, v AS qv, cid AS cell
-                FROM a1 WHERE rc <= 2 AND vec_id < 50),
-       iv AS (SELECT qid, vec_id, cell, sim, rk
+       asgc AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE rc = 1)"""
+
+  /** Per-nprobe probe + search CTEs over the shared refined index;
+    * CTE names carry `sfx` so several probe levels coexist in one
+    * statement (the nprobe-sweep oracle).
+    */
+  private def ivfProbeCtes(nprobe: Int, sfx: String) =
+    s"""asgq$sfx AS (SELECT vec_id AS qid, v AS qv, cid AS cell
+                FROM a1 WHERE rc <= $nprobe AND vec_id < 50),
+       iv$sfx AS (SELECT qid, vec_id, cell, sim, rk
               FROM (SELECT *, row_number() OVER (PARTITION BY qid
                       ORDER BY sim DESC, vec_id) AS rk
                     FROM (SELECT qid, b.vec_id, b.cell,
                                  round(list_cosine_similarity(qv, b.v), 6) AS sim
-                          FROM asgq q JOIN asgc b USING (cell)
+                          FROM asgq$sfx q JOIN asgc b USING (cell)
                           WHERE b.vec_id <> qid))
               WHERE rk <= 5)"""
+
+  private val ivfKmeansCtes = s"$ivfSharedCtes,\n ${ivfProbeCtes(2, "")}"
 
   val oracle: Map[String, String] = Map(
     "ann_ivf_kmeans_topk" ->
@@ -269,6 +307,32 @@ object VectorQueries {
                  round(CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                             AS DOUBLE) / COUNT(*), 6) AS recall
           FROM bf LEFT JOIN iv ON bf.qid = iv.qid AND bf.vec_id = iv.vec_id""",
+    "ann_ivf_nprobe_recall" -> {
+      val bfCtes =
+        """q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                 WHERE vec_id < 50),
+           bfs AS (SELECT qid, vec_id,
+                          round(list_cosine_similarity(qe::DOUBLE[],
+                                                       embedding::DOUBLE[]), 6) AS sim
+                   FROM q, embeddings WHERE vec_id <> qid),
+           bf AS (SELECT qid, vec_id
+                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY sim DESC, vec_id) AS rk FROM bfs)
+                  WHERE rk <= 5)"""
+      def leg(np: Int) =
+        s"""SELECT $np AS nprobe,
+                   COUNT(DISTINCT bf.qid) AS n_queries, COUNT(*) AS n_expected,
+                   CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit,
+                   round(CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6) AS recall
+            FROM bf LEFT JOIN iv_n$np iv
+              ON bf.qid = iv.qid AND bf.vec_id = iv.vec_id"""
+      s"""WITH $ivfSharedCtes,
+          ${ivfProbeCtes(1, "_n1")}, ${ivfProbeCtes(2, "_n2")},
+          ${ivfProbeCtes(4, "_n4")}, $bfCtes
+          ${leg(1)} UNION ALL ${leg(2)} UNION ALL ${leg(4)}"""
+    },
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                     WHERE vec_id < 50),
