@@ -23,6 +23,7 @@ object CorpusPipeline {
   private val MinhashK = 16
   private val Bands = 8
   private val Jacc = 0.5
+  private val SpanW = 10       // repeated-substring seed width
   private val EvalLo = 230     // hash byte >= 230 → held-out split
   private val DeconThresh = 0.2
 
@@ -86,9 +87,21 @@ object CorpusPipeline {
       kept.filter(hashByte("split1") < EvalLo)
         .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti"))
 
+    // 3b. cut globally-repeated token spans out of the survivors (the
+    //     suffix-array-style pass); a doc emptied by the cut drops out
+    val cleanToks = clean
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val rewrites = Graft.removeSpans(cleanToks, "doc_id", "toks",
+      Graft.substringSpans(cleanToks, "doc_id", "toks", SpanW))
+    val rewritten = stage("corpus_rewritten")(
+      clean.join(rewrites.select(col("doc_id"), col("new_text")), Seq("doc_id"))
+        .withColumn("text", col("new_text")).drop("new_text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .filter(length(col("text")) > 0))
+
     // 4. temperature mixture sampling over languages
     val sampled = stage("corpus_sampled")(
-      Graft.temperatureSample(clean, "lang", hashByte("mix1"))
+      Graft.temperatureSample(rewritten, "lang", hashByte("mix1"))
         .drop("hv", "thresh"))
 
     // 5. per-language report: doc counts + exact length quantiles +

@@ -20,7 +20,8 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(stages("corpus_filtered") <= stages("corpus_raw"))
     assert(stages("corpus_deduped") <= stages("corpus_filtered"))
     assert(stages("corpus_clean") <= stages("corpus_deduped"))
-    assert(stages("corpus_sampled") <= stages("corpus_clean"))
+    assert(stages("corpus_rewritten") <= stages("corpus_clean"))
+    assert(stages("corpus_sampled") <= stages("corpus_rewritten"))
     assert(stages("corpus_sampled") > 0)
     // the kv log round-trips the final corpus row-for-row
     assert(stages("corpus_kv") === stages("corpus_sampled"))
