@@ -312,8 +312,7 @@ object ExportQueries {
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .filter(col("l_partkey") % 6 =!= 0) // PIRSR excluded
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          regexp_replace(regexp_replace(regexp_replace(col("p_name"),
-            "&", "&amp;"), "<", "&lt;"), ">", "&gt;").as("nm"),
+          graft.ops.TextOps.xmlEscape(col("p_name")).as("nm"),
           col("l_suppkey"),
           col("l_quantity").cast("int").as("score"),
           (col("l_linenumber") + floor(col("l_quantity") / 10).cast("int"))

@@ -17,9 +17,7 @@ object SinkQueries {
   /** XML-escape the three structural characters (reference escapes via
     * DOM; we emit fragments directly, interpro/ftp/xmlfiles.py:457-553).
     */
-  private def xmlEscape(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"),
-      "<", "&lt;"), ">", "&gt;")
+  private def xmlEscape(c: Column): Column = graft.ops.TextOps.xmlEscape(c)
 
   /** Synthetic raw InterProScan matches carrying the FULL default-
     * shape location fields the lookup formatters select from

@@ -43,7 +43,7 @@ object StreamQueries {
     * without it every drain in a long-lived JVM leaks a full table
     * copy inside its discarded child session.
     */
-  private def drained(parent: SparkSession, sess: SparkSession,
+  private[graft] def drained(parent: SparkSession, sess: SparkSession,
                       name: String): DataFrame = {
     val t = sess.table(name)
     val out = parent.createDataFrame(

@@ -28,6 +28,15 @@ object TextOps {
     transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", slice(toks, i, lit(n))))
 
+  /** XML content escape (&, <, > — the three that break element
+    * content; attribute values additionally need quote escaping at
+    * the emitter if ever written unquoted). One definition for every
+    * XML-emitting sink so the escapes cannot drift.
+    */
+  def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"),
+      "<", "&lt;"), ">", "&gt;")
+
   /** Normalized document fingerprint: md5 over the sorted distinct
     * token set (the exact-dedup key after bag-of-words normalization;
     * cf. reference IDA sha1 fingerprint, interpro/xrefs/domorgs.py:61).

@@ -209,9 +209,9 @@ private[kvlog] class GraftKVScanBuilder(full: StructType, dir: String)
     filters // all residual: Spark evaluates every predicate exactly
   }
   private def maxLower(a: Option[String], b: String) =
-    Some(a.filter(_ > b).getOrElse(b))
+    Some(a.filter(KVLogFormat.utf8Lt(b, _)).getOrElse(b))
   private def minUpper(a: Option[String], b: String) =
-    Some(a.filter(_ < b).getOrElse(b))
+    Some(a.filter(KVLogFormat.utf8Lt(_, b)).getOrElse(b))
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -287,15 +287,25 @@ private[kvlog] class GraftKVScan(full: StructType, required: StructType,
       case In(`keyName`, values) if values.nonEmpty =>
         val strs = values.collect { case s: String => s }
         if (strs.length == values.length) {
-          runtimeRange = KeyRange(Some(strs.min), Some(strs.max))
+          val ord = Ordering.comparatorToOrdering(
+            new java.util.Comparator[String] {
+              def compare(a: String, b: String) = KVLogFormat.utf8Cmp(a, b)
+            })
+          runtimeRange = KeyRange(Some(strs.min(ord)), Some(strs.max(ord)))
           GraftKVScanRuntime.engaged.incrementAndGet()
         }
       case _ => ()
     }
   }
-  private def effectiveRange: KeyRange = KeyRange(
-    Seq(range.lower, runtimeRange.lower).flatten.maxOption,
-    Seq(range.upper, runtimeRange.upper).flatten.minOption)
+  private def effectiveRange: KeyRange = {
+    val ord = Ordering.comparatorToOrdering(
+      new java.util.Comparator[String] {
+        def compare(a: String, b: String) = KVLogFormat.utf8Cmp(a, b)
+      })
+    KeyRange(
+      Seq(range.lower, runtimeRange.lower).flatten.maxOption(ord),
+      Seq(range.upper, runtimeRange.upper).flatten.minOption(ord))
+  }
 
   /** Footer-exact stats over the buckets this scan will actually read
     * — post-key-range, so a narrow range reports a small size and CBO
@@ -564,12 +574,21 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
   // the footer stats non-key predicates prune on
   private val statMin = new Array[Any](math.max(schema.length - 1, 0))
   private val statMax = new Array[Any](statMin.length)
+  // a double column that saw NaN gets NO stats for the bucket: NaN
+  // never orders into min/max ('<' is always false against it), and
+  // Spark treats NaN as larger than every double — any min/max pair
+  // that ignored a present NaN could prune a bucket whose NaN rows
+  // the engine would have matched (pruned buckets are never read, so
+  // that is silent row loss, not a missed optimization)
+  private val statPoisoned = new Array[Boolean](statMin.length)
   private var bloom: Array[Byte] = null
 
   private def ltTyped(i: Int, a: Any, b: Any): Boolean =
     schema(i + 1).dataType match {
       case org.apache.spark.sql.types.StringType =>
-        a.toString < b.toString
+        // UTF-8 binary order — must match the engine's predicate
+        // collation, see KVLogFormat.utf8Cmp
+        KVLogFormat.utf8Lt(a.toString, b.toString)
       case org.apache.spark.sql.types.LongType =>
         a.asInstanceOf[Long] < b.asInstanceOf[Long]
       case org.apache.spark.sql.types.IntegerType =>
@@ -597,7 +616,9 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
     gz.close() // finishes the gzip stream
     val bytes = buf.toByteArray
     out.write(bytes)
-    val stats = Seq.tabulate(statMin.length)(i => ColStat(statMin(i), statMax(i)))
+    val stats = Seq.tabulate(statMin.length)(i =>
+      if (statPoisoned(i)) ColStat(null, null)
+      else ColStat(statMin(i), statMax(i)))
     metas += BucketMeta(offset, bytes.length.toLong, bucketRows, minKey,
       maxKey, stats,
       scala.collection.immutable.ArraySeq.unsafeWrapArray(bloom))
@@ -607,6 +628,7 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
     bloom = null
     java.util.Arrays.fill(statMin.asInstanceOf[Array[AnyRef]], null)
     java.util.Arrays.fill(statMax.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(statPoisoned, false)
   }
 
   override def write(row: InternalRow): Unit = {
@@ -620,8 +642,8 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
     // tracked by comparison, not first/last: batch writes arrive
     // key-sorted (RequiresDistributionAndOrdering), but the footer
     // index must stay correct for any producer order
-    if (minKey == null || key < minKey) minKey = key
-    if (maxKey == null || key > maxKey) maxKey = key
+    if (minKey == null || KVLogFormat.utf8Lt(key, minKey)) minKey = key
+    if (maxKey == null || KVLogFormat.utf8Lt(maxKey, key)) maxKey = key
     if (bloom == null) bloom = new Array[Byte](KVLogFormat.BloomBytes)
     KVLogFormat.bloomAdd(bloom, key)
     val vals = Array.tabulate[Any](schema.length) { i =>
@@ -639,8 +661,12 @@ private[kvlog] class GraftKVDataWriter(schema: StructType, dir: String,
     while (i < statMin.length) {
       val v = vals(i + 1)
       if (v != null) {
-        if (statMin(i) == null || ltTyped(i, v, statMin(i))) statMin(i) = v
-        if (statMax(i) == null || ltTyped(i, statMax(i), v)) statMax(i) = v
+        v match {
+          case d: Double if d.isNaN => statPoisoned(i) = true
+          case _ =>
+            if (statMin(i) == null || ltTyped(i, v, statMin(i))) statMin(i) = v
+            if (statMax(i) == null || ltTyped(i, statMax(i), v)) statMax(i) = v
+        }
       }
       i += 1
     }

@@ -270,12 +270,35 @@ object KVLogFormat {
 
   // ---- key-range bucket pruning ------------------------------------
 
-  /** Inclusive-bound key range; None = unbounded. */
+  /** UTF-8 binary string comparison — the order Spark's UTF8String
+    * uses to evaluate string predicates. Pruning decisions MUST use
+    * the engine's own collation: Java's UTF-16 `<` disagrees for
+    * supplementary characters (a surrogate pair sorts above U+E000 in
+    * UTF-8 bytes but below it in UTF-16 code units), and a pruned
+    * bucket is never decompressed, so a collation mismatch silently
+    * loses rows. Identical to Java order for pure-ASCII keys.
+    */
+  def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  def utf8Lt(a: String, b: String): Boolean = utf8Cmp(a, b) < 0
+
+  /** Inclusive-bound key range; None = unbounded. UTF-8 order. */
   final case class KeyRange(lower: Option[String], upper: Option[String]) {
     def overlaps(b: BucketMeta): Boolean =
-      lower.forall(_ <= b.maxKey) && upper.forall(_ >= b.minKey)
+      lower.forall(utf8Cmp(_, b.maxKey) <= 0) &&
+        upper.forall(utf8Cmp(_, b.minKey) >= 0)
     def contains(k: String): Boolean =
-      lower.forall(_ <= k) && upper.forall(_ >= k)
+      lower.forall(utf8Cmp(_, k) <= 0) && upper.forall(utf8Cmp(_, k) >= 0)
   }
   val FullRange: KeyRange = KeyRange(None, None)
 
@@ -303,7 +326,7 @@ object KVLogFormat {
   final case class ColPred(field: String, op: String, value: Any)
 
   private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
-    case StringType  => a.toString.compareTo(b.toString)
+    case StringType  => utf8Cmp(a.toString, b.toString)
     case LongType    =>
       java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
         b.asInstanceOf[Number].longValue())

@@ -169,6 +169,42 @@ class GraftKVSpec extends SparkSpec {
     assert(hit.count() === 1)
   }
 
+  test("NaN doubles disable that column's bucket stats — no silent row loss") {
+    import spark.implicits._
+    val dir = tmp()
+    // one bucket holding (NaN, 1.0, 2.0): Spark treats NaN as larger
+    // than every double, so `score > 5.0` MUST return the NaN row — a
+    // min/max stat built ignoring the NaN would prune the only bucket
+    Seq(("a", Double.NaN), ("b", 1.0), ("c", 2.0)).toDF("key", "score")
+      .coalesce(1)
+      .write.format("graftkv").option("bucketsize", 10).mode("append").save(dir)
+    val back = spark.read.format("graftkv").load(dir)
+    assert(back.filter(col("score") > 5.0).count() === 1)
+    assert(back.filter(col("score") <= 5.0).count() === 2)
+    val footer = graft.sources.kvlog.GraftKVUtilAccess
+      .footerOf(new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".gkv")).head.getPath)
+    assert(!footer.buckets.head.colStats.head.defined,
+      "a NaN-containing double column must carry no stats")
+  }
+
+  test("key pruning uses UTF-8 binary order, matching the engine") {
+    import spark.implicits._
+    val dir = tmp()
+    // U+10000 (a surrogate pair) sorts ABOVE U+E000 in UTF-8 bytes
+    // (Spark's predicate order) but BELOW it in Java's UTF-16 compare;
+    // a Java-collated index would prune the bucket holding the row
+    val hi = "k" + new String(Character.toChars(0x10000))
+    val mid = "k"
+    Seq((hi, 1L), (mid, 2L), ("ka", 3L)).toDF("key", "n")
+      .coalesce(1)
+      .write.format("graftkv").option("bucketsize", 2).mode("append").save(dir)
+    val back = spark.read.format("graftkv").load(dir)
+    assert(back.count() === 3)
+    assert(back.filter(col("key") > mid).select("n").head.getLong(0) === 1L)
+    assert(back.filter(col("key") === hi).count() === 1)
+  }
+
   test("overwrite truncates previous files; nulls round-trip") {
     import spark.implicits._
     val dir = tmp()

@@ -38,8 +38,20 @@ class StreamIsolationSpec extends SparkSpec {
     // the child session and its memory-sink table can be collected —
     // without that, every drain in a long JVM retains a full table copy
     assert(out.sparkSession eq spark)
-    assert(!spark.catalog.tableExists("stream_dedup_mem"),
-      "memory-sink view must not leak into the parent catalog")
     assert(out.count() > 0)
+
+    // the freed-sink contract, asserted on the CHILD catalog where the
+    // sink actually lives (the parent catalog never sees it, so a
+    // parent-side tableExists check would pass vacuously): after
+    // drained(), the child's view is gone and the copy is independent
+    val child = spark.newSession()
+    child.createDataFrame(Seq(("a", 1L), ("b", 2L)))
+      .toDF("k", "n").createOrReplaceTempView("child_sink")
+    assert(child.catalog.tableExists("child_sink"))
+    val copied = StreamQueries.drained(spark, child, "child_sink")
+    assert(copied.sparkSession eq spark)
+    assert(copied.count() === 2)
+    assert(!child.catalog.tableExists("child_sink"),
+      "drained() must drop the child session's sink view")
   }
 }
