@@ -94,6 +94,44 @@ object TextQueries {
           coalesce(col("overlap"), lit(0L)).as("overlap"))
     }),
 
+    // The same trigram classifier with SAMPLED training: profiles
+    // train on a deterministic 25% hash split while scoring stays
+    // full-corpus. At 100 TB the profile census is the expensive half
+    // and language profiles converge on a tiny fraction of the data —
+    // training on a sample is what the full-scale pipeline actually
+    // does, and the hash split keeps it reproducible cross-engine.
+    "text_langid_sampled" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hv = TextOps.hexByteValue(
+        md5(concat(lit("lid1:"), col("doc_id").cast("string"))))
+      val docs = Tables.documents(s, d)
+      val dt = docs.select(col("doc_id"), col("lang"), hv.as("__hv"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3))))).as("tri"))
+      val prof = dt.filter(col("__hv") < 64)
+        .groupBy(col("lang").as("plang"), col("tri"))
+        .agg(count(lit(1)).as("df"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("plang")).orderBy(col("df").desc, col("tri"))))
+        .filter(col("rk") <= 20)
+        .select(col("plang"), col("tri"))
+      val best = dt.select(col("doc_id"), col("tri"))
+        .join(prof, Seq("tri"))
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(count(lit(1)).as("overlap"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("overlap").desc, col("plang"))))
+        .filter(col("rn") === 1)
+      docs.select(col("doc_id"), col("lang"))
+        .join(best.select(col("doc_id"), col("plang"), col("overlap")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("plang"), lit("und")).as("pred_lang"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"))
+    }),
+
     // Document fingerprint: md5 over the sorted distinct token set.
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -247,6 +285,35 @@ object TextQueries {
                     row_number() OVER (PARTITION BY lang
                       ORDER BY COUNT(*) DESC, tri) AS rk
              FROM dt GROUP BY lang, tri)
+           WHERE rk <= 20),
+         sc AS (
+           SELECT dt.doc_id, prof.plang, COUNT(*) AS overlap
+           FROM dt JOIN prof USING (tri) GROUP BY 1, 2),
+         best AS (
+           SELECT doc_id, plang, overlap FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY overlap DESC, plang) AS rn FROM sc)
+           WHERE rn = 1)
+         SELECT d.doc_id, d.lang,
+                COALESCE(best.plang, 'und') AS pred_lang,
+                COALESCE(best.overlap, 0) AS overlap
+         FROM documents d LEFT JOIN best USING (doc_id)""",
+    "text_langid_sampled" ->
+      """WITH dt AS (
+           SELECT doc_id, lang,
+                  (instr('0123456789abcdef',
+                     substr(md5('lid1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                  (instr('0123456789abcdef',
+                     substr(md5('lid1:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hv,
+                  unnest(list_distinct([substr(text, i, 3)
+                                        FOR i IN range(1, len(text) - 1)])) AS tri
+           FROM documents),
+         prof AS (
+           SELECT plang, tri FROM (
+             SELECT lang AS plang, tri, COUNT(*) AS df,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY COUNT(*) DESC, tri) AS rk
+             FROM dt WHERE hv < 64 GROUP BY lang, tri)
            WHERE rk <= 20),
          sc AS (
            SELECT dt.doc_id, prof.plang, COUNT(*) AS overlap
