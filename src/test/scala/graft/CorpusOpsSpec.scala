@@ -116,6 +116,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("rankQuantiles matches brute-force rank selection") {
+    var x = 99L
+    def next(bound: Int): Int = {
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      (((x >>> 33) % bound).toInt + bound) % bound
+    }
+    // uneven group sizes incl. 1 and 2 to hit the rank edge cases
+    val rows = for {
+      (g, n) <- Seq(("a", 1), ("b", 2), ("c", 7), ("d", 100), ("e", 101))
+      _ <- 0 until n
+    } yield (g, next(1000).toLong)
+    import spark.implicits._
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    val got = CorpusOps.rankQuantiles(rows.toDF("g", "v"), "g", "v", qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((g, vs) <- rows.groupBy(_._1)) {
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.size
+      def at(a: Int, b: Int) = sorted(((a.toLong * n + b - 1) / b).toInt - 1)
+      assert(got(g) === ((n.toLong, at(1, 2), at(9, 10), at(99, 100))), s"group $g")
+    }
+  }
+
   test("decontaminate counts distinct shared shingles exactly") {
     val corpus = docs(30, seed = 29)
     import spark.implicits._
