@@ -140,6 +140,34 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample thresholds and kept sets match brute force") {
+    import spark.implicits._
+    // skewed strata: en 60, fr 15, de 5 → thresholds 256·sqrt(5/n)
+    val rows = (0 until 60).map(i => (i.toLong, "en")) ++
+      (100 until 115).map(i => (i.toLong, "fr")) ++
+      (200 until 205).map(i => (i.toLong, "de"))
+    val hash = graft.ops.TextOps.hexByteValue(
+      md5(concat(lit("t:"), col("id").cast("string"))))
+    val kept = CorpusOps.temperatureSample(rows.toDF("id", "lang"), "lang", hash)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("thresh"))).toMap
+
+    def hv(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(d.substring(0, 2), 16)
+    }
+    val counts = Map("en" -> 60, "fr" -> 15, "de" -> 5)
+    def thresh(lang: String): Double =
+      math.round(256.0 * math.sqrt(5.0 / counts(lang)) * 1e6) / 1e6
+    for ((id, lang) <- rows) {
+      val expectKeep = hv(id) < thresh(lang)
+      assert(kept.contains(id) === expectKeep, s"doc $id ($lang)")
+      if (expectKeep) assert(kept(id) === thresh(lang))
+    }
+    // the smallest stratum keeps everything (thresh = 256)
+    assert((200L until 205L).forall(kept.contains))
+  }
+
   test("decontaminate counts distinct shared shingles exactly") {
     val corpus = docs(30, seed = 29)
     import spark.implicits._
