@@ -64,7 +64,7 @@ class IntervalsSpec extends AnyFunSuite {
     }
   }
 
-  test("differential: condenseLocations matches the reference on 120 generated cases") {
+  test("differential: condenseLocations matches the reference on 360 generated cases") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val url = getClass.getResource("/condense_fixture.json")
     val fixture = mapper.readTree(new java.io.File(url.toURI))
@@ -80,7 +80,7 @@ class IntervalsSpec extends AnyFunSuite {
       assert(Intervals.condenseLocations(locations) === expected, s"case $n")
       n += 1
     }
-    assert(n === 120)
+    assert(n === 360)
   }
 
   test("property: condenseLocations outputs sorted spans covering every max end") {

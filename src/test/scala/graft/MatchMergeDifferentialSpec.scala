@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
 
 /** Differential test: the Scala K1-K3 kernel vs the reference's
   * merge_uniprot_matches run as a generation-time oracle
-  * (tools/gen_matchmerge_fixture.py; 40 random proteins, multi-
+  * (tools/gen_matchmerge_fixture.py; 240 reference-replayed proteins, multi-
   * fragment matches, domain/family/region mix, shared entries).
   * The fixture carries (input rows, expected merged matches).
   */
@@ -69,6 +69,6 @@ class MatchMergeDifferentialSpec extends AnyFunSuite {
       }
       checked += 1
     }
-    assert(checked === 80)
+    assert(checked === 240)
   }
 }

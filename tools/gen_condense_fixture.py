@@ -18,7 +18,7 @@ def main():
     m, _ = load_reference_matches()
     rng = random.Random(424242)
     cases = []
-    for _ in range(120):
+    for _ in range(360):
         n_locs = rng.randint(1, 12)
         locations = []
         for _ in range(n_locs):

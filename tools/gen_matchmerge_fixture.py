@@ -73,10 +73,10 @@ def main():
     fam_dbs = consts["REPR_FAM_DATABASES"]
 
     cases = []
-    for case_id in range(80):
+    for case_id in range(240):
         # later cases skew adversarial: many overlapping domains,
         # duplicate locations, single-residue fragments
-        adversarial = case_id >= 40
+        adversarial = case_id >= 40  # cases 40+ adversarial
         n_sigs = rng.randint(1, 8)
         signatures = {}
         entries = {}

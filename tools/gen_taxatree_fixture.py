@@ -104,7 +104,7 @@ def main():
     extra_ranks = ["no rank", "subspecies", "strain", "clade"]
     names = ["Plain", 'Str "quoted"', "Back\\slash", "x' y", "alpha beta"]
     cases = []
-    for case_i in range(24):
+    for case_i in range(72):
         n_nodes = rnd.randint(3, 18)
         rows = []
         ids = []
