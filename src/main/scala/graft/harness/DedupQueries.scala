@@ -362,10 +362,10 @@ object DedupQueries {
     s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
                  WHERE len(string_split(text,' ')) >= $w),
         seeds AS (SELECT doc_id, i AS p,
-                         ('0x' || substr(md5(array_to_string(t[i:i+${w - 1}],' ')), 1, 13))::BIGINT AS s
+                         array_to_string(t[i:i+${w - 1}],' ') AS g
                   FROM toks, UNNEST(range(1, len(t)-${w - 2})) AS u(i)),
-        dup AS (SELECT s FROM seeds GROUP BY s HAVING COUNT(*) > 1),
-        hits AS (SELECT doc_id, p FROM seeds JOIN dup USING (s)),
+        dup AS (SELECT g FROM seeds GROUP BY g HAVING COUNT(*) > 1),
+        hits AS (SELECT doc_id, p FROM seeds JOIN dup USING (g)),
         mk AS (SELECT doc_id, p,
                       MAX(p + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY p
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end

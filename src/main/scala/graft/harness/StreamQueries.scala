@@ -120,60 +120,32 @@ object StreamQueries {
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
     }),
 
-    // Streaming NEAR-dedup: MinHash signatures computed per row with
-    // higher-order functions (no groupBy — a stateless projection
-    // inside the streaming batch), LSH band keys exploded, then a
-    // stateful per-bucket pass (flatMapGroupsWithState) that remembers
-    // each bucket's first-seen (minimum) doc and flags every later
-    // arrival as a near-dup of it. The batch LSH plan shuffles twice
-    // (signature agg + band join); here the only shuffle is the band
-    // -key grouping, and bucket state is one long — the shape a
-    // 100 TB ingest stream needs. At true stream scale the state adds
-    // a TTL timeout/watermark for eviction; the drain keeps NoTimeout.
+    // Streaming NEAR-dedup (graft.streaming.NearDedup): per-row HOF
+    // MinHash signatures, LSH band keys exploded, then a stateful
+    // first-seen-wins per-bucket pass — one shuffle, one long of state
+    // per bucket. The AvailableNow drain delivers one batch, which is
+    // why the DuckDB oracle (global per-bucket MIN) matches exactly;
+    // NearDedupReplaySpec pins the multi-batch semantics (cross-batch
+    // first-seen-wins, TTL-bounded state). Drained through a PARQUET
+    // sink, not the memory sink: near-dedup output at corpus scale is
+    // large, and the file-sink path keeps result rows executor→storage
+    // without ever passing through driver memory.
     "stream_near_dedup" -> ((s, d) => {
-      val name = "stream_near_dedup_mem"
       val sess = streamSession(s)
       import sess.implicits._
-      import graft.ops.TextOps
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      // tokens materialize as a column BEFORE the shingle lambda
-      // (inlining split() re-evaluates it per shingle position —
-      // O(tokens²) per doc, measured 12.6 s vs 4 s at sf0.1), and the
-      // digested shingle ids materialize before the k signature mins
-      // (lambdas get no CSE — inlining would re-hash every shingle k
-      // times)
-      val withIds = graft.streaming.DocsStream.readStream(sess, d)
-        .withColumn("__toks", TextOps.tokens(col("text")))
-        .filter(size(col("__toks")) >= NearN)
-        .withColumn("__ids",
-          transform(TextOps.shingles(col("__toks"), NearN),
-            g => TextOps.minhashX(g)))
-      val sig = withIds.select(
-        col("doc_id") +: TextOps.minhashRowSigs(col("__ids"), NearK): _*)
-      val bands = sig.select(col("doc_id"),
-        explode(TextOps.bandKeys(NearBands, NearK / NearBands)).as("bk"))
-      // FIRST-SEEN-WINS: the bucket's representative is fixed the
-      // first time the bucket is observed and never rewritten — the
-      // only coherent semantics for an append-only ingest stream
-      // (retro-flagging history is not possible). Within that first
-      // batch the minimum id is the representative, which is also why
-      // the DuckDB oracle (global per-bucket MIN) matches the
-      // AvailableNow drain exactly: it delivers one batch. A
-      // multi-batch deployment keeps flagging later arrivals against
-      // the first-seen representative by id-independent arrival order.
-      val pairs = bands.as[(Long, String)].groupByKey(_._2)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
-            val ids = rows.map(_._1).toArray.sorted
-            val rep = state.getOption.getOrElse(ids.head)
-            state.update(rep)
-            ids.iterator.filter(_ != rep).map(id => (id, rep))
-        }.toDF("dup_id", "rep_id")
-      val q = pairs.writeStream.format("memory").queryName(name)
+      val bands = graft.streaming.NearDedup.bandKeys(
+        graft.streaming.DocsStream.readStream(sess, d),
+        NearN, NearK, NearBands)
+      val pairs = graft.streaming.NearDedup.flagPairs(bands.as[(Long, String)])
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-near-dedup-drain-").toString
+      val q = pairs.writeStream.format("parquet")
+        .option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       // a doc collides with the same representative in several bands
-      drained(s, sess, name).distinct()
+      s.read.parquet(s"$outDir/data").distinct()
     }),
 
     // Custom stateful streaming: gap sessionization per user via

@@ -49,12 +49,20 @@ object CorpusOps {
 
   /** Exact repeated-substring spans (the suffix-array dedup family
     * recast for a shuffle engine) over a pre-tokenized frame: every
-    * `w`-token window is a seed, seeds whose 52-bit hash occurs more
+    * `w`-token window is a seed, seeds whose window TEXT occurs more
     * than once globally mark their window as duplicated, and per
     * document the overlapping/adjacent duplicated windows condense
     * into maximal spans via the interval-islands sweep. Returns
     * `(idCol, span_start, span_end, n_seeds)` with 1-based inclusive
     * token positions.
+    *
+    * Duplication is decided in two passes so the global census only
+    * ever shuffles 8-byte ints: pass 1 finds 52-bit-hash collisions
+    * (a superset of the true duplicates — at corpus scale the birthday
+    * bound makes false hash collisions certain), pass 2 re-groups just
+    * that candidate subset by the FULL window string, so a hash
+    * collision between two genuinely unique windows never cuts text.
+    * removeSpans consumes this output, so the exactness matters.
     */
   def substringSpans(docs: DataFrame, idCol: String, toksCol: String,
                      w: Int): DataFrame = {
@@ -64,10 +72,19 @@ object CorpusOps {
       .select(id, posexplode(TextOps.shingles(col("__toks"), w))
         .as(Seq("__pos", "__g")))
       .select(id, (col("__pos") + 1).cast("long").as("__p"),
-        TextOps.minhashX(col("__g")).as("__s"))
-    val dupSeeds = seeds.groupBy(col("__s"))
+        TextOps.minhashX(col("__g")).as("__s"), col("__g"))
+    // pass 1: hash census — column pruning keeps this shuffle at the
+    // 8-byte hash, never the window strings
+    val dupHash = seeds.groupBy(col("__s"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select(col("__s"))
-    val hits = seeds.join(dupSeeds, Seq("__s")).select(id, col("__p"))
+    // pass 2: only candidate windows (true dups + hash collisions, a
+    // tiny fraction of the corpus) carry their string into an exact
+    // gram census; equal strings always share a hash, so no true
+    // duplicate is lost in pass 1
+    val cand = seeds.join(dupHash, Seq("__s"))
+    val dupGram = cand.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c2")).filter(col("__c2") > 1).select(col("__g"))
+    val hits = cand.join(dupGram, Seq("__g")).select(id, col("__p"))
     val win = Window.partitionBy(id).orderBy(col("__p"))
     val prevEnd = max(col("__p") + (w - 1))
       .over(win.rowsBetween(Window.unboundedPreceding, -1))

@@ -59,9 +59,15 @@ object TopKPerGroupStrategy extends SparkStrategy {
       // low-cardinality group key (g groups over p partitions) the
       // final heap stage then touches <= g·p·k rows instead of the
       // whole input — without the partial pass, 3 groups means the
-      // entire dataset funnels through <= 3 reducer tasks no matter
-      // the cluster size. Top-k is a monoid (top-k of a union = top-k
+      // entire dataset funnels through <= 3 reducer tasks at any
+      // cluster size. Top-k is a monoid (top-k of a union = top-k
       // of per-part top-ks), so the rewrite is output-identical.
+      // The partial pass is ADAPTIVE (see doExecute): when a sampled
+      // prefix shows it retaining nearly every row — a high-cardinality
+      // group key, where map-side heaps prune nothing and only pay
+      // copies — it abandons itself and streams rows straight to the
+      // exchange, the same reduction-ratio fallback partial hash
+      // aggregation applies.
       val partial = TopKPerGroupExec(k, group, order, rankAttr,
         planLater(child), partial = true)
       TopKPerGroupExec(k, group, order, rankAttr, partial) :: Nil
@@ -93,6 +99,13 @@ case class TopKPerGroupExec(k: Int, group: Seq[Expression],
     // O(groups·k), so a high-cardinality group key cannot OOM the task
     val spillThreshold =
       conf.getConfString("spark.graft.topk.spillThreshold", "262144").toInt
+    // adaptive-partial knobs: after `sampleRows` input rows, a partial
+    // pass that kept more than `maxKeepRatio` of them is not pruning
+    // (group cardinality ~ row count) and abandons itself
+    val sampleRows =
+      conf.getConfString("spark.graft.topk.partialSampleRows", "4096").toInt
+    val maxKeepRatio =
+      conf.getConfString("spark.graft.topk.partialMaxKeepRatio", "0.875").toDouble
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(group, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
@@ -136,7 +149,9 @@ case class TopKPerGroupExec(k: Int, group: Seq[Expression],
         retained = 0
       }
 
-      while (it.hasNext) {
+      var seen = 0
+      var abandoned = false
+      while (it.hasNext && !abandoned) {
         val row = it.next()
         val key = keyProj(row)
         val heap = heaps.getOrElseUpdate(key.copy(),
@@ -148,6 +163,11 @@ case class TopKPerGroupExec(k: Int, group: Seq[Expression],
         } else if (ordering.lt(row, heap.head)) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
+        seen += 1
+        // spills.isEmpty guards a configured spillThreshold below the
+        // sample size: abandoning after a spill would drop spilled rows
+        if (partial && seen == sampleRows && spills.isEmpty &&
+            retained > seen * maxKeepRatio) abandoned = true
       }
 
       // partial mode forwards the surviving rows unranked (the final
@@ -162,7 +182,15 @@ case class TopKPerGroupExec(k: Int, group: Seq[Expression],
           }
         }
 
-      if (spills.isEmpty) {
+      if (abandoned) {
+        // the sampled prefix kept > maxKeepRatio of its rows: map-side
+        // heaps are pure overhead here (one group ~ one row per
+        // partition) — flush what's buffered unranked and stream the
+        // remainder straight through to the exchange; the final pass
+        // computes the identical result either way. Reached only with
+        // zero spills, so the buffered heaps are the complete prefix.
+        heaps.iterator.flatMap(_._2.iterator).map(rowProj) ++ it.map(rowProj)
+      } else if (spills.isEmpty) {
         // in-memory fast path
         heaps.iterator.flatMap { case (_, heap) =>
           emit(heap.dequeueAll.reverse)

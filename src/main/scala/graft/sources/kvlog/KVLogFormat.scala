@@ -99,7 +99,11 @@ object KVLogFormat {
     mayContainProbes(b, bloomProbe(key))
 
   private def mayContainProbes(b: BucketMeta, probes: Array[Int]): Boolean =
-    b.bloom.isEmpty || probes.forall { p =>
+    // a bloom of any length other than BloomBytes (absent, truncated by
+    // corruption, or written by a different layout) never prunes —
+    // probe positions assume the fixed 2048-bit table, so indexing a
+    // shorter array would throw instead of degrading conservatively
+    b.bloom.length != BloomBytes || probes.forall { p =>
       (b.bloom(p >>> 3) & (1 << (p & 7))) != 0
     }
 

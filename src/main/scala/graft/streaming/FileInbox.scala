@@ -11,23 +11,33 @@ package graft.streaming
 object FileInbox {
 
   /** Stage `dir/table.parquet` into an inbox directory and return the
-    * inbox path. Re-stages when the source is newer or a different
-    * size: a staged copy left over from a regenerated dataset would
-    * silently feed every streaming query stale rows.
+    * inbox path. The inbox name carries a digest of the ABSOLUTE source
+    * path (two datasets whose directories share a leaf name must not
+    * share an inbox), and staging preserves the source mtime so a
+    * changed source is detected by mtime INEQUALITY — an mtime
+    * -preserving copy of a regenerated dataset would defeat a
+    * strictly-newer check and silently feed every streaming query
+    * stale rows.
     */
   def stage(dir: String, table: String): String = {
-    val sfName = new java.io.File(dir).getName
+    val srcDir = new java.io.File(dir).getAbsoluteFile
+    val pathKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcDir.getPath.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
     val suffix = if (table == "events") "" else s"-$table"
-    val inbox = new java.io.File(s"/tmp/graft-stream-inbox$suffix-$sfName")
+    val inbox = new java.io.File(
+      s"/tmp/graft-stream-inbox$suffix-${srcDir.getName}-$pathKey")
     inbox.mkdirs()
-    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    val src = java.nio.file.Paths.get(s"${srcDir.getPath}/$table.parquet")
     val staged = new java.io.File(inbox, s"$table.parquet")
+    val srcMtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
     val stale = !staged.exists() ||
       java.nio.file.Files.size(src) != staged.length() ||
-      java.nio.file.Files.getLastModifiedTime(src).toMillis > staged.lastModified()
+      srcMtime != staged.lastModified()
     if (stale) {
       java.nio.file.Files.copy(src, staged.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      staged.setLastModified(srcMtime) // preserve for the equality check
     }
     inbox.getAbsolutePath
   }

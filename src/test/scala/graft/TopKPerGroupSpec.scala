@@ -89,6 +89,41 @@ class TopKPerGroupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.spillThreshold")
   }
 
+  test("adaptive partial abandons on a high-cardinality key and stays exact") {
+    // ~1 row per group: the partial heap retains everything it sees,
+    // so a tiny sample triggers abandonment on every partition — the
+    // result must still match the window formulation row-for-row
+    spark.conf.set("spark.graft.topk.partialSampleRows", "32")
+    try {
+      val df = spark.range(0, 20000).select(
+        col("id").as("g"), pmod(hash(col("id")), lit(1000000)).as("h"))
+      val viaCustom = RelOps.topKPerGroupExact(df, Seq(col("g")), Seq(col("h")), 3)
+        .select("g", "h", "rk")
+      val viaWindow = RelOps.topKPerGroup(df, Seq(col("g")), Seq(col("h")), 3)
+        .select("g", "h", "rk")
+      assert(viaCustom.count() === viaWindow.count())
+      assert(viaWindow.exceptAll(viaCustom).count() === 0)
+      assert(viaCustom.exceptAll(viaWindow).count() === 0)
+    } finally spark.conf.unset("spark.graft.topk.partialSampleRows")
+  }
+
+  test("adaptive partial does NOT abandon on a low-cardinality key") {
+    // 3 groups, k=16: by the 32-row sample the heaps hold <= 48 rows
+    // and everything after is pruned map-side — the kmv shape keeps
+    // its map-side bound even with the adaptive check active
+    spark.conf.set("spark.graft.topk.partialSampleRows", "32")
+    try {
+      val df = spark.range(0, 50000).select(
+        (col("id") % 3).as("g"), pmod(hash(col("id")), lit(1000000)).as("h"))
+      val viaCustom = RelOps.topKPerGroupExact(df, Seq(col("g")), Seq(col("h")), 4)
+        .select("g", "h", "rk")
+      val viaWindow = RelOps.topKPerGroup(df, Seq(col("g")), Seq(col("h")), 4)
+        .select("g", "h", "rk")
+      assert(viaCustom.count() === viaWindow.count())
+      assert(viaWindow.exceptAll(viaCustom).count() === 0)
+    } finally spark.conf.unset("spark.graft.topk.partialSampleRows")
+  }
+
   test("groups smaller than k emit all rows ranked") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
