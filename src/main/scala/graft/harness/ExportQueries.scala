@@ -230,6 +230,53 @@ object ExportQueries {
           concat_ws(",", sort_array(collect_set(col("pathway_id"))))
             .as("pathways"))),
 
+    // iprscan_manifest (iprscan.py:241-380 iter_antifam/iter_cath/
+    // iter_cdd/.../iter_smart): the per-member-database file
+    // inventories that complete the InterProScan FTP lookup package —
+    // each member DB contributes a static list of distribution files,
+    // parameterized by its release version, with src paths under the
+    // data root and dst paths under the package layout (some renamed
+    // or re-rooted, e.g. CATH's gene3d/ subtree). The per-DB templates
+    // are a literal dim frame broadcast onto the per-DB version census
+    // (same version derivation as relnotes_members), so the manifest
+    // fan-out costs one tiny join regardless of data scale.
+    "iprscan_manifest" -> ((s, d) => {
+      val dbs = Tables.supplier(s, d)
+        .select(element_at(array(lit("Pfam"), lit("CDD"),
+          lit("PROSITE profiles"), lit("SMART"), lit("CATH-Gene3D"),
+          lit("PANTHER"), lit("SUPERFAMILY")),
+          (col("s_nationkey") % 7 + 1).cast("int")).as("db"),
+          col("s_suppkey"))
+        .groupBy(col("db"))
+        .agg(concat((min(col("s_suppkey")) % 90).cast("string"), lit(".0"))
+          .as("version"))
+      import s.implicits._
+      val template = Seq(
+        ("Pfam", "pfam", "pfam_a.dat", "pfam_a.dat"),
+        ("Pfam", "pfam", "pfam_a.hmm", "pfam_a.hmm"),
+        ("CDD", "cdd", "data", "data"),
+        ("CDD", "cdd", "db", "db"),
+        ("PROSITE profiles", "prosite", "evaluator.dat", "evaluator.dat"),
+        ("PROSITE profiles", "prosite", "prosite_patterns.dat", "prosite_patterns.dat"),
+        ("PROSITE profiles", "prosite", "prosite_profiles", "prosite_profiles"),
+        ("PROSITE profiles", "prosite", "skip_flagged_profiles.txt", "skip_flagged_profiles.txt"),
+        ("SMART", "smart", "smart-hmmer3/smart.HMMs", "hmmer3/smart.HMMs"),
+        ("CATH-Gene3D", "cath-gene3d", "gene3d_main.hmm", "gene3d/gene3d_main.hmm"),
+        ("CATH-Gene3D", "cath-gene3d", "discontinuous/discontinuous_regs.pkl.py3", "gene3d/discontinuous_regs.pkl.py3"),
+        ("CATH-Gene3D", "cath-gene3d", "model_to_family_map.tsv", "gene3d/model_to_family_map.tsv"),
+        ("PANTHER", "panther", "famhmm", "famhmm"),
+        ("PANTHER", "panther", "Tree_MSF", "Tree_MSF"),
+        ("SUPERFAMILY", "superfamily", "hmmlib_1.75", "hmmlib_1.75"),
+        ("SUPERFAMILY", "superfamily", "self_hits.tab", "self_hits.tab")
+      ).toDF("db", "dir", "src_member", "dst_member")
+      dbs.join(broadcast(template), Seq("db"))
+        .select(col("db"), col("version"),
+          concat(col("dir"), lit("/"), col("version"), lit("/"),
+            col("src_member")).as("src_path"),
+          concat(col("dir"), lit("/"), col("version"), lit("/"),
+            col("dst_member")).as("dst_path"))
+    }),
+
     // relnotes_types (ftp/relnotes.py:100-105): the per-entry-type
     // count block of release_notes.txt — `{type:>22} {count:>6}` with
     // underscores spaced and Python-capitalize() casing.
@@ -519,6 +566,34 @@ object ExportQueries {
                         || CAST(l_orderkey % 300 AS VARCHAR) AS pathway_id
                FROM lineitem)
          GROUP BY 1""",
+    "iprscan_manifest" ->
+      """WITH dbs AS (
+           SELECT ['Pfam','CDD','PROSITE profiles','SMART','CATH-Gene3D',
+                   'PANTHER','SUPERFAMILY']
+                    [CAST(s_nationkey % 7 + 1 AS INT)] AS db,
+                  CAST(MIN(s_suppkey) % 90 AS VARCHAR) || '.0' AS version
+           FROM supplier GROUP BY 1),
+         tpl(db, dir, src_member, dst_member) AS (VALUES
+           ('Pfam','pfam','pfam_a.dat','pfam_a.dat'),
+           ('Pfam','pfam','pfam_a.hmm','pfam_a.hmm'),
+           ('CDD','cdd','data','data'),
+           ('CDD','cdd','db','db'),
+           ('PROSITE profiles','prosite','evaluator.dat','evaluator.dat'),
+           ('PROSITE profiles','prosite','prosite_patterns.dat','prosite_patterns.dat'),
+           ('PROSITE profiles','prosite','prosite_profiles','prosite_profiles'),
+           ('PROSITE profiles','prosite','skip_flagged_profiles.txt','skip_flagged_profiles.txt'),
+           ('SMART','smart','smart-hmmer3/smart.HMMs','hmmer3/smart.HMMs'),
+           ('CATH-Gene3D','cath-gene3d','gene3d_main.hmm','gene3d/gene3d_main.hmm'),
+           ('CATH-Gene3D','cath-gene3d','discontinuous/discontinuous_regs.pkl.py3','gene3d/discontinuous_regs.pkl.py3'),
+           ('CATH-Gene3D','cath-gene3d','model_to_family_map.tsv','gene3d/model_to_family_map.tsv'),
+           ('PANTHER','panther','famhmm','famhmm'),
+           ('PANTHER','panther','Tree_MSF','Tree_MSF'),
+           ('SUPERFAMILY','superfamily','hmmlib_1.75','hmmlib_1.75'),
+           ('SUPERFAMILY','superfamily','self_hits.tab','self_hits.tab'))
+         SELECT d.db, d.version,
+                dir || '/' || version || '/' || src_member AS src_path,
+                dir || '/' || version || '/' || dst_member AS dst_path
+         FROM dbs d JOIN tpl USING (db)""",
     "relnotes_types" ->
       """SELECT etype,
                 lpad(upper(substring(replace(etype, '_', ' '), 1, 1))

@@ -96,6 +96,50 @@ object XrefQueries {
             lit(",\"taxa\":"), col("t").cast("string"), lit("}")).as("counts"))
     }),
 
+    // mart_protein_counts (mysql/proteins.py:296-504): the PROTEIN-side
+    // counts JSON assembled at webfront_protein insert time — the
+    // mirror of mart_entry_counts with the fan-in inverted (per-protein
+    // instead of per-entry). The reference walks one protein at a time
+    // against seven KV stores; here each piece is a keyed agg on the
+    // protein id and the domain-architecture count is a census join on
+    // the architecture string (the domorgs_store "count" field).
+    // Nested {"entries": {db: n}} renders through to_json over a
+    // sort_array'd map so the JSON text is deterministic cross-engine.
+    // Analogs: protein=order, matches=lineitems, member db=partkey%5,
+    // clan(set)=partkey%11, structure=supplier, isoform=high-quantity
+    // line, proteome membership=has a pfam match.
+    "mart_protein_counts" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("protein_id"),
+        element_at(array(lit("cdd"), lit("panther"), lit("pfam"),
+          lit("prosite"), lit("smart")),
+          (col("l_partkey") % 5 + 1).cast("int")).as("db"),
+        (col("l_partkey") % 11).as("clan"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"))
+      val perDb = li.groupBy(col("protein_id"), col("db"))
+        .agg(count(lit(1)).as("n"))
+      val entries = perDb.groupBy(col("protein_id"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("db"), col("n"))))).as("entries"),
+          concat_ws("-", sort_array(collect_list(col("db")))).as("ida"))
+      // domain-architecture census: how many proteins share this
+      // protein's member-db architecture (domorgs "count")
+      val daCounts = entries.groupBy(col("ida"))
+        .agg(count(lit(1)).as("da_n"))
+      val per = li.groupBy(col("protein_id")).agg(
+        countDistinct(col("clan")).as("sets"),
+        countDistinct(col("l_suppkey")).as("structures"),
+        countDistinct(when(col("l_quantity") > 40, col("l_linenumber")))
+          .as("isoforms"),
+        max(when(col("db") === "pfam", 1L).otherwise(0L)).as("proteomes"))
+      entries.join(daCounts, Seq("ida")).join(per, Seq("protein_id"))
+        .select(col("protein_id"),
+          to_json(struct(
+            col("da_n").as("domain_architectures"), col("entries"),
+            col("isoforms"), col("proteomes"), col("sets"),
+            col("structures"), lit(1L).as("taxa"))).as("counts"))
+    }),
+
     // A10 under skew: two-phase salted rollup — partial aggregate on
     // (node, salt), final on node. Same result as agg_rollup_lineage;
     // the extra narrow shuffle is what keeps the root taxon from
@@ -171,6 +215,37 @@ object XrefQueries {
                     JOIN customer ON o_custkey = c_custkey
                WHERE l_partkey % 3 = 0)
          GROUP BY entry_acc""",
+    "mart_protein_counts" ->
+      """WITH li AS (
+           SELECT l_orderkey AS protein_id,
+                  ['cdd','panther','pfam','prosite','smart']
+                    [CAST(l_partkey % 5 + 1 AS INT)] AS db,
+                  l_partkey % 11 AS clan, l_suppkey, l_linenumber, l_quantity
+           FROM lineitem),
+         perdb AS (SELECT protein_id, db, COUNT(*) AS n
+                   FROM li GROUP BY 1, 2),
+         ent AS (SELECT protein_id,
+                        '{' || string_agg('"' || db || '":' || CAST(n AS VARCHAR),
+                                          ',' ORDER BY db) || '}' AS entries,
+                        string_agg(db, '-' ORDER BY db) AS ida
+                 FROM perdb GROUP BY protein_id),
+         da AS (SELECT ida, COUNT(*) AS da_n FROM ent GROUP BY ida),
+         per AS (SELECT protein_id,
+                        COUNT(DISTINCT clan) AS sets,
+                        COUNT(DISTINCT l_suppkey) AS structures,
+                        COUNT(DISTINCT CASE WHEN l_quantity > 40
+                                            THEN l_linenumber END) AS isoforms,
+                        MAX(CASE WHEN db = 'pfam' THEN 1 ELSE 0 END) AS proteomes
+                 FROM li GROUP BY protein_id)
+         SELECT e.protein_id,
+                '{"domain_architectures":' || CAST(da_n AS VARCHAR) ||
+                ',"entries":' || e.entries ||
+                ',"isoforms":' || CAST(isoforms AS VARCHAR) ||
+                ',"proteomes":' || CAST(proteomes AS VARCHAR) ||
+                ',"sets":' || CAST(sets AS VARCHAR) ||
+                ',"structures":' || CAST(structures AS VARCHAR) ||
+                ',"taxa":1}' AS counts
+         FROM ent e JOIN da USING (ida) JOIN per USING (protein_id)""",
     "agg_rollup_salted" ->
       """WITH fact AS (
            SELECT o_orderkey, o_totalprice, c_custkey, c_nationkey, n_regionkey
