@@ -159,26 +159,37 @@ object CorpusOps {
   }
 
   /** Exact per-group quantiles by rank selection: each requested
-    * quantile `(name, a, b)` is the value at rank ceil(a·n/b),
-    * computed as one sorted window per group — no interpolation and
-    * no sketch, so results are bit-identical across engines and
-    * reruns (percentile()'s linear interpolation and t-digest
-    * approximations are not). The ceil is integer arithmetic:
-    * ceil(a·n/b) = floor((a·n + b − 1)/b). At scale this is a
-    * range-partitioned sort per group key.
+    * quantile `(name, a, b)` is the value at rank ceil(a·n/b) — no
+    * interpolation and no sketch, so results are bit-identical across
+    * engines and reruns (percentile()'s linear interpolation and
+    * t-digest approximations are not). The ceil is integer arithmetic:
+    * ceil(a·n/b) = floor((a·n + b − 1)/b).
+    *
+    * TWO-PASS rank selection, not a per-group row sort: pass 1 is a
+    * (group, value) census with multiplicities — one hash aggregation
+    * with map-side combine — and pass 2 sorts only the DISTINCT values
+    * per group, walking cumulative multiplicity to find each candidate
+    * rank (value at rank r = the census row with cum−m < r ≤ cum).
+    * A mega-group of 10^9 rows over a bounded value domain (quality
+    * scores, token counts) sorts only its distinct values instead of
+    * every row; the all-distinct worst case degrades to the same sort
+    * the naive window form pays.
     */
   def rankQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                     qs: Seq[(String, Int, Int)]): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val wAll = Window.partitionBy(col(groupCol))
+    val census = df.select(col(groupCol), col(valueCol))
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__m"))
+      .withColumn("__cum", sum(col("__m")).over(w))
+      .withColumn("__n", sum(col("__m")).over(wAll))
     val qCols = qs.map { case (name, a, b) =>
-      max(when(col("__rn") ===
-        floor((col("__n") * a + (b - 1)) / lit(b)), col(valueCol))).as(name)
+      val r = floor((col("__n") * a + (b - 1)) / lit(b))
+      max(when(col("__cum") - col("__m") < r && r <= col("__cum"),
+        col(valueCol))).as(name)
     }
-    df.select(col(groupCol), col(valueCol))
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .groupBy(col(groupCol))
+    census.groupBy(col(groupCol))
       .agg(max(col("__n")).as("n"), qCols: _*)
   }
 

@@ -68,6 +68,50 @@ class GraftKVSpec extends SparkSpec {
     assert(back.select(countDistinct("key")).head.getLong(0) === 2000)
   }
 
+  test("compaction restores a tight layout after many appends; lookups identical") {
+    import graft.sources.kvlog.{GraftKVCompact, GraftKVUtilAccess}
+    def layout(dir: String) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".gkv")).sortBy(_.getName)
+      (files.length,
+        files.map(f => GraftKVUtilAccess.footerOf(f.getPath).buckets.size).sum)
+    }
+    // reference layout: the same rows in ONE write
+    val ref = tmp()
+    seed.write.format("graftkv").option("bucketsize", 128).mode("append").save(ref)
+    val (refParts, refBuckets) = layout(ref)
+
+    // incremental layout: 8 appended slices -> 8x the part files, small
+    // tail buckets per slice
+    val dir = tmp()
+    (0 until 8).foreach { i =>
+      seed.filter(col("n") % 8 === i)
+        .write.format("graftkv").option("bucketsize", 128).mode("append").save(dir)
+    }
+    val (fragParts, fragBuckets) = layout(dir)
+    // the degradation compaction repairs is part-file proliferation
+    // (point lookups probe O(parts) footers); total bucket count stays
+    // ~rows/bucketSize under any fragmentation
+    assert(fragParts > refParts, "appends must accumulate part files")
+    assert(fragBuckets >= refBuckets)
+
+    val probe = spark.read.format("graftkv").load(dir)
+      .filter(col("key") === "k01234").collect().map(_.toSeq).toSeq
+
+    val (before, after) = GraftKVCompact.compact(spark, dir, bucketSize = 128)
+    assert(before === fragParts)
+
+    // compacted layout matches a fresh single write of the same rows
+    assert(layout(dir) === (refParts, refBuckets))
+    assert(after === refParts)
+    val back = spark.read.format("graftkv").load(dir)
+    assert(back.count() === 2000)
+    assert(back.agg(sum("n")).head.getLong(0) === (0L until 2000L).sum)
+    // point lookup (footer range + bloom path) returns the same row
+    assert(back.filter(col("key") === "k01234").collect().map(_.toSeq).toSeq
+      === probe)
+  }
+
   test("column pruning reaches the scan") {
     val dir = tmp()
     seed.write.format("graftkv").option("bucketsize", 128).mode("append").save(dir)
