@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive a larger scale-factor dataset from an existing one by
+  * replicating every table `factor` times with shifted keys — the
+  * scale-rehearsal harness (the driver only generates up to sf0.1;
+  * 128 GiB of local RAM can hold a 10x derivation comfortably).
+  *
+  * Shape contracts preserved per replica:
+  *  - every FK keeps its join partner (all key columns of a relation
+  *    family shift by the same replica stride = max(key)+1 of the
+  *    source), so join fan-outs and group sizes scale linearly;
+  *  - dims (region, nation) stay fixed — exactly how a real corpus
+  *    grows (facts 10x, vocabularies ~constant);
+  *  - `documents.text` gets a per-replica token suffix for i>0,
+  *    shifting EVERY shingle: the duplicate RATE stays constant
+  *    instead of each dup cluster growing 10x (which would blow pair
+  *    outputs quadratically and measure output explosion, not scan
+  *    scaling);
+  *  - `events.ts` stays INT64 nanoseconds (the Tables.events loader
+  *    contract truncates nanos to micros on read);
+  *  - `embeddings.embedding` gets a tiny first-component nudge per
+  *    replica so replicas are near but not exact neighbors.
+  *
+  * Usage: ScaleUp <srcDir> <outDir> [factor=10]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/root/repo/target/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1
+
+    def replicate(df: DataFrame, shifts: Map[String, Long],
+                  perReplica: (DataFrame, Int) => DataFrame = (d, _) => d)
+    : DataFrame =
+      (0 until factor).map { i =>
+        val shifted = shifts.foldLeft(df) { case (d, (k, s)) =>
+          d.withColumn(k, col(k) + lit(i * s))
+        }
+        perReplica(shifted, i)
+      }.reduce(_ unionAll _)
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"$name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    val customer = spark.read.parquet(s"$src/customer.parquet")
+    val supplier = spark.read.parquet(s"$src/supplier.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val documents = spark.read.parquet(s"$src/documents.parquet")
+    val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
+
+    val custS = stride(customer, "c_custkey")
+    val suppS = stride(supplier, "s_suppkey")
+    val partS = stride(part, "p_partkey")
+    val ordS = stride(orders, "o_orderkey")
+
+    // dims stay fixed
+    spark.read.parquet(s"$src/region.parquet")
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
+    spark.read.parquet(s"$src/nation.parquet")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+    write("customer", replicate(customer, Map("c_custkey" -> custS)))
+    write("supplier", replicate(supplier, Map("s_suppkey" -> suppS)))
+    write("part", replicate(part, Map("p_partkey" -> partS)))
+    write("orders", replicate(orders,
+      Map("o_orderkey" -> ordS, "o_custkey" -> custS)))
+    write("lineitem", replicate(lineitem,
+      Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)))
+    write("events", replicate(events,
+      Map("event_id" -> stride(events, "event_id"),
+          "user_id" -> stride(events, "user_id"))))
+    write("documents", replicate(documents,
+      Map("doc_id" -> stride(documents, "doc_id")),
+      (d, i) =>
+        if (i == 0) d
+        else d.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", "$1" + i.toString))
+          .withColumn("n_chars", length(col("text")).cast("long"))))
+    write("embeddings", replicate(embeddings,
+      Map("vec_id" -> stride(embeddings, "vec_id")),
+      (d, i) =>
+        if (i == 0) d
+        else d.withColumn("embedding", transform(col("embedding"),
+          (x, j) => when(j === 0, (x + lit(i * 0.001f)).cast("float"))
+            .otherwise(x)))))
+
+    spark.stop()
+  }
+}

@@ -79,8 +79,26 @@ object SampleQueries {
             .when(col("hv") < ValHi, "val").otherwise("test"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")))
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+
+    // Deterministic sequence packing (CorpusOps.packSequences): lay the
+    // corpus out in stable salted-hash order and chunk into PackBudget
+    // -token context windows — the concat-and-chunk step of a
+    // pretraining pipeline. The global offset is a distributed prefix
+    // sum (256 hash buckets + a census cumsum), never one giant
+    // window; the oracle's single global window is the small-scale
+    // ground truth it must equal.
+    "sample_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.ops.CorpusOps.packSequences(docs, "doc_id", "n_tok", PackBudget)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("doc_id")).as("id_checksum"))
+    })
   )
+
+  private val PackBudget = 512L
 
   private def hvSql(salt: String) =
     s"""(instr('0123456789abcdef',
@@ -114,6 +132,21 @@ object SampleQueries {
                       WHEN hv < $ValHi THEN 'val' ELSE 'test' END AS split,
                  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
                  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-          FROM h GROUP BY 1"""
+          FROM h GROUP BY 1""",
+    "sample_pack_sequences" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   md5(CAST(doc_id AS VARCHAR) || ':pack') AS h
+            FROM documents),
+          c AS (SELECT doc_id, n_tok,
+                       COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum0
+                FROM base)
+          SELECT CAST(FLOOR(CAST(cum0 AS DOUBLE) / $PackBudget) AS BIGINT) AS bin,
+                 COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+          FROM c GROUP BY 1"""
   )
 }

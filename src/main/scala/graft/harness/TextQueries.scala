@@ -234,8 +234,45 @@ object TextQueries {
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(TextOps.BpeishPattern), lit(0)))
           .cast("long").as("n_bpe"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_ws")))
+        size(TextOps.tokens(col("text"))).cast("long").as("n_ws"))),
+
+    // PII redaction: emails / international phone numbers / IPv4
+    // addresses counted then replaced with typed placeholders — a
+    // standard corpus-curation pass before releasing training data.
+    // Pure per-row regex expressions (codegen'd, no shuffle). The
+    // synthetic corpus carries no PII, so deterministic specimens are
+    // planted on a doc_id grid first; both engines see identical text.
+    "text_pii_redact" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call +1415555"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" from 192.168."),
+              (col("doc_id") % 255).cast("string"), lit(".17")))
+            .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+        (regexp_count(col("text"), lit(PiiEmail)) +
+          regexp_count(col("text"), lit(PiiPhone)) +
+          regexp_count(col("text"), lit(PiiIp))).cast("long").as("n_pii"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(PiiEmail), lit("<EMAIL>")),
+            lit(PiiPhone), lit("<PHONE>")),
+          lit(PiiIp), lit("<IP>")).as("clean_text"))
+    })
   )
+
+  // PII patterns restricted to syntax with identical semantics in Java
+  // regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhone = "\\+\\d{7,15}"
+  private val PiiIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
 
   private val sqlToks = "string_split(text, ' ')"
 
@@ -398,6 +435,29 @@ object TextQueries {
           c AS (SELECT tok, COUNT(*) AS n FROM f GROUP BY tok)
           SELECT tok, n, rank FROM (
             SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM c)
-          WHERE rank <= 100"""
+          WHERE rank <= 100""",
+    "text_pii_redact" ->
+      s"""WITH planted AS (
+            SELECT doc_id, text ||
+              CASE WHEN doc_id % 5 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now' ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0
+                   THEN ' call +1415555'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END ||
+              CASE WHEN doc_id % 11 = 0
+                   THEN ' from 192.168.' || CAST(doc_id % 255 AS VARCHAR)
+                        || '.17' ELSE '' END AS text
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$PiiEmail'))
+                    + len(regexp_extract_all(text, '$PiiPhone'))
+                    + len(regexp_extract_all(text, '$PiiIp')) AS BIGINT) AS n_pii,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '$PiiEmail', '<EMAIL>', 'g'),
+                   '$PiiPhone', '<PHONE>', 'g'),
+                   '$PiiIp', '<IP>', 'g') AS clean_text
+          FROM planted"""
   )
 }

@@ -262,6 +262,42 @@ object CorpusOps {
       .filter(col("hv") < col("thresh"))
   }
 
+  /** Deterministic sequence packing (the concat-and-chunk step of a
+    * pretraining pipeline): documents are laid out in a stable salted
+    * -hash order and chunked into `budget`-token context windows; a
+    * document belongs to the bin its first token lands in. Returns
+    * `(idCol, n_tok, bin)`.
+    *
+    * The global running offset is a DISTRIBUTED prefix sum, not one
+    * giant window: rows bucket by the first byte of their order hash
+    * (the bucket id is an order-preserving prefix, so bucket-then-hash
+    * order equals global hash order), per-bucket totals make a 256-row
+    * census whose exclusive cumsum — the only single-partition window,
+    * over 256 rows — broadcasts back as each bucket's base offset, and
+    * each bucket then cumsums its own rows independently. One shuffle
+    * on the bucket key; no partition ever sees more than ~1/256 of the
+    * corpus in its window sort.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+                    budget: Long): DataFrame = {
+    require(budget >= 1, s"packSequences requires budget >= 1, got $budget")
+    val h = md5(concat(col(idCol).cast("string"), lit(":pack")))
+    val base = df.select(col(idCol), col(nTokCol).cast("long").as("n_tok"))
+      .withColumn("__h", h)
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
+    val census = base.groupBy(col("__b")).agg(sum(col("n_tok")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    base.join(broadcast(census), Seq("__b"))
+      .withColumn("__cum0", coalesce(sum(col("n_tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + col("__off"))
+      .select(col(idCol), col("n_tok"),
+        floor(col("__cum0") / budget).as("bin"))
+  }
+
   /** Kept-corpus assembly after near-dup clustering: drop every non
     * -representative member of a component (the representative is the
     * min-label node, i.e. the component id itself). `components` is

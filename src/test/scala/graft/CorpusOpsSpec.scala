@@ -140,6 +140,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences matches a single-ordered brute-force chunking") {
+    var x = 41L
+    def next(bound: Int): Int = {
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      (((x >>> 33) % bound).toInt + bound) % bound
+    }
+    val budget = 64L
+    val rows = (0L until 500L).map(id => (id, next(40).toLong + 1))
+    import spark.implicits._
+    val got = CorpusOps.packSequences(
+        rows.toDF("doc_id", "n_tok"), "doc_id", "n_tok", budget)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // brute force: one global order by (md5(id:pack), id), running
+    // exclusive prefix sum, bin = offset / budget
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"$id:pack".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val ordered = rows.sortBy { case (id, _) => (h(id), id) }
+    var cum = 0L
+    val expected = ordered.map { case (id, n) =>
+      val bin = cum / budget; cum += n; id -> bin
+    }.toMap
+    assert(got === expected)
+    // conservation + bounded overflow: every bin holds < budget + max
+    // doc tokens (a doc is assigned where its first token lands)
+    val perBin = rows.groupBy(r => expected(r._1)).view
+      .mapValues(_.map(_._2).sum)
+    assert(perBin.values.sum === rows.map(_._2).sum)
+    val maxDoc = rows.map(_._2).max
+    perBin.foreach { case (bin, tks) =>
+      assert(tks < budget + maxDoc, s"bin $bin overflows: $tks")
+    }
+  }
+
   test("temperatureSample thresholds and kept sets match brute force") {
     import spark.implicits._
     // skewed strata: en 60, fr 15, de 5 → thresholds 256·sqrt(5/n)
