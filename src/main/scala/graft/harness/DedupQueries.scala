@@ -330,13 +330,37 @@ object DedupQueries {
         .select("da", "db", "ha", "hb", "lev")
     }),
 
-    // Embedding near-dup: label-blocked cosine pairs (blocking key =
-    // label; at scale the key becomes an LSH bucket / coarse centroid).
-    "dedup_embedding" -> ((s, d) =>
-      VectorOps.blockedPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label")
+    // Embedding near-dup: cosine pairs blocked on (label, banded
+    // hyperplane LSH buckets). Label alone is NOT a scale-safe
+    // blocking key — its cardinality is fixed, so per-block membership
+    // grows linearly with the corpus and the pair join goes quadratic
+    // (measured in the 30x rehearsal: 132x runtime for 30x rows).
+    // Each band's sign-bit bucket splits a label's population
+    // 2^planes ways (bounding block sizes; planes grow with the
+    // corpus), and OR-ing EmbBands independent bands recovers the
+    // recall a single band loses — the same band/row geometry as the
+    // minhash LSH, tuned the same way. A pair missed by every band is
+    // the residual recall trade.
+    "dedup_embedding" -> ((s, d) => {
+      val all = VectorOps.hyperplanes(EmbBands * EmbPlanes, EmbDim)
+      val emb = Tables.embeddings(s, d)
+        .withColumn("__v", VectorOps.asDouble(col("embedding")))
+      val blocked = emb.withColumn("__bk",
+        explode(array((0 until EmbBands).map(b =>
+          concat(lit(s"$b/"), col("label").cast("string"), lit("/"),
+            VectorOps.lshBucket(col("__v"),
+              all.slice(b * EmbPlanes, (b + 1) * EmbPlanes)))): _*)))
+      VectorOps.blockedPairs(blocked, "vec_id", "embedding", "__bk")
         .filter(col("sim") >= 0.4)
-        .select(col("label"), col("ida"), col("idb"), col("sim")))
+        .select(split(col("__bk"), "/").getItem(1).cast("int").as("label"),
+          col("ida"), col("idb"), col("sim"))
+        .distinct()
+    })
   )
+
+  private val EmbBands = 3
+  private val EmbPlanes = 4
+  private val EmbDim = 64
 
   // ---- oracle SQL (programmatically assembled where repetitive) ----
 
@@ -578,13 +602,23 @@ object DedupQueries {
                  CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
           FROM h a JOIN h b ON a.t1 = b.t1 AND a.doc_id < b.doc_id
           WHERE levenshtein(a.head, b.head) <= $LevMax""",
-    "dedup_embedding" ->
-      """SELECT a.label, a.vec_id AS ida, b.vec_id AS idb,
-                round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                             b.embedding::DOUBLE[]), 6) AS sim
-         FROM embeddings a JOIN embeddings b
-           ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                            b.embedding::DOUBLE[]), 6) >= 0.4"""
+    "dedup_embedding" -> {
+      val all = graft.ops.VectorOps.hyperplanes(EmbBands * EmbPlanes, EmbDim)
+      def bkExpr(b: Int) = all.slice(b * EmbPlanes, (b + 1) * EmbPlanes)
+        .map { pl =>
+          val lits = pl.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+          s"(CASE WHEN list_dot_product(v, [$lits]) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+      val bandKeys = (0 until EmbBands)
+        .map(b => s"'$b/' || CAST(label AS VARCHAR) || '/' || ${bkExpr(b)}")
+        .mkString(", ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+          b AS (SELECT vec_id, label, v, unnest([$bandKeys]) AS bk FROM e)
+          SELECT DISTINCT a.label, a.vec_id AS ida, b2.vec_id AS idb,
+                 round(list_cosine_similarity(a.v, b2.v), 6) AS sim
+          FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id
+          WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.4"""
+    }
   )
 }

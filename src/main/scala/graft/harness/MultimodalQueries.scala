@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  // max docs per pHash candidate block before the block is treated as
+  // degenerate content and skipped (see multimodal_phash)
+  private val PhashBlockCap = 1000
+
   val queries: Map[String, Q] = Map(
     // Blob metadata extraction, pure expressions (oracle-checkable):
     // byte length, first-8-bytes hex, content digest.
@@ -98,8 +102,17 @@ object MultimodalQueries {
         (0 until 4).map(b =>
           concat(lit(s"$b:"), substring(col("sig"), 1 + b * 16, 16))): _*))
         .as("bk"))
-      val cand = blocks.select(col("doc_id").as("da"), col("bk"))
-        .join(blocks.select(col("doc_id").as("db"), col("bk").as("__bk2")),
+      // hot-block cap (same rationale as edit-distance's BlockCap,
+      // added after the 30x rehearsal): a block shared by thousands of
+      // docs is degenerate content — near-uniform signatures at corpus
+      // scale (blank pages, boilerplate) — and uncapped it makes the
+      // candidate self-join quadratic in the duplicate-cluster size
+      val cool = blocks.groupBy(col("bk"))
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= PhashBlockCap).select(col("bk"))
+      val capped = blocks.join(cool, Seq("bk"))
+      val cand = capped.select(col("doc_id").as("da"), col("bk"))
+        .join(capped.select(col("doc_id").as("db"), col("bk").as("__bk2")),
           col("bk") === col("__bk2") && col("da") < col("db"))
         .select("da", "db").distinct()
       cand
@@ -222,8 +235,11 @@ object MultimodalQueries {
           sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY bkt) AS sig
                   FROM bits GROUP BY doc_id),
           blocks AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
+          cool AS (SELECT bk FROM blocks GROUP BY bk
+                   HAVING COUNT(*) <= $PhashBlockCap),
+          capped AS (SELECT doc_id, bk FROM blocks JOIN cool USING (bk)),
           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                   FROM blocks a JOIN blocks b
+                   FROM capped a JOIN capped b
                      ON a.bk = b.bk AND a.doc_id < b.doc_id)
           SELECT da, db, sa.sig AS siga, sb.sig AS sigb,
                  CAST($dist AS BIGINT) AS dist

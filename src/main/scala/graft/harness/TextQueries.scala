@@ -236,6 +236,25 @@ object TextQueries {
           .cast("long").as("n_bpe"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_ws"))),
 
+    // Sliding-window chunking (the sample-prep step for RAG indexing /
+    // fixed-context training): windows of ChunkW tokens at ChunkS
+    // stride (ChunkW-ChunkS token overlap), tail windows kept short.
+    // One posexplode of the per-doc start sequence — per-row fan-out,
+    // no shuffle; at corpus scale the explode factor is n/ChunkS.
+    "text_chunk_windows" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .withColumn("__n", size(col("__toks")))
+        .select(col("doc_id"), col("__toks"),
+          explode(sequence(lit(0), col("__n") - 1, lit(ChunkS))).as("__s"))
+        .select(col("doc_id"),
+          (col("__s") / ChunkS).cast("long").as("chunk_id"),
+          (col("__s") + 1).cast("long").as("start_tok"),
+          size(slice(col("__toks"), col("__s") + 1, lit(ChunkW)))
+            .cast("long").as("n_tok"),
+          concat_ws(" ", slice(col("__toks"), col("__s") + 1, lit(ChunkW)))
+            .as("chunk_text"))),
+
     // PII redaction: emails / international phone numbers / IPv4
     // addresses counted then replaced with typed placeholders — a
     // standard corpus-curation pass before releasing training data.
@@ -273,6 +292,10 @@ object TextQueries {
   private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PiiPhone = "\\+\\d{7,15}"
   private val PiiIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  // chunk window / stride (16-token overlap)
+  private val ChunkW = 64
+  private val ChunkS = 48
 
   private val sqlToks = "string_split(text, ' ')"
 
@@ -436,6 +459,16 @@ object TextQueries {
           SELECT tok, n, rank FROM (
             SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM c)
           WHERE rank <= 100""",
+    "text_chunk_windows" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          st AS (SELECT doc_id, t,
+                        unnest(range(0, len(t), $ChunkS)) AS s FROM toks)
+          SELECT doc_id,
+                 CAST(s / $ChunkS AS BIGINT) AS chunk_id,
+                 CAST(s + 1 AS BIGINT) AS start_tok,
+                 CAST(len(t[s+1 : s+$ChunkW]) AS BIGINT) AS n_tok,
+                 array_to_string(t[s+1 : s+$ChunkW], ' ') AS chunk_text
+          FROM st""",
     "text_pii_redact" ->
       s"""WITH planted AS (
             SELECT doc_id, text ||

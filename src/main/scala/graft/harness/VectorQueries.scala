@@ -18,17 +18,10 @@ object VectorQueries {
   private val Dim = 64
   private val Planes = 4
 
-  /** Deterministic ±1 random-hyperplane components, derived from md5
-    * so the identical constants are embeddable in the DuckDB oracle
-    * SQL (no shared RNG needed).
-    */
-  private def planeSign(p: Int, i: Int): Double = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane$p:$i".getBytes("UTF-8"))
-    if ((d(0) & 1) == 1) 1.0 else -1.0
-  }
+  // deterministic md5-derived hyperplanes, shared with dedup_embedding
+  // (graft.ops.VectorOps.hyperplanes)
   private val planes: Seq[Seq[Double]] =
-    (0 until Planes).map(p => (0 until Dim).map(i => planeSign(p, i)))
+    graft.ops.VectorOps.hyperplanes(Planes, Dim)
 
   /** Shared pieces of the IVF pipeline. `assign` attaches each
     * vector's `n` nearest cells (argmax rounded cosine, tie → lowest

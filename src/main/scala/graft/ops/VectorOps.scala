@@ -27,6 +27,31 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Deterministic ±1 random-hyperplane components, derived from md5
+    * so the identical constants are embeddable in DuckDB oracle SQL
+    * (no shared RNG needed). Shared by the ANN queries and the
+    * embedding near-dup blocking.
+    */
+  def planeSign(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p:$i".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dim).map(i => planeSign(p, i)))
+
+  /** Sign-bit LSH bucket key of a DOUBLE vector column: one '0'/'1'
+    * character per hyperplane. Bucket population halves per plane (in
+    * expectation), so plane count is the knob that keeps bucket sizes
+    * bounded as the corpus grows.
+    */
+  def lshBucket(vecDouble: Column, planes: Seq[Seq[Double]]): Column =
+    concat(planes.map { pl =>
+      val plane = array(pl.map(lit): _*)
+      when(dot(vecDouble, plane) >= 0, "1").otherwise("0")
+    }: _*)
+
   /** Brute-force cosine top-k: every query row (small side, broadcast)
     * against the full corpus — the correctness baseline. Scale path:
     * block the corpus (e.g. coarse quantization / LSH buckets) so each
