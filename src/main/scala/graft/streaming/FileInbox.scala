@@ -28,17 +28,33 @@ object FileInbox {
     val inbox = new java.io.File(
       s"/tmp/graft-stream-inbox$suffix-${srcDir.getName}-$pathKey")
     inbox.mkdirs()
-    val src = java.nio.file.Paths.get(s"${srcDir.getPath}/$table.parquet")
-    val staged = new java.io.File(inbox, s"$table.parquet")
-    val srcMtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
-    val stale = !staged.exists() ||
-      java.nio.file.Files.size(src) != staged.length() ||
-      srcMtime != staged.lastModified()
-    if (stale) {
-      java.nio.file.Files.copy(src, staged.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      staged.setLastModified(srcMtime) // preserve for the equality check
+    val src = new java.io.File(srcDir, s"$table.parquet")
+    // the source is either one parquet FILE (driver-generated layout)
+    // or a DIRECTORY of part files (Spark-written, e.g. ScaleUp
+    // output) — stage every data file either way; a directory copied
+    // as a single entry would stage an empty dir and silently feed
+    // the stream zero rows
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory)
+        src.listFiles().toSeq
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      else Seq(src)
+    parts.foreach { p =>
+      val staged = new java.io.File(inbox, p.getName)
+      val stale = !staged.exists() || p.length() != staged.length() ||
+        p.lastModified() != staged.lastModified()
+      if (stale) {
+        java.nio.file.Files.copy(p.toPath, staged.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        staged.setLastModified(p.lastModified()) // for the equality check
+      }
     }
+    // drop staged parts whose source file vanished (regenerated
+    // dataset with a different part layout)
+    val keep = parts.map(_.getName).toSet
+    inbox.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !keep(f.getName))
+      .foreach(_.delete())
     inbox.getAbsolutePath
   }
 }

@@ -41,4 +41,31 @@ class FileInboxSpec extends SparkSpec {
     FileInbox.stage(src.toString, table)
     assert(Files.readAllBytes(staged).toSeq === Seq[Byte](7, 7, 7, 7))
   }
+
+  test("stages a directory-shaped source (Spark-written table) part by part") {
+    val src = Files.createTempDirectory("inbox-src-dir")
+    val table = s"dirprobe${System.nanoTime()}"
+    val tdir = src.resolve(s"$table.parquet")
+    Files.createDirectory(tdir)
+    Files.write(tdir.resolve("part-00000.snappy.parquet"), Array[Byte](1, 1))
+    Files.write(tdir.resolve("part-00001.snappy.parquet"), Array[Byte](2, 2))
+    Files.write(tdir.resolve("_SUCCESS"), Array.emptyByteArray)
+
+    val inbox = FileInbox.stage(src.toString, table)
+    val stagedNames = new java.io.File(inbox).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(stagedNames === Set("part-00000.snappy.parquet",
+      "part-00001.snappy.parquet"),
+      "every data part staged, marker files skipped")
+
+    // a regenerated source with a different part layout replaces the
+    // staged set — stale parts must not linger and feed old rows
+    Files.delete(tdir.resolve("part-00001.snappy.parquet"))
+    Files.write(tdir.resolve("part-00002.snappy.parquet"), Array[Byte](3, 3))
+    FileInbox.stage(src.toString, table)
+    val after = new java.io.File(inbox).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(after === Set("part-00000.snappy.parquet",
+      "part-00002.snappy.parquet"))
+  }
 }
