@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Steady-state micro-benchmark: runs each named query N times in one
+  * session and prints every run. The first run absorbs codegen/JIT and
+  * broadcast machinery; later runs are the number a long-lived cluster
+  * session would see — the driver's Bench measures each query exactly
+  * once, so run-order JIT artifacts show up there as per-query noise
+  * that this tool separates from real plan cost.
+  *
+  * Usage: tools/run.sh graft.WarmBench <sfDir> <query> [query ...]
+  *        (SPARK_GRAFT_RUNS to change the per-query run count)
+  */
+object WarmBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- args.drop(1); i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, sfDir).count()
+      println(f"$q run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

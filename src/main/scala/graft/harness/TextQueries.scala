@@ -15,6 +15,19 @@ object TextQueries {
 
   private val stop = Seq("the", "a")
 
+  /** Widen a narrow scan to the session's parallelism. A single
+    * parquet file with one row group plans as ONE partition, which
+    * serializes interpreted higher-order-function work (the trigram
+    * transform) onto one core; at warehouse scale the same scan has
+    * thousands of splits and this is a no-op. The guard keeps the
+    * repartition off any input that is already parallel — it never
+    * reshuffles a corpus that arrives wide.
+    */
+  private def widened(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + distinct tokens + non-space chars.
     "text_tokens" -> ((s, d) =>
@@ -60,38 +73,45 @@ object TextQueries {
 
     // N-gram language id, trained IN-ENGINE: per-language character
     // trigram profiles (top-20 by document frequency) learned from the
-    // labeled corpus in one pass, then every document scored by
-    // profile overlap and argmax'd — the self-contained form of the
-    // fastText-style n-gram classifier, all keyed aggregation. Profile
-    // size bounds the join's build side (langs x 20 rows) so the score
-    // join broadcasts at any corpus scale.
+    // labeled corpus in one pass, then every document scored against
+    // the broadcast profile list with a per-row array_intersect fold —
+    // the corpus is exploded ONCE (training) and the scoring pass
+    // never shuffles: profiles are langs x 20 trigrams regardless of
+    // corpus size, so the argmax folds over a one-row broadcast.
+    // Fold starts at (0,'und') with strict >, and profiles iterate in
+    // lang order, reproducing the join-form tie rules exactly
+    // (overlap desc, plang asc; no overlap at all -> 'und').
     "text_langid_ngram" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val dt = docs.select(col("doc_id"), col("lang"),
-        explode(array_distinct(transform(
+      val docs = widened(Tables.documents(s, d))
+      val docTris = docs.select(col("doc_id"), col("lang"),
+        array_distinct(transform(
           sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3))))).as("tri"))
-      val prof = dt.groupBy(col("lang").as("plang"), col("tri"))
+          i => col("text").substr(i, lit(3)))).as("tris"))
+      val prof = docTris
+        .select(col("lang"), explode(col("tris")).as("tri"))
+        .groupBy(col("lang").as("plang"), col("tri"))
         .agg(count(lit(1)).as("df"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("plang")).orderBy(col("df").desc, col("tri"))))
         .filter(col("rk") <= 20)
-        .select(col("plang"), col("tri"))
-      val best = dt.select(col("doc_id"), col("tri"))
-        .join(prof, Seq("tri"))
-        .groupBy(col("doc_id"), col("plang"))
-        .agg(count(lit(1)).as("overlap"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id"))
-            .orderBy(col("overlap").desc, col("plang"))))
-        .filter(col("rn") === 1)
-      docs.select(col("doc_id"), col("lang"))
-        .join(best.select(col("doc_id"), col("plang"), col("overlap")),
-          Seq("doc_id"), "left_outer")
+        .groupBy(col("plang"))
+        .agg(sort_array(collect_list(col("tri"))).as("ptris"))
+        .agg(array_sort(collect_list(struct(col("plang"), col("ptris"))))
+          .as("profs"))
+      docTris.crossJoin(broadcast(prof))
         .select(col("doc_id"), col("lang"),
-          coalesce(col("plang"), lit("und")).as("pred_lang"),
-          coalesce(col("overlap"), lit(0L)).as("overlap"))
+          aggregate(col("profs"),
+            struct(lit(0L).as("ov"), lit("und").as("pl")),
+            (acc, p) => {
+              val ov = size(array_intersect(col("tris"), p.getField("ptris")))
+                .cast("long")
+              when(ov > acc.getField("ov"),
+                struct(ov.as("ov"), p.getField("plang").as("pl")))
+                .otherwise(acc)
+            }).as("b"))
+        .select(col("doc_id"), col("lang"),
+          col("b.pl").as("pred_lang"), col("b.ov").as("overlap"))
     }),
 
     // The same trigram classifier with SAMPLED training: profiles
@@ -104,32 +124,38 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val hv = TextOps.hexByteValue(
         md5(concat(lit("lid1:"), col("doc_id").cast("string"))))
-      val docs = Tables.documents(s, d)
-      val dt = docs.select(col("doc_id"), col("lang"), hv.as("__hv"),
-        explode(array_distinct(transform(
+      val docs = widened(Tables.documents(s, d))
+      val docTris = docs.select(col("doc_id"), col("lang"),
+        array_distinct(transform(
           sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3))))).as("tri"))
-      val prof = dt.filter(col("__hv") < 64)
+          i => col("text").substr(i, lit(3)))).as("tris"))
+      // training explode touches only the 25% hash split; scoring is
+      // the same shuffle-free broadcast-profile fold as the full
+      // variant — at scale the sample bounds the expensive half
+      val prof = docTris.filter(hv < 64)
+        .select(col("lang"), explode(col("tris")).as("tri"))
         .groupBy(col("lang").as("plang"), col("tri"))
         .agg(count(lit(1)).as("df"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("plang")).orderBy(col("df").desc, col("tri"))))
         .filter(col("rk") <= 20)
-        .select(col("plang"), col("tri"))
-      val best = dt.select(col("doc_id"), col("tri"))
-        .join(prof, Seq("tri"))
-        .groupBy(col("doc_id"), col("plang"))
-        .agg(count(lit(1)).as("overlap"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id"))
-            .orderBy(col("overlap").desc, col("plang"))))
-        .filter(col("rn") === 1)
-      docs.select(col("doc_id"), col("lang"))
-        .join(best.select(col("doc_id"), col("plang"), col("overlap")),
-          Seq("doc_id"), "left_outer")
+        .groupBy(col("plang"))
+        .agg(sort_array(collect_list(col("tri"))).as("ptris"))
+        .agg(array_sort(collect_list(struct(col("plang"), col("ptris"))))
+          .as("profs"))
+      docTris.crossJoin(broadcast(prof))
         .select(col("doc_id"), col("lang"),
-          coalesce(col("plang"), lit("und")).as("pred_lang"),
-          coalesce(col("overlap"), lit(0L)).as("overlap"))
+          aggregate(col("profs"),
+            struct(lit(0L).as("ov"), lit("und").as("pl")),
+            (acc, p) => {
+              val ov = size(array_intersect(col("tris"), p.getField("ptris")))
+                .cast("long")
+              when(ov > acc.getField("ov"),
+                struct(ov.as("ov"), p.getField("plang").as("pl")))
+                .otherwise(acc)
+            }).as("b"))
+        .select(col("doc_id"), col("lang"),
+          col("b.pl").as("pred_lang"), col("b.ov").as("overlap"))
     }),
 
     // Document fingerprint: md5 over the sorted distinct token set.

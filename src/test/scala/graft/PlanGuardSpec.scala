@@ -22,11 +22,15 @@ class PlanGuardSpec extends SparkSpec {
     *  - agg_having_regroup / sample_temperature / join_asof: a
     *    single-row (or dimension-sized) census/threshold broadcast
     *    crossed onto the scan; the build side cannot grow with data
+    *  - text_langid_ngram / _sampled: the learned trigram profile
+    *    (langs x 20 rows, collapsed to ONE row) broadcast onto the
+    *    scoring scan — profile size is fixed by construction
     */
   private val bnljAllowed = Set(
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     "ann_ivf_recall", "ann_ivf_nprobe_recall", "ann_lsh_topk",
-    "agg_having_regroup", "sample_temperature", "join_asof")
+    "agg_having_regroup", "sample_temperature", "join_asof",
+    "text_langid_ngram", "text_langid_sampled")
 
   test("no registered query plans a CartesianProduct or un-allowlisted BroadcastNestedLoopJoin") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
