@@ -152,17 +152,24 @@ object StreamQueries {
     // flatMapGroupsWithState over the events file stream, drained with
     // AvailableNow (30-minute gap; timestamps as exact micros).
     "stream_sessionize" -> ((s, d) => {
-      val name = "stream_sessionize_mem"
       val sess = streamSession(s)
       import sess.implicits._
       val events = EventsStream.readStream(sess, d)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
         .as[graft.streaming.Sessionize.SessionEvent]
       val sessions = graft.streaming.Sessionize.sessionize(events, gapMinutes = 30)
-      val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      // parquet-sink drain, not the memory sink: sessions are
+      // near-1:1 with events on a sparse stream (2.86M rows at sf3),
+      // and the file sink keeps them executor->storage instead of
+      // collect()ing the whole result through driver memory twice
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-sessionize-drain-").toString
+      val q = sessions.toDF().writeStream.format("parquet")
+        .option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      drained(s, sess, name).select(col("user_id"),
+      s.read.parquet(s"$outDir/data").select(col("user_id"),
         date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
         date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss")
