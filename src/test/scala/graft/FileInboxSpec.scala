@@ -42,6 +42,24 @@ class FileInboxSpec extends SparkSpec {
     assert(Files.readAllBytes(staged).toSeq === Seq[Byte](7, 7, 7, 7))
   }
 
+  test("two sources with the same leaf name get distinct inboxes") {
+    // the inbox name carries a digest of the ABSOLUTE source path:
+    // /a/sf0.1 and /b/sf0.1 must never share a staging directory, or
+    // whichever dataset staged second silently feeds the other's
+    // streams
+    val a = Files.createTempDirectory("inbox-a").resolve("sf")
+    val b = Files.createTempDirectory("inbox-b").resolve("sf")
+    Files.createDirectory(a); Files.createDirectory(b)
+    val table = s"twin${System.nanoTime()}"
+    Files.write(a.resolve(s"$table.parquet"), Array[Byte](1))
+    Files.write(b.resolve(s"$table.parquet"), Array[Byte](2))
+    val ia = FileInbox.stage(a.toString, table)
+    val ib = FileInbox.stage(b.toString, table)
+    assert(ia !== ib)
+    assert(Files.readAllBytes(Paths.get(ia, s"$table.parquet")).toSeq === Seq[Byte](1))
+    assert(Files.readAllBytes(Paths.get(ib, s"$table.parquet")).toSeq === Seq[Byte](2))
+  }
+
   test("stages a directory-shaped source (Spark-written table) part by part") {
     val src = Files.createTempDirectory("inbox-src-dir")
     val table = s"dirprobe${System.nanoTime()}"

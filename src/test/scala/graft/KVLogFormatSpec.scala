@@ -49,6 +49,25 @@ class KVLogFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("a malformed bloom never prunes") {
+    def meta(bloom: scala.collection.immutable.ArraySeq[Byte]) =
+      BucketMeta(0L, 1L, 1L, "a", "z", Seq.empty, bloom)
+    // absent and wrong-length blooms (corrupt footer, foreign writer)
+    // must degrade to "may contain" — indexing them would throw
+    assert(bloomMayContain(meta(scala.collection.immutable.ArraySeq.empty[Byte]), "k"))
+    assert(bloomMayContain(
+      meta(scala.collection.immutable.ArraySeq.unsafeWrapArray(new Array[Byte](10))), "k"))
+    // a well-formed all-zero bloom DOES prune (no key was ever added)
+    assert(!bloomMayContain(
+      meta(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        new Array[Byte](KVLogFormat.BloomBytes))), "k"))
+    // and a well-formed bloom keeps its added keys
+    val bits = new Array[Byte](KVLogFormat.BloomBytes)
+    KVLogFormat.bloomAdd(bits, "present")
+    assert(bloomMayContain(
+      meta(scala.collection.immutable.ArraySeq.unsafeWrapArray(bits)), "present"))
+  }
+
   test("property: footers round-trip") {
     val rnd = new Random(7)
     for (_ <- 1 to 100) {
