@@ -92,12 +92,18 @@ object MultimodalQueries {
     // the same content land far apart (measured min distance 9 on raw
     // bytes vs 0 on canonical bytes for this corpus's planted dups).
     "multimodal_phash" -> ((s, d) => {
+      // localCheckpoint: the signature frame (one slim row per doc)
+      // feeds the block census AND both sides of the candidate join —
+      // left lazy, the canonicalize+hash pass over the whole corpus
+      // runs three times (measured 17 s warm at 30x; 9 s with the
+      // materialization). Swept by the bench's ephemeral cleanup.
       val sig = Multimodal.perceptualHash(
         Tables.documents(s, d)
           .select(col("doc_id"),
             concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
               .cast("binary").as("blob"))
           .filter(length(col("blob")) > 0))
+        .localCheckpoint()
       val blocks = sig.select(col("doc_id"), explode(array(
         (0 until 4).map(b =>
           concat(lit(s"$b:"), substring(col("sig"), 1 + b * 16, 16))): _*))
