@@ -38,4 +38,18 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Widen a narrow scan to the session's parallelism. A single
+    * parquet file with one row group plans as ONE partition, which
+    * serializes per-row interpreted work (higher-order-function
+    * token/shingle/trigram transforms) onto one core before the first
+    * shuffle; at warehouse scale the same scan has thousands of splits
+    * and this is a no-op. The guard keeps the repartition off any
+    * input that is already parallel — it never reshuffles a corpus
+    * that arrives wide.
+    */
+  def widened(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -63,7 +63,7 @@ object DedupQueries {
       // shingle position — O(tokens^2) per doc, profiled 3x slower);
       // the op itself lives in CorpusOps.shingleFrame
       graft.ops.CorpusOps.shingleFrame(
-        Tables.documents(s, d)
+        Tables.widened(Tables.documents(s, d))
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
         "doc_id", "toks", N)
     }

@@ -15,18 +15,7 @@ object TextQueries {
 
   private val stop = Seq("the", "a")
 
-  /** Widen a narrow scan to the session's parallelism. A single
-    * parquet file with one row group plans as ONE partition, which
-    * serializes interpreted higher-order-function work (the trigram
-    * transform) onto one core; at warehouse scale the same scan has
-    * thousands of splits and this is a no-op. The guard keeps the
-    * repartition off any input that is already parallel — it never
-    * reshuffles a corpus that arrives wide.
-    */
-  private def widened(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  private def widened(df: DataFrame): DataFrame = Tables.widened(df)
 
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + distinct tokens + non-space chars.
