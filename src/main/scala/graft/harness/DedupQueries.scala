@@ -115,7 +115,7 @@ object DedupQueries {
       // digest → 16 digit-value ints ONCE per token; the bit sums ride
       // lane-packed (4 bit-counts per int64, one agg per hex digit —
       // 16 aggs + a count instead of 64 ±1 sums)
-      val tok = Tables.documents(s, d)
+      val tok = Tables.widened(Tables.documents(s, d))
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
         .select(col("doc_id") +: TextOps.hexDigitValues(md5(col("t")),
           (SimBits + 3) / 4): _*)
@@ -242,7 +242,7 @@ object DedupQueries {
     // shape is flat at corpus scale where true suffix arrays are not.
     "dedup_substring_spans" -> ((s, d) =>
       graft.ops.CorpusOps.substringSpans(
-        Tables.documents(s, d)
+        Tables.widened(Tables.documents(s, d))
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
         "doc_id", "toks", SpanW)),
 
@@ -290,7 +290,7 @@ object DedupQueries {
     // filter over token positions — the corpus is never shuffled a
     // second time.
     "dedup_substring_rewrite" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.widened(Tables.documents(s, d))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       graft.ops.CorpusOps.removeSpans(docs, "doc_id", "toks",
         graft.ops.CorpusOps.substringSpans(docs, "doc_id", "toks", SpanW))
