@@ -105,6 +105,9 @@ object ReleasePipeline {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        SparkLocal.initialShufflePartitions(sfDir,
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
