@@ -27,6 +27,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # bound the oracle engine and let it spill: the 30x rehearsal's
+    # biggest oracle (a ~700M-row binned interval join) OOM-killed an
+    # unbounded in-memory run; with a limit + temp dir DuckDB goes
+    # out-of-core instead of dying
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
