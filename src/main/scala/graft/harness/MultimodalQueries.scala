@@ -223,23 +223,25 @@ object MultimodalQueries {
                FROM documents),
           b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
                 FROM canon WHERE octet_length(encode(text)) > 0),
-          pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p
-                  FROM b, UNNEST(range(0, n)) AS u(p)),
-          by_b AS (SELECT pos.doc_id, (p * 64) // n AS bkt,
-                          SUM(ascii(substring(text, p + 1, 1))) AS s,
-                          COUNT(*) AS c
-                   FROM pos JOIN b USING (doc_id) GROUP BY pos.doc_id, (p * 64) // n),
-          tot AS (SELECT doc_id, SUM(s) AS ts, SUM(c) AS nb FROM by_b GROUP BY doc_id),
-          allb AS (SELECT doc_id, CAST(g.b AS BIGINT) AS bkt
-                   FROM b, UNNEST(range(0, 64)) AS g(b)),
-          bits AS (SELECT a.doc_id, a.bkt,
-                          CASE WHEN COALESCE(x.s, 0) * t.nb > t.ts * COALESCE(x.c, 0)
-                               THEN '1' ELSE '0' END AS bit
-                   FROM allb a
-                   LEFT JOIN by_b x ON a.doc_id = x.doc_id AND a.bkt = x.bkt
-                   JOIN tot t ON a.doc_id = t.doc_id),
-          sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY bkt) AS sig
-                  FROM bits GROUP BY doc_id),
+          -- per-ROW list ops, not a per-byte UNNEST join: the join
+          -- form materialized ~450M (doc, byte) rows at 30x and
+          -- OOM-killed the checker; byte values stay inside one
+          -- per-doc list here (O(doc) transient memory, streamable).
+          -- Bucket k spans 0-based positions [ceil(k*n/64),
+          -- ceil((k+1)*n/64)) — exactly the (p*64)//n == k band.
+          t AS (SELECT doc_id, n,
+                       list_transform(range(0, CAST(n AS BIGINT)),
+                         p -> ascii(substring(text, CAST(p AS INT) + 1, 1))) AS av
+                FROM b),
+          t2 AS (SELECT doc_id, n, av, list_sum(av) AS ts FROM t),
+          sig AS (SELECT doc_id,
+                   array_to_string(list_transform(range(0, 64), k ->
+                     CASE WHEN COALESCE(list_sum(
+                              av[CAST((k * n + 63) // 64 AS BIGINT) + 1 :
+                                 CAST(((k + 1) * n + 63) // 64 AS BIGINT)]), 0) * n
+                            > ts * (((k + 1) * n + 63) // 64 - (k * n + 63) // 64)
+                          THEN '1' ELSE '0' END), '') AS sig
+                  FROM t2),
           blocks AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
           cool AS (SELECT bk FROM blocks GROUP BY bk
                    HAVING COUNT(*) <= $PhashBlockCap),

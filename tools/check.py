@@ -32,7 +32,7 @@ def main():
     # unbounded in-memory run; with a limit + temp dir DuckDB goes
     # out-of-core instead of dying
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-    con.execute("SET memory_limit='48GB'")
+    con.execute("SET memory_limit='96GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
