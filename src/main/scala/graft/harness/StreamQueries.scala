@@ -169,7 +169,17 @@ object StreamQueries {
         .option("checkpointLocation", s"$outDir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.read.parquet(s"$outDir/data").select(col("user_id"),
+      // supersession dedup: each batch re-emits the still-open session
+      // (same user+start, end/n grown monotonically), so a multi-batch
+      // drain's sink holds provisional prefixes of the final row. Keep
+      // the max per (user, start) — a no-op for a single batch (one
+      // user's sessions never share a start), exact for in-order
+      // batches (SessionizeReplaySpec pins it).
+      s.read.parquet(s"$outDir/data")
+        .groupBy(col("user_id"), col("start_us"))
+        .agg(max(col("end_us")).as("end_us"),
+          max(col("n_events")).as("n_events"))
+        .select(col("user_id"),
         date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
         date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss")

@@ -14,6 +14,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * gap, emits every session observed so far (provisional for the still
   * -open one, final for closed ones — update-style emission), and
   * stores the open tail back in state for the next batch.
+  *
+  * Multi-batch contract: the open session re-emits each batch with the
+  * SAME start and monotonically growing (end, n), so a sink drained
+  * across batches dedupes exactly with max-per-(user,start) — pinned
+  * by SessionizeReplaySpec — PROVIDED batches arrive in event-time
+  * order (the file-inbox handoff shape). An event older than the open
+  * session's start would retroactively change a session start, which
+  * no append-sink read-back can repair; true out-of-order streams
+  * belong to Spark's watermarked session_window, at the cost of this
+  * kernel's exact custom gap/merge semantics.
   */
 object Sessionize {
 
