@@ -313,15 +313,20 @@ object DedupQueries {
         Seq("t1"))
       val parts = scala.util.Try(s.conf
         .get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
+      // EXPLICIT repartition on the join key, BOTH sides: the block
+      // frame is a few MB of skinny rows, so the join's own shuffle
+      // gets AQE-coalesced to ~one partition on input size — but the
+      // join OUTPUT is the capped pair expansion (12.5M pairs at 30x),
+      // and coalesced input means the whole levenshtein loop runs on
+      // one core (the expanding-join blind spot of size-based
+      // coalescing; measured ~40 s at 30x, ~8 s spread). A
+      // user-specified width is never coalesced, and identical
+      // partitioning on both sides is reused by the sort-merge join.
       blocked.select(col("t1"), col("doc_id").as("da"), col("head").as("ha"))
-        // spread the probe side with an EXPLICIT partition count: the
-        // corpus arrives as one small parquet split (so a broadcast
-        // join would run every levenshtein in one task), and a
-        // bare expression-repartition of a few thousand tiny rows gets
-        // AQE-coalesced right back to one partition
-        .repartition(parts, col("t1"), col("da"))
+        .repartition(parts, col("t1"))
         .join(blocked.select(col("t1").as("__t"), col("doc_id").as("db"),
-          col("head").as("hb")),
+          col("head").as("hb"))
+          .repartition(parts, col("__t")),
           col("t1") === col("__t") && col("da") < col("db"))
         // banded threshold DP (returns -1 past the bound): O(len·k)
         // instead of O(len²) per pair, exact for every surviving pair
