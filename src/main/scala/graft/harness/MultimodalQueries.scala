@@ -117,8 +117,17 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") <= PhashBlockCap).select(col("bk"))
       val capped = blocks.join(cool, Seq("bk"))
+      // explicit same-width spread on the join key, both sides: the
+      // capped block frame is small on disk, so the self-join's
+      // shuffle gets AQE-coalesced on INPUT size while its OUTPUT is
+      // the pair expansion — same expanding-join blind spot fixed in
+      // dedup_editdistance; a user-specified width is never coalesced
+      val parts = scala.util.Try(s.conf
+        .get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
       val cand = capped.select(col("doc_id").as("da"), col("bk"))
-        .join(capped.select(col("doc_id").as("db"), col("bk").as("__bk2")),
+        .repartition(parts, col("bk"))
+        .join(capped.select(col("doc_id").as("db"), col("bk").as("__bk2"))
+          .repartition(parts, col("__bk2")),
           col("bk") === col("__bk2") && col("da") < col("db"))
         .select("da", "db").distinct()
       cand
