@@ -108,8 +108,12 @@ object CorpusOps {
                    n: Int): DataFrame =
     docs.select(col(idCol), col(toksCol).as("__toks"))
       .filter(size(col("__toks")) >= n)
-      .select(col(idCol), explode(TextOps.shingles(col("__toks"), n)).as("__g"))
-      .select(col(idCol), TextOps.minhashX(col("__g")).as("s"))
+      // one-pass native windows (ShingleHash52): value-identical to
+      // explode(shingles) + minhashX, without the per-window lambda,
+      // joined-string alloc, per-call MessageDigest, and hex/conv
+      // round-trip — this is the dedup family's hottest corpus pass
+      .select(col(idCol),
+        explode(call_function("shingle_hash52", col("__toks"), lit(n))).as("s"))
       .distinct()
 
   /** MinHash signature frame `(idCol, h1..hk)` over a shingle frame —

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayDot, GzipCodec, HammingBits}
+import graft.functions.{ArrayDot, GzipCodec, HammingBits, ShingleHash52}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session extensions for the engine's custom Catalyst surface —
@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GzipCodec.compressDescriptor)
     ext.injectFunction(GzipCodec.decompressDescriptor)
     ext.injectFunction(HammingBits.descriptor)
+    ext.injectFunction(ShingleHash52.descriptor)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
