@@ -73,10 +73,12 @@ object TextQueries {
     "text_langid_ngram" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = widened(Tables.documents(s, d))
+      // native one-pass distinct trigrams (CharNgramsDistinct):
+      // value-identical to array_distinct(transform(sequence...))
+      // on every >=3-char doc, without a lambda + substring alloc
+      // per character position
       val docTris = docs.select(col("doc_id"), col("lang"),
-        array_distinct(transform(
-          sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("tris"))
+        call_function("char_ngrams_distinct", col("text"), lit(3)).as("tris"))
       val prof = docTris
         .select(col("lang"), explode(col("tris")).as("tri"))
         .groupBy(col("lang").as("plang"), col("tri"))
@@ -114,10 +116,12 @@ object TextQueries {
       val hv = TextOps.hexByteValue(
         md5(concat(lit("lid1:"), col("doc_id").cast("string"))))
       val docs = widened(Tables.documents(s, d))
+      // native one-pass distinct trigrams (CharNgramsDistinct):
+      // value-identical to array_distinct(transform(sequence...))
+      // on every >=3-char doc, without a lambda + substring alloc
+      // per character position
       val docTris = docs.select(col("doc_id"), col("lang"),
-        array_distinct(transform(
-          sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("tris"))
+        call_function("char_ngrams_distinct", col("text"), lit(3)).as("tris"))
       // training explode touches only the 25% hash split; scoring is
       // the same shuffle-free broadcast-profile fold as the full
       // variant — at scale the sample bounds the expensive half

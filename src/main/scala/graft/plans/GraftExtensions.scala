@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayDot, GzipCodec, HammingBits, ShingleHash52}
+import graft.functions.{ArrayDot, CharNgramsDistinct, GzipCodec, HammingBits, ShingleHash52}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session extensions for the engine's custom Catalyst surface —
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GzipCodec.decompressDescriptor)
     ext.injectFunction(HammingBits.descriptor)
     ext.injectFunction(ShingleHash52.descriptor)
+    ext.injectFunction(CharNgramsDistinct.descriptor)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }

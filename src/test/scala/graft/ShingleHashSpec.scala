@@ -35,6 +35,31 @@ class ShingleHashSpec extends SparkSpec {
     assert(native.count() > 0)
   }
 
+  test("native distinct char trigrams equal the HOF formulation on >=3-char strings") {
+    val rnd = new Random(7)
+    val rows = (1 to 300).map { i =>
+      // small alphabet forces repeats so the distinct paths diverge
+      // if first-occurrence order or equality ever drifts
+      (i.toLong, Seq.fill(rnd.nextInt(60) + 3)("abc xyz".charAt(rnd.nextInt(7))).mkString)
+    }
+    import spark.implicits._
+    val df = rows.toDF("id", "text")
+    val hof = df.select(col("id"), array_distinct(transform(
+      sequence(lit(1), length(col("text")) - 2),
+      i => col("text").substr(i, lit(3)))).as("tris"))
+    val native = df.select(col("id"),
+      call_function("char_ngrams_distinct", col("text"), lit(3)).as("tris"))
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+  }
+
+  test("sub-width strings yield an empty trigram array (the oracle semantics)") {
+    import spark.implicits._
+    val df = Seq((1L, "ab")).toDF("id", "text")
+    assert(df.select(size(call_function("char_ngrams_distinct", col("text"), lit(3))))
+      .head().getInt(0) === 0)
+  }
+
   test("short inputs yield an empty window array") {
     import spark.implicits._
     val df = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
