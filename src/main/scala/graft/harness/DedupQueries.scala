@@ -307,29 +307,18 @@ object DedupQueries {
       val h = Tables.documents(s, d).select(col("doc_id"),
         substring(col("text"), 1, 32).as("head"),
         try_element_at(TextOps.tokens(col("text")), lit(1)).as("t1"))
-      val blocked = h.join(
-        h.groupBy(col("t1")).agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= BlockCap).select(col("t1")),
-        Seq("t1"))
       val parts = scala.util.Try(s.conf
         .get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-      // EXPLICIT repartition on the join key, BOTH sides: the block
-      // frame is a few MB of skinny rows, so the join's own shuffle
-      // gets AQE-coalesced to ~one partition on input size — but the
-      // join OUTPUT is the capped pair expansion (12.5M pairs at 30x),
-      // and coalesced input means the whole levenshtein loop runs on
-      // one core (the expanding-join blind spot of size-based
-      // coalescing; measured ~40 s at 30x, ~8 s spread). A
-      // user-specified width is never coalesced, and identical
-      // partitioning on both sides is reused by the sort-merge join.
-      blocked.select(col("t1"), col("doc_id").as("da"), col("head").as("ha"))
-        .repartition(parts, col("t1"))
-        .join(blocked.select(col("t1").as("__t"), col("doc_id").as("db"),
-          col("head").as("hb"))
-          .repartition(parts, col("__t")),
-          col("t1") === col("__t") && col("da") < col("db"))
+      // block, cap, spread pair join: CorpusOps.cappedSelfJoin (the
+      // shared expanding-join skeleton; see its doc for why the
+      // explicit width is load-bearing — ~40 s single-core at 30x
+      // without it, 13 s spread)
+      graft.ops.CorpusOps.cappedSelfJoin(h, "doc_id", "t1",
+          BlockCap, parts, payload = Seq("head"))
         // banded threshold DP (returns -1 past the bound): O(len·k)
         // instead of O(len²) per pair, exact for every surviving pair
+        .select(col("da"), col("db"),
+          col("head_a").as("ha"), col("head_b").as("hb"))
         .withColumn("lev", levenshtein(col("ha"), col("hb"), LevMax).cast("long"))
         .filter(col("lev") >= 0)
         .select("da", "db", "ha", "hb", "lev")

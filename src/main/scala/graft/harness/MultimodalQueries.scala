@@ -113,22 +113,12 @@ object MultimodalQueries {
       // docs is degenerate content — near-uniform signatures at corpus
       // scale (blank pages, boilerplate) — and uncapped it makes the
       // candidate self-join quadratic in the duplicate-cluster size
-      val cool = blocks.groupBy(col("bk"))
-        .agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") <= PhashBlockCap).select(col("bk"))
-      val capped = blocks.join(cool, Seq("bk"))
-      // explicit same-width spread on the join key, both sides: the
-      // capped block frame is small on disk, so the self-join's
-      // shuffle gets AQE-coalesced on INPUT size while its OUTPUT is
-      // the pair expansion — same expanding-join blind spot fixed in
-      // dedup_editdistance; a user-specified width is never coalesced
+      // block, cap, spread pair join — CorpusOps.cappedSelfJoin (the
+      // shared expanding-join skeleton; explicit width is load-bearing)
       val parts = scala.util.Try(s.conf
         .get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-      val cand = capped.select(col("doc_id").as("da"), col("bk"))
-        .repartition(parts, col("bk"))
-        .join(capped.select(col("doc_id").as("db"), col("bk").as("__bk2"))
-          .repartition(parts, col("__bk2")),
-          col("bk") === col("__bk2") && col("da") < col("db"))
+      val cand = graft.ops.CorpusOps.cappedSelfJoin(blocks, "doc_id", "bk",
+          PhashBlockCap, parts)
         .select("da", "db").distinct()
       cand
         .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))

@@ -52,6 +52,24 @@ object StreamQueries {
     out
   }
 
+  /** Temp directory for a parquet-sink drain (result data +
+    * checkpoint), deleted recursively on JVM exit: the file-sink path
+    * exists precisely because drain results can be large, so leaving
+    * every invocation's full output in /tmp would fill the disk
+    * across repeated bench/verify runs (the memory sink left nothing
+    * behind; this keeps that property).
+    */
+  private def drainDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // Watermark + 1h tumbling window over the events file stream,
     // drained via AvailableNow into a memory sink. The value sum runs
@@ -137,8 +155,7 @@ object StreamQueries {
         graft.streaming.DocsStream.readStream(sess, d),
         NearN, NearK, NearBands)
       val pairs = graft.streaming.NearDedup.flagPairs(bands.as[(Long, String)])
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-near-dedup-drain-").toString
+      val outDir = drainDir("graft-near-dedup-drain-")
       val q = pairs.writeStream.format("parquet")
         .option("path", s"$outDir/data")
         .option("checkpointLocation", s"$outDir/ckpt")
@@ -162,8 +179,7 @@ object StreamQueries {
       // near-1:1 with events on a sparse stream (2.86M rows at sf3),
       // and the file sink keeps them executor->storage instead of
       // collect()ing the whole result through driver memory twice
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-sessionize-drain-").toString
+      val outDir = drainDir("graft-sessionize-drain-")
       val q = sessions.toDF().writeStream.format("parquet")
         .option("path", s"$outDir/data")
         .option("checkpointLocation", s"$outDir/ckpt")

@@ -17,6 +17,52 @@ object TextQueries {
 
   private def widened(df: DataFrame): DataFrame = Tables.widened(df)
 
+  /** Shared trigram-profile classifier: per-language top-20 trigram
+    * profiles learned from `trainOn(docTris)` (the full corpus or a
+    * hash split), then every document scored by folding the one-row
+    * broadcast profile list — `aggregate` + `array_intersect`, zero
+    * scoring shuffle. The fold seeds at (0,'und') with strict `>` and
+    * the profiles iterate in lang order, reproducing the join-form
+    * tie rules exactly (overlap desc, plang asc; no overlap at all
+    * -> 'und'). ONE definition for both langid variants so the
+    * load-bearing tie/seed semantics cannot drift between them.
+    */
+  private def trigramLangid(s: SparkSession, d: String,
+                            trainOn: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = widened(Tables.documents(s, d))
+    // native one-pass distinct trigrams (CharNgramsDistinct):
+    // value-identical to array_distinct(transform(sequence...)) on
+    // every >=3-char doc, without a lambda + substring alloc per
+    // character position
+    val docTris = docs.select(col("doc_id"), col("lang"),
+      call_function("char_ngrams_distinct", col("text"), lit(3)).as("tris"))
+    val prof = trainOn(docTris)
+      .select(col("lang"), explode(col("tris")).as("tri"))
+      .groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("plang")).orderBy(col("df").desc, col("tri"))))
+      .filter(col("rk") <= 20)
+      .groupBy(col("plang"))
+      .agg(sort_array(collect_list(col("tri"))).as("ptris"))
+      .agg(array_sort(collect_list(struct(col("plang"), col("ptris"))))
+        .as("profs"))
+    docTris.crossJoin(broadcast(prof))
+      .select(col("doc_id"), col("lang"),
+        aggregate(col("profs"),
+          struct(lit(0L).as("ov"), lit("und").as("pl")),
+          (acc, p) => {
+            val ov = size(array_intersect(col("tris"), p.getField("ptris")))
+              .cast("long")
+            when(ov > acc.getField("ov"),
+              struct(ov.as("ov"), p.getField("plang").as("pl")))
+              .otherwise(acc)
+          }).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.pl").as("pred_lang"), col("b.ov").as("overlap"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + distinct tokens + non-space chars.
     "text_tokens" -> ((s, d) =>
@@ -70,86 +116,17 @@ object TextQueries {
     // Fold starts at (0,'und') with strict >, and profiles iterate in
     // lang order, reproducing the join-form tie rules exactly
     // (overlap desc, plang asc; no overlap at all -> 'und').
-    "text_langid_ngram" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = widened(Tables.documents(s, d))
-      // native one-pass distinct trigrams (CharNgramsDistinct):
-      // value-identical to array_distinct(transform(sequence...))
-      // on every >=3-char doc, without a lambda + substring alloc
-      // per character position
-      val docTris = docs.select(col("doc_id"), col("lang"),
-        call_function("char_ngrams_distinct", col("text"), lit(3)).as("tris"))
-      val prof = docTris
-        .select(col("lang"), explode(col("tris")).as("tri"))
-        .groupBy(col("lang").as("plang"), col("tri"))
-        .agg(count(lit(1)).as("df"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("plang")).orderBy(col("df").desc, col("tri"))))
-        .filter(col("rk") <= 20)
-        .groupBy(col("plang"))
-        .agg(sort_array(collect_list(col("tri"))).as("ptris"))
-        .agg(array_sort(collect_list(struct(col("plang"), col("ptris"))))
-          .as("profs"))
-      docTris.crossJoin(broadcast(prof))
-        .select(col("doc_id"), col("lang"),
-          aggregate(col("profs"),
-            struct(lit(0L).as("ov"), lit("und").as("pl")),
-            (acc, p) => {
-              val ov = size(array_intersect(col("tris"), p.getField("ptris")))
-                .cast("long")
-              when(ov > acc.getField("ov"),
-                struct(ov.as("ov"), p.getField("plang").as("pl")))
-                .otherwise(acc)
-            }).as("b"))
-        .select(col("doc_id"), col("lang"),
-          col("b.pl").as("pred_lang"), col("b.ov").as("overlap"))
-    }),
+    "text_langid_ngram" -> ((s, d) => trigramLangid(s, d, identity)),
 
-    // The same trigram classifier with SAMPLED training: profiles
-    // train on a deterministic 25% hash split while scoring stays
-    // full-corpus. At 100 TB the profile census is the expensive half
-    // and language profiles converge on a tiny fraction of the data —
-    // training on a sample is what the full-scale pipeline actually
-    // does, and the hash split keeps it reproducible cross-engine.
-    "text_langid_sampled" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val hv = TextOps.hexByteValue(
-        md5(concat(lit("lid1:"), col("doc_id").cast("string"))))
-      val docs = widened(Tables.documents(s, d))
-      // native one-pass distinct trigrams (CharNgramsDistinct):
-      // value-identical to array_distinct(transform(sequence...))
-      // on every >=3-char doc, without a lambda + substring alloc
-      // per character position
-      val docTris = docs.select(col("doc_id"), col("lang"),
-        call_function("char_ngrams_distinct", col("text"), lit(3)).as("tris"))
-      // training explode touches only the 25% hash split; scoring is
-      // the same shuffle-free broadcast-profile fold as the full
-      // variant — at scale the sample bounds the expensive half
-      val prof = docTris.filter(hv < 64)
-        .select(col("lang"), explode(col("tris")).as("tri"))
-        .groupBy(col("lang").as("plang"), col("tri"))
-        .agg(count(lit(1)).as("df"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("plang")).orderBy(col("df").desc, col("tri"))))
-        .filter(col("rk") <= 20)
-        .groupBy(col("plang"))
-        .agg(sort_array(collect_list(col("tri"))).as("ptris"))
-        .agg(array_sort(collect_list(struct(col("plang"), col("ptris"))))
-          .as("profs"))
-      docTris.crossJoin(broadcast(prof))
-        .select(col("doc_id"), col("lang"),
-          aggregate(col("profs"),
-            struct(lit(0L).as("ov"), lit("und").as("pl")),
-            (acc, p) => {
-              val ov = size(array_intersect(col("tris"), p.getField("ptris")))
-                .cast("long")
-              when(ov > acc.getField("ov"),
-                struct(ov.as("ov"), p.getField("plang").as("pl")))
-                .otherwise(acc)
-            }).as("b"))
-        .select(col("doc_id"), col("lang"),
-          col("b.pl").as("pred_lang"), col("b.ov").as("overlap"))
-    }),
+    // The same classifier with SAMPLED training: profiles train on a
+    // deterministic 25% hash split while scoring stays full-corpus.
+    // At 100 TB the profile census is the expensive half and language
+    // profiles converge on a tiny fraction of the data — training on
+    // a sample is what the full-scale pipeline actually does, and the
+    // hash split keeps it reproducible cross-engine.
+    "text_langid_sampled" -> ((s, d) =>
+      trigramLangid(s, d, _.filter(TextOps.hexByteValue(
+        md5(concat(lit("lid1:"), col("doc_id").cast("string")))) < 64))),
 
     // Document fingerprint: md5 over the sorted distinct token set.
     "text_fingerprint" -> ((s, d) =>
@@ -262,6 +239,10 @@ object TextQueries {
     // no shuffle; at corpus scale the explode factor is n/ChunkS.
     "text_chunk_windows" -> ((s, d) =>
       Tables.documents(s, d)
+        // null text would make size() = -1 and sequence(0,-2) THROW,
+        // where the oracle's range() just yields no row — filter to
+        // the oracle's semantics
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
         .withColumn("__n", size(col("__toks")))
         .select(col("doc_id"), col("__toks"),

@@ -315,4 +315,39 @@ object CorpusOps {
       .select(col("node").as(idCol))
     corpus.join(dups, Seq(idCol), "left_anti")
   }
+
+  /** Candidate pair generation inside capped blocks — the shared
+    * skeleton of every "block, cap, self-join" near-dup path
+    * (edit-distance first-token blocks, pHash signature blocks):
+    * blocks with more than `cap` members are dropped (degenerate
+    * content — boilerplate, blank pages — whose pair count would grow
+    * quadratically with the duplicate-cluster size), and BOTH join
+    * sides are spread with a user-specified width on the block key.
+    * The explicit width is load-bearing: these block frames are a few
+    * MB of skinny rows, so AQE's size-based coalescing collapses the
+    * join's shuffle to ~one partition while the join OUTPUT is the
+    * multi-million-pair expansion — the whole per-pair kernel then
+    * runs on one core (the expanding-join rule in SCALE.md). A
+    * user-specified width is never coalesced and identical
+    * partitioning on both sides is reused by the sort-merge join.
+    * Returns one row per unordered pair: (da, db) plus
+    * `payload` columns carried from each side as <c>_a / <c>_b.
+    */
+  def cappedSelfJoin(df: DataFrame, idCol: String, keyCol: String,
+                     cap: Int, parts: Int,
+                     payload: Seq[String] = Nil): DataFrame = {
+    val cool = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= cap).select(col(keyCol))
+    val capped = df.join(cool, Seq(keyCol))
+    def side(suffix: String, id: String) = capped.select(
+      (col(keyCol).as(if (suffix == "a") keyCol else s"__$keyCol") +:
+        col(idCol).as(id) +:
+        payload.map(c => col(c).as(s"${c}_$suffix"))): _*)
+      .repartition(parts,
+        if (suffix == "a") col(keyCol) else col(s"__$keyCol"))
+    side("a", "da").join(side("b", "db"),
+      col(keyCol) === col(s"__$keyCol") && col("da") < col("db"))
+      .drop(s"__$keyCol")
+  }
 }

@@ -21,10 +21,15 @@ import org.apache.spark.sql.SparkSession
   * result is byte-layout-identical to a fresh single write of the same
   * rows (same clustering, same 4096-row buckets, fresh blooms/stats).
   *
-  * The rewrite lands in a sibling temp directory first and part files
-  * swap in afterwards, so a crash mid-compact leaves the original
-  * directory fully readable (at worst plus a stale `.compact-*` temp
-  * to sweep).
+  * The rewrite lands in a sibling temp directory first and the swap
+  * is two whole-DIRECTORY renames (old aside, new in, then drop old):
+  * no crash point can lose data or leave a silently wrong store.
+  * Before the first rename the original is untouched; between the
+  * renames the store path is briefly absent — readers fail LOUDLY and
+  * both full copies sit beside it (`.old-*` + `.compact-*`) for
+  * recovery; deleting only file-by-file was rejected because a crash
+  * mid-delete leaves an empty-looking store and a crash mid-move-in
+  * leaves doubled rows.
   */
 object GraftKVCompact {
 
@@ -43,12 +48,15 @@ object GraftKVCompact {
       .option("bucketsize", bucketSize.toString)
       .mode("append")
       .save(tmp.toString)
-    // the new log is fully committed: swap parts in, drop the old ones
-    before.foreach(f => fs.delete(f, false))
-    GraftKVUtil.partFiles(tmp.toString).foreach { f =>
-      fs.rename(f, new Path(p, f.getName))
-    }
-    fs.delete(tmp, true)
+    // the new log is fully committed: swap whole directories, checking
+    // every rename (a false return here means the store is in an
+    // unknown filesystem state — stop loudly, both copies intact)
+    val old = new Path(p.getParent,
+      s".${p.getName}.old-${java.util.UUID.randomUUID}")
+    require(fs.rename(p, old), s"compact: failed to stage $p aside to $old")
+    require(fs.rename(tmp, p), s"compact: failed to move $tmp in as $p " +
+      s"(original preserved at $old)")
+    fs.delete(old, true)
     (before.size, GraftKVUtil.partFiles(dir).size)
   }
 }

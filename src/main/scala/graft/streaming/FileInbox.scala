@@ -46,7 +46,12 @@ object FileInbox {
       if (stale) {
         java.nio.file.Files.copy(p.toPath, staged.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        staged.setLastModified(p.lastModified()) // for the equality check
+        // the equality check depends on this mtime stamp; on a mount
+        // where it silently fails every stage() would re-copy the
+        // whole dataset forever — surface that loudly instead
+        require(staged.setLastModified(p.lastModified()),
+          s"inbox staging: cannot set mtime on $staged (filesystem " +
+            "refuses), staleness detection would re-copy on every call")
       }
     }
     // drop staged parts whose source file vanished (regenerated

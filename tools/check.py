@@ -32,7 +32,13 @@ def main():
     # unbounded in-memory run; with a limit + temp dir DuckDB goes
     # out-of-core instead of dying
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-    con.execute("SET memory_limit='96GB'")
+    # ~75% of physical RAM (hardcoding a constant only bounds DuckDB
+    # on boxes bigger than the constant); overridable for odd hosts
+    mem_gb = os.environ.get("GRAFT_ORACLE_MEM_GB")
+    if not mem_gb:
+        page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        mem_gb = str(max(2, int(page * 0.75 / 2**30)))
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
