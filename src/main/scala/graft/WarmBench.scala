@@ -19,6 +19,11 @@ object WarmBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench/Verify's input-sized shuffle width: without it the
+      // perf A/B tool measures a different shuffle configuration than
+      // the bench it is meant to explain at rehearsal SFs
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        SparkLocal.initialShufflePartitions(sfDir, cpus.toInt))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -59,14 +59,25 @@ object StreamQueries {
     * across repeated bench/verify runs (the memory sink left nothing
     * behind; this keeps that property).
     */
-  private def drainDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+  // one shutdown hook draining a shared queue — registering a hook per
+  // drainDir call would accumulate unbounded hook threads in a
+  // long-lived session (WarmBench loops the same streaming query N
+  // times; bench+verify reruns), each pinning its temp path
+  private val drainDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
       }
-      rm(dir.toFile)
+      var p = drainDirs.poll()
+      while (p != null) { rm(p.toFile); p = drainDirs.poll() }
     }))
+  }
+
+  private def drainDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    drainDirs.add(dir)
     dir.toString
   }
 

@@ -56,7 +56,12 @@ object GraftKVCompact {
     require(fs.rename(p, old), s"compact: failed to stage $p aside to $old")
     require(fs.rename(tmp, p), s"compact: failed to move $tmp in as $p " +
       s"(original preserved at $old)")
-    fs.delete(old, true)
+    // a false return here silently leaks a full .old-* copy of the
+    // store beside the live one, doubling disk per compaction — the
+    // store itself is already consistent, so surface the leak loudly
+    require(fs.delete(old, true),
+      s"compact: store swapped OK but could not delete staged copy $old " +
+        "(disk now holds two full copies; remove it manually)")
     (before.size, GraftKVUtil.partFiles(dir).size)
   }
 }

@@ -39,6 +39,11 @@ object FileInbox {
         src.listFiles().toSeq
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       else Seq(src)
+    // a directory with zero part files (e.g. an interrupted write that
+    // left only _SUCCESS) would stage an empty inbox and every stream
+    // would silently read zero rows — fail loudly instead, like the
+    // single-file layout does via Files.copy on a missing file
+    require(parts.nonEmpty, s"inbox staging: no parquet parts under $src")
     parts.foreach { p =>
       val staged = new java.io.File(inbox, p.getName)
       val stale = !staged.exists() || p.length() != staged.length() ||

@@ -23,7 +23,8 @@ class HarnessContractSpec extends AnyFunSuite {
     ("sink", SinkQueries.queries, SinkQueries.oracle),
     ("stream", StreamQueries.queries, StreamQueries.oracle),
     ("xref", XrefQueries.queries, XrefQueries.oracle),
-    ("export", ExportQueries.queries, ExportQueries.oracle))
+    ("export", ExportQueries.queries, ExportQueries.oracle),
+    ("taxamart", TaxaMartQueries.queries, TaxaMartQueries.oracle))
 
   test("no query name collides across modules") {
     val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }

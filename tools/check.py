@@ -79,9 +79,13 @@ def main():
         # is the bottleneck, not DuckDB — compare multisets in-engine
         # with count(*) + an order-independent sum of row hashes over
         # name-sorted columns (exactly the strictness of the row
-        # compare below, minus the per-row diff printout)
-        n_got = len(got)
-        if n_got > 200_000:
+        # compare below, minus the per-row diff printout). Gate on the
+        # LARGER side, counted in-engine: a small/empty engine result
+        # against a huge oracle (a real failure shape) must not fall
+        # through to canon(want) and materialize the oracle in Python.
+        n_got = got.aggregate("count(*)").fetchone()[0]
+        n_want = want.aggregate("count(*)").fetchone()[0]
+        if max(n_got, n_want) > 200_000:
             gc = sorted(got.columns)
             wc = sorted(want.columns)
             if gc != wc:
