@@ -42,7 +42,8 @@ object SparkEntry {
       VectorQueries.queries ++ MultimodalQueries.queries ++
       KernelQueries.queries ++ SinkQueries.queries ++
       StreamQueries.queries ++ XrefQueries.queries ++
-      ExportQueries.queries ++ TaxaMartQueries.queries
+      ExportQueries.queries ++ TaxaMartQueries.queries ++
+      GoaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
       VectorQueries.oracle ++ MultimodalQueries.oracle ++
       KernelQueries.oracle ++ SinkQueries.oracle ++
       StreamQueries.oracle ++ XrefQueries.oracle ++
-      ExportQueries.oracle ++ TaxaMartQueries.oracle
+      ExportQueries.oracle ++ TaxaMartQueries.oracle ++
+      GoaQueries.oracle
 }

@@ -45,6 +45,15 @@ object ExportQueries {
       lines("relnotes_members").foreach(l => sb ++= l += '\n')
       sb ++= "\n"
       lines("relnotes_coverage").foreach(l => sb ++= l += '\n')
+      // cross-release coverage comparison (mysql/databases.py:262-330):
+      // Swiss-Prot / TrEMBL / summed-UniProt counts vs the previous
+      // release with the signed delta — the last relnotes section
+      sb ++= "\nSequence database coverage vs previous release\n"
+      sb ++= f"${"Database"}%21s${"Current"}%12s${"Previous"}%12s" +
+        f"${"Change"}%9s\n"
+      GoaQueries.queries("relnotes_coverage_diff")(s, sfDir)
+        .select(col("line")).collect().map(_.getString(0)).sorted
+        .foreach(l => sb ++= l += '\n')
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         sb.toString.getBytes("UTF-8"))
     }

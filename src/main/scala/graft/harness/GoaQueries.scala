@@ -56,7 +56,7 @@ object GoaQueries {
     // chain maps to none (goa.py:128-130 `proteins = ... or [""]`).
     "goa_pdb2ipr2go" -> ((s, d) => {
       val chains = Tables.supplier(s, d)
-        .filter(col("s_suppkey") % 10 === 0 && col("s_nationkey") % 7 =!= 0)
+        .filter(col("s_suppkey") % 2 === 0 && col("s_nationkey") % 7 =!= 0)
         .select(col("s_suppkey"),
           concat(lit("PDB"), col("s_suppkey").cast("string")).as("pdb_id"),
           element_at(array(lit("A"), lit("B"), lit("C")),
@@ -67,7 +67,10 @@ object GoaQueries {
           concat(lit("IPR"), (col("l_partkey") % 300).cast("string"))
             .as("entry_acc"))
         .distinct()
-      val protmap = Tables.lineitem(s, d).filter(col("l_orderkey") % 10 === 1)
+      // every third chain has no UniProt mapping — the goa.py:128-130
+      // [""] fallback must fire structurally at every scale factor
+      val protmap = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 1 && col("l_suppkey") % 3 =!= 0)
         .select(col("l_suppkey").as("s_suppkey"),
           concat(lit("P"), col("l_orderkey").cast("string"))
             .as("protein_acc"))
@@ -332,7 +335,7 @@ object GoaQueries {
            SELECT s_suppkey, 'PDB' || CAST(s_suppkey AS VARCHAR) AS pdb_id,
                   ['A','B','C'][CAST(s_suppkey % 3 + 1 AS INT)] AS chain,
                   'N' || CAST(s_nationkey AS VARCHAR) AS taxon_id
-           FROM supplier WHERE s_suppkey % 10 = 0 AND s_nationkey % 7 <> 0),
+           FROM supplier WHERE s_suppkey % 2 = 0 AND s_nationkey % 7 <> 0),
          cmatch AS (
            SELECT DISTINCT l_suppkey AS s_suppkey,
                   'IPR' || CAST(l_partkey % 300 AS VARCHAR) AS entry_acc
@@ -340,7 +343,7 @@ object GoaQueries {
          protmap AS (
            SELECT DISTINCT l_suppkey AS s_suppkey,
                   'P' || CAST(l_orderkey AS VARCHAR) AS protein_acc
-           FROM lineitem WHERE l_orderkey % 10 = 1)
+           FROM lineitem WHERE l_orderkey % 10 = 1 AND l_suppkey % 3 <> 0)
          SELECT c.pdb_id, c.chain, c.taxon_id, m.entry_acc, g.go_id,
                 COALESCE(p.protein_acc, '') AS protein_acc
          FROM chains c

@@ -24,7 +24,8 @@ class HarnessContractSpec extends AnyFunSuite {
     ("stream", StreamQueries.queries, StreamQueries.oracle),
     ("xref", XrefQueries.queries, XrefQueries.oracle),
     ("export", ExportQueries.queries, ExportQueries.oracle),
-    ("taxamart", TaxaMartQueries.queries, TaxaMartQueries.oracle))
+    ("taxamart", TaxaMartQueries.queries, TaxaMartQueries.oracle),
+    ("goa", GoaQueries.queries, GoaQueries.oracle))
 
   test("no query name collides across modules") {
     val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }

@@ -50,6 +50,17 @@ class RelnotesSpec extends SparkSpec {
     val idxTypes = txt.indexOf("Contents and coverage")
     val idxMembers = txt.indexOf("Member database information")
     assert(idxTypes < idxMembers, "types section precedes member table")
+    // the cross-release diff closes the file (mysql/databases.py:262-330)
+    val idxDiff = txt.indexOf("Sequence database coverage vs previous release")
+    assert(idxDiff > idxMembers, "coverage diff section closes the file")
+    assert(txt.contains("UniProtKB/Swiss-Prot") &&
+      txt.contains("UniProtKB/TrEMBL"), "both sequence databases present")
+    // the UniProt row is the SUM of the other two (databases.py:313-317)
+    val diff = harness.GoaQueries.queries("relnotes_coverage_diff")(spark, sf)
+      .select("seqdb", "cur_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff("UniProtKB") ===
+      diff("UniProtKB/Swiss-Prot") + diff("UniProtKB/TrEMBL"))
     // ordinal suffix table matches the reference's branch structure
     assert(ExportQueries.Relnotes.daySuffix(1) === "st")
     assert(ExportQueries.Relnotes.daySuffix(2) === "nd")

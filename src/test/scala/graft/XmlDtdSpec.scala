@@ -102,6 +102,35 @@ class XmlDtdSpec extends SparkSpec {
     assert(errs.isEmpty, s"DTD violations: ${errs.take(5)}")
   }
 
+  test("full interpro.xml composition (interpro_xml query) is DTD-valid") {
+    // the complete per-entry document (ftp/xmlfiles.py:77-455):
+    // abstract + class_list + pub_list + external docs + members +
+    // parent/child + structure links + taxonomy distribution + key
+    // species, one fragment per entry, stitched under the release
+    // envelope and validated against the checked-in grammar
+    val dir = tmpDir("iprfull")
+    Sinks.stageDtd("interpro.dtd", dir)
+    val frags = graft.harness.GoaQueries.queries("interpro_xml")(spark, sf)
+      .orderBy(col("entry_acc")).select(col("xml"))
+    Sinks.writeXml(frags, s"$dir/parts", s"$dir/interpro.xml",
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<!DOCTYPE interprodb SYSTEM \"interpro.dtd\">\n" +
+        "<interprodb><release>" +
+        "<dbinfo dbname=\"INTERPRO\" version=\"100.0\" " +
+        "entry_count=\"97\" file_date=\"13-AUG-26\"/>" +
+        "<dbinfo dbname=\"SWISSPROT\" version=\"2026_03\"/></release>\n",
+      "<deleted_entries><del_ref id=\"IPR999999\"/></deleted_entries>" +
+        "</interprodb>\n")
+    val errs = validate(Paths.get(dir, "interpro.xml"))
+    assert(errs.isEmpty, s"DTD violations: ${errs.take(5)}")
+    val doc = new String(Files.readAllBytes(Paths.get(dir, "interpro.xml")),
+      "UTF-8")
+    assert(doc.contains("<structure_db_links>") &&
+      doc.contains("<taxonomy_distribution>") &&
+      doc.contains("<child_list>") && doc.contains("<external_doc_list>"),
+      "full composition must carry every optional section somewhere")
+  }
+
   test("the validator rejects a document that breaks the grammar") {
     val dir = tmpDir("xmlneg")
     Sinks.stageDtd("match_complete.dtd", dir)
