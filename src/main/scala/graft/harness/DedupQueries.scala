@@ -304,21 +304,30 @@ object DedupQueries {
     // The DP distance itself is the irreducible kernel; everything
     // around it is one keyed self-join.
     "dedup_editdistance" -> ((s, d) => {
-      val h = Tables.documents(s, d).select(col("doc_id"),
+      val docs = Tables.documents(s, d).select(col("doc_id"),
         substring(col("text"), 1, 32).as("head"),
         try_element_at(TextOps.tokens(col("text")), lit(1)).as("t1"))
       val parts = scala.util.Try(s.conf
         .get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-      // block, cap, spread pair join: CorpusOps.cappedSelfJoin (the
-      // shared expanding-join skeleton; see its doc for why the
-      // explicit width is load-bearing — ~40 s single-core at 30x
-      // without it, 13 s spread)
-      graft.ops.CorpusOps.cappedSelfJoin(h, "doc_id", "t1",
-          BlockCap, parts, payload = Seq("head"))
-        // banded threshold DP (returns -1 past the bound): O(len·k)
-        // instead of O(len²) per pair, exact for every surviving pair
+      // block on an 8-BYTE HASH of the first token, not the token:
+      // the pair join (the query's dominant shuffle — both sides
+      // repartition on the block key, the r7 30x watch item) now
+      // moves (id, hash) ints only; head strings attach AFTER the
+      // capped pair list exists. cappedSelfJoin is the shared block/
+      // cap/spread skeleton (its explicit width is load-bearing —
+      // ~40 s single-core at 30x without it).
+      val blocked = docs.withColumn("bk", xxhash64(col("t1")))
+      graft.ops.CorpusOps.cappedSelfJoin(blocked, "doc_id", "bk",
+          BlockCap, parts, payload = Seq("head", "t1"))
+        // re-verify token equality EXACTLY — a 64-bit hash collision
+        // can therefore only add candidate pairs that this filter and
+        // the DP then reject, never change the result (the same
+        // verify-after-hash posture as the substring-span census)
+        .filter(col("t1_a") === col("t1_b"))
         .select(col("da"), col("db"),
           col("head_a").as("ha"), col("head_b").as("hb"))
+        // banded threshold DP (returns -1 past the bound): O(len·k)
+        // instead of O(len²) per pair, exact for every surviving pair
         .withColumn("lev", levenshtein(col("ha"), col("hb"), LevMax).cast("long"))
         .filter(col("lev") >= 0)
         .select("da", "db", "ha", "hb", "lev")
