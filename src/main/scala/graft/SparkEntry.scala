@@ -43,7 +43,7 @@ object SparkEntry {
       KernelQueries.queries ++ SinkQueries.queries ++
       StreamQueries.queries ++ XrefQueries.queries ++
       ExportQueries.queries ++ TaxaMartQueries.queries ++
-      GoaQueries.queries
+      GoaQueries.queries ++ InteractionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +56,5 @@ object SparkEntry {
       KernelQueries.oracle ++ SinkQueries.oracle ++
       StreamQueries.oracle ++ XrefQueries.oracle ++
       ExportQueries.oracle ++ TaxaMartQueries.oracle ++
-      GoaQueries.oracle
+      GoaQueries.oracle ++ InteractionQueries.oracle
 }

@@ -33,4 +33,21 @@ object FileSources {
         from_json(
           call_function("gzip_decompress", col("content")).cast("string"),
           schema).as("doc"))
+
+  /** Record-stanza text source (reference: MetaCyc .dat files — blocks
+    * of `KEY - value` lines terminated by a `//` line, parsed
+    * line-by-line with per-record state in metacyc.py:12-81).
+    *
+    * Spark's text reader accepts a custom line separator, so each
+    * STANZA becomes one row and the read stays distributed and
+    * splittable across records — the per-record accumulator loop
+    * collapses into multiline regexes over the stanza string
+    * (`(?m)^KEY - ...`), evaluated inside codegen. Returns one
+    * non-empty `stanza` string column.
+    */
+  def readStanzas(spark: SparkSession, path: String,
+                  separator: String = "\n//\n"): DataFrame =
+    spark.read.option("lineSep", separator).text(path)
+      .select(col("value").as("stanza"))
+      .filter(length(trim(col("stanza"))) > 0)
 }

@@ -25,7 +25,8 @@ class HarnessContractSpec extends AnyFunSuite {
     ("xref", XrefQueries.queries, XrefQueries.oracle),
     ("export", ExportQueries.queries, ExportQueries.oracle),
     ("taxamart", TaxaMartQueries.queries, TaxaMartQueries.oracle),
-    ("goa", GoaQueries.queries, GoaQueries.oracle))
+    ("goa", GoaQueries.queries, GoaQueries.oracle),
+    ("interaction", InteractionQueries.queries, InteractionQueries.oracle))
 
   test("no query name collides across modules") {
     val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }
