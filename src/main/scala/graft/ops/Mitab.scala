@@ -51,24 +51,57 @@ object Mitab {
     */
   def interproInteractions(lines: DataFrame): DataFrame = {
     val cols = split(col("value"), "\t", -1)
+    // The nondeterministic `_nd` columns are optimizer fences, and the
+    // parse is deliberately staged across SEVERAL small projections:
+    // without the fences, CollapseProject + predicate pushdown inline
+    // the split and every regex into one giant Filter condition
+    // evaluated 2-3x per field; and even fenced, a single Project
+    // holding all extractions generates one whole-stage doConsume
+    // method beyond Janino's hard 64 KB limit (expression splitting is
+    // unavailable on whole-stage local variables), so the entire stage
+    // bails out of codegen and runs interpreted ~10x slower. Each
+    // small projection becomes its own generated method; every
+    // extraction evaluates exactly once.
+    val nd = () => monotonically_increasing_id()
     val split42 = lines
       .select(when(size(cols) === NCOLS, cols)
         .otherwise(raise_error(concat(
           lit(s"Invalid format: expecting $NCOLS columns, got "),
-          size(cols).cast("string")))).as("mitab_cols"))
-    val (acc1, name1, type1) = interactor(f(0), f(4), f(20))
-    val (acc2, name2, type2) = interactor(f(1), f(5), f(21))
-    split42
-      .select(
-        array_distinct(concat(
-          regexp_extract_all(f(36), lit("""IPR\d{6}"""), lit(0)),
-          regexp_extract_all(f(37), lit("""IPR\d{6}"""), lit(0))))
-          .as("accessions"),
-        extract(f(13), "(?i)intact:(EBI-\\d+)").as("intact_id"),
-        extract(f(8), "(?i)pubmed:(\\d+)").cast("int").as("pubmed_id"),
-        acc1.as("acc_1"), name1.as("name_1"), type1.as("type_1"),
-        acc2.as("acc_2"), name2.as("name_2"), type2.as("type_2"))
-      .filter(size(col("accessions")) > 0 &&
+          size(cols).cast("string")))).as("mitab_cols"),
+        nd().as("_nd1"))
+    val fields = split42.select(
+      f(0).as("ids_a"), f(1).as("ids_b"), f(4).as("alias_a"),
+      f(5).as("alias_b"), f(8).as("pubs"), f(13).as("inter"),
+      f(20).as("types_a"), f(21).as("types_b"),
+      f(36).as("f36"), f(37).as("f37"), nd().as("_nd2"))
+    val (acc1, name1, type1) =
+      interactor(col("ids_a"), col("alias_a"), col("types_a"))
+    val withA = fields.select(
+      acc1.as("acc_1"), name1.as("name_1"), type1.as("type_1"),
+      col("ids_b"), col("alias_b"), col("types_b"),
+      col("pubs"), col("inter"), col("f36"), col("f37"), nd().as("_nd3"))
+    val (acc2, name2, type2) =
+      interactor(col("ids_b"), col("alias_b"), col("types_b"))
+    val parsed = withA.select(
+      array_distinct(concat(
+        regexp_extract_all(col("f36"), lit("""IPR\d{6}"""), lit(0)),
+        regexp_extract_all(col("f37"), lit("""IPR\d{6}"""), lit(0))))
+        .as("accessions"),
+      extract(col("inter"), "(?i)intact:(EBI-\\d+)").as("intact_id"),
+      extract(col("pubs"), "(?i)pubmed:(\\d+)").cast("int").as("pubmed_id"),
+      col("acc_1"), col("name_1"), col("type_1"),
+      acc2.as("acc_2"), name2.as("name_2"), type2.as("type_2"),
+      nd().as("_nd4"))
+    // `_nd4 >= 0` is vacuously true but load-bearing: it keeps the
+    // fence column alive through column pruning (an unreferenced
+    // nondeterministic column is pruned, the projects turn
+    // deterministic again, and the filter sinks to the scan with the
+    // whole pipeline inlined per conjunct — the measured 64 KB
+    // codegen bailout). isNotNull would constant-fold away on the
+    // non-nullable id; an inequality survives optimization.
+    parsed
+      .filter(col("_nd4") >= 0 &&
+        size(col("accessions")) > 0 &&
         col("intact_id").isNotNull && col("pubmed_id").isNotNull &&
         col("acc_1").isNotNull && col("name_1").isNotNull &&
         col("type_1").isNotNull && col("acc_2").isNotNull &&
