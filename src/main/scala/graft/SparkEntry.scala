@@ -43,7 +43,8 @@ object SparkEntry {
       KernelQueries.queries ++ SinkQueries.queries ++
       StreamQueries.queries ++ XrefQueries.queries ++
       ExportQueries.queries ++ TaxaMartQueries.queries ++
-      GoaQueries.queries ++ InteractionQueries.queries
+      GoaQueries.queries ++ InteractionQueries.queries ++
+      MatchExportQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
       KernelQueries.oracle ++ SinkQueries.oracle ++
       StreamQueries.oracle ++ XrefQueries.oracle ++
       ExportQueries.oracle ++ TaxaMartQueries.oracle ++
-      GoaQueries.oracle ++ InteractionQueries.oracle
+      GoaQueries.oracle ++ InteractionQueries.oracle ++
+      MatchExportQueries.oracle
 }

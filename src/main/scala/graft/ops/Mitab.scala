@@ -69,40 +69,45 @@ object Mitab {
           lit(s"Invalid format: expecting $NCOLS columns, got "),
           size(cols).cast("string")))).as("mitab_cols"),
         nd().as("_nd1"))
-    val fields = split42.select(
+    // Required-field gates FIRST: entry accessions, interaction id and
+    // pubmed id are cheap single extractions that the reference also
+    // checks up front (intact.py:68-81 `continue`s before touching the
+    // interactors), and they reject the majority of lines — the six
+    // interactor regexes below then run only on survivors.
+    val gated = split42.select(
+      array_distinct(concat(
+        regexp_extract_all(f(36), lit("""IPR\d{6}"""), lit(0)),
+        regexp_extract_all(f(37), lit("""IPR\d{6}"""), lit(0))))
+        .as("accessions"),
+      extract(f(13), "(?i)intact:(EBI-\\d+)").as("intact_id"),
+      extract(f(8), "(?i)pubmed:(\\d+)").cast("int").as("pubmed_id"),
       f(0).as("ids_a"), f(1).as("ids_b"), f(4).as("alias_a"),
-      f(5).as("alias_b"), f(8).as("pubs"), f(13).as("inter"),
-      f(20).as("types_a"), f(21).as("types_b"),
-      f(36).as("f36"), f(37).as("f37"), nd().as("_nd2"))
+      f(5).as("alias_b"), f(20).as("types_a"), f(21).as("types_b"),
+      nd().as("_nd2"))
+      // `_nd2 >= 0` is vacuously true but load-bearing: it keeps the
+      // fence column alive through column pruning (an unreferenced
+      // nondeterministic column is pruned, the projects turn
+      // deterministic again, and the filter sinks to the scan with the
+      // whole pipeline inlined per conjunct — the measured 64 KB
+      // codegen bailout). isNotNull would constant-fold away on the
+      // non-nullable id; an inequality survives optimization.
+      .filter(col("_nd2") >= 0 && size(col("accessions")) > 0 &&
+        col("intact_id").isNotNull && col("pubmed_id").isNotNull)
     val (acc1, name1, type1) =
       interactor(col("ids_a"), col("alias_a"), col("types_a"))
-    val withA = fields.select(
+    val withA = gated.select(
       acc1.as("acc_1"), name1.as("name_1"), type1.as("type_1"),
-      col("ids_b"), col("alias_b"), col("types_b"),
-      col("pubs"), col("inter"), col("f36"), col("f37"), nd().as("_nd3"))
+      col("accessions"), col("intact_id"), col("pubmed_id"),
+      col("ids_b"), col("alias_b"), col("types_b"), nd().as("_nd3"))
     val (acc2, name2, type2) =
       interactor(col("ids_b"), col("alias_b"), col("types_b"))
     val parsed = withA.select(
-      array_distinct(concat(
-        regexp_extract_all(col("f36"), lit("""IPR\d{6}"""), lit(0)),
-        regexp_extract_all(col("f37"), lit("""IPR\d{6}"""), lit(0))))
-        .as("accessions"),
-      extract(col("inter"), "(?i)intact:(EBI-\\d+)").as("intact_id"),
-      extract(col("pubs"), "(?i)pubmed:(\\d+)").cast("int").as("pubmed_id"),
+      col("accessions"), col("intact_id"), col("pubmed_id"),
       col("acc_1"), col("name_1"), col("type_1"),
       acc2.as("acc_2"), name2.as("name_2"), type2.as("type_2"),
       nd().as("_nd4"))
-    // `_nd4 >= 0` is vacuously true but load-bearing: it keeps the
-    // fence column alive through column pruning (an unreferenced
-    // nondeterministic column is pruned, the projects turn
-    // deterministic again, and the filter sinks to the scan with the
-    // whole pipeline inlined per conjunct — the measured 64 KB
-    // codegen bailout). isNotNull would constant-fold away on the
-    // non-nullable id; an inequality survives optimization.
     parsed
       .filter(col("_nd4") >= 0 &&
-        size(col("accessions")) > 0 &&
-        col("intact_id").isNotNull && col("pubmed_id").isNotNull &&
         col("acc_1").isNotNull && col("name_1").isNotNull &&
         col("type_1").isNotNull && col("acc_2").isNotNull &&
         col("name_2").isNotNull && col("type_2").isNotNull)
