@@ -112,6 +112,72 @@ object MatchExportQueries {
           coalesce(col("n_signatures"), lit(0L)).as("n_signatures"))
     }),
 
+    // export_features (matches.py:478-583): FEATURE_MATCH scanned with
+    // the Pfam-N dbcode excluded at the cursor (WHERE DBCODE != 'd',
+    // matches.py:492 — here a parquet-pushed filter), the feature
+    // dimension resolving db name + evidence (with the Pfam-N
+    // "Maskformer" override, matches.py:529-531), NULL seq features
+    // defaulting to "Consensus Disorder Prediction" for MobiDB-lite
+    // only (matches.py:567-569), per-feature locations sorted by
+    // (start, end) and the protein's features ranked by their leftmost
+    // location (matches.py:575-583; the reference's tie order is dict
+    // insertion, made deterministic here with (db, acc) tiebreakers).
+    "features_matches" -> ((s, d) => {
+      val dbcodes = array(lit("m"), lit("f"), lit("p"), lit("s"), lit("d"))
+      val dbnames = array(lit("mobidblt"), lit("funfam"), lit("phobius"),
+        lit("signalp"), lit("pfam-n"))
+      val evid = array(lit("PREDICTION"), lit("HMM"), lit("PREDICTION"),
+        lit("PREDICTION"), lit("UNKNOWN"))
+      // WHERE DBCODE != 'd' (matches.py:492) — an int predicate on the
+      // scan column the db index derives from, so it pushes to parquet
+      val fm = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 5 =!= 4)
+        .select(
+          concat(lit("P"), col("l_orderkey").cast("string")).as("protein_acc"),
+          (col("l_partkey") % 5).as("dbidx"),
+          (col("l_partkey") % 400).as("fkey"),
+          (col("l_linenumber") * 3 % 500).as("pos_from"),
+          (col("l_linenumber") * 3 % 500 + col("l_quantity").cast("long") % 30)
+            .as("pos_to"),
+          when(col("l_suppkey") % 3 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("sf"), (col("l_suppkey") % 5).cast("string")))
+            .as("seq_feature"))
+      val merged = fm
+        .groupBy(col("protein_acc"), col("dbidx"), col("fkey"))
+        .agg(sort_array(collect_list(struct(
+          col("pos_from"), col("pos_to"),
+          // the MobiDB-lite default fires at append time
+          // (matches.py:567-569): null stays null for other dbs
+          when(col("seq_feature").isNull && col("dbidx") === 0,
+            lit("Consensus Disorder Prediction"))
+            .otherwise(col("seq_feature")).as("feat")))).as("locs"))
+      val dbname = element_at(dbnames, (col("dbidx") + 1).cast("int"))
+      merged.select(
+        col("protein_acc"),
+        element_at(dbcodes, (col("dbidx") + 1).cast("int")).as("dbcode"),
+        concat(lit("FT"), col("fkey").cast("string")).as("feature_acc"),
+        concat(lit("fn"), col("fkey").cast("string")).as("name"),
+        when(col("fkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("feature "), col("fkey").cast("string")))
+          .as("descr"),
+        dbname.as("db_name"),
+        // the Pfam-N -> Maskformer dim override (matches.py:529-531);
+        // structurally dead downstream of the dbcode filter, exactly as
+        // in the reference where 'd' matches never reach the merge
+        when(lower(dbname) === "pfam-n", lit("Maskformer"))
+          .otherwise(element_at(evid, (col("dbidx") + 1).cast("int")))
+          .as("evidence"),
+        concat_ws(";", transform(col("locs"), l => concat(
+          l("pos_from").cast("string"), lit("-"),
+          l("pos_to").cast("string"), lit(":"),
+          coalesce(l("feat"), lit(""))))).as("locations"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("protein_acc"))
+            .orderBy(col("locs")(0)("pos_from"), col("locs")(0)("pos_to"),
+              col("dbidx"), col("fkey"))).as("feature_rank"))
+    }),
+
     // _merge_toad_matches (matches.py:692-746): TOAD match rows grouped
     // into locations by (signature, GROUP_ID); a single-fragment
     // location is CONTINUOUS, a multi-fragment location labels its
@@ -203,6 +269,55 @@ object MatchExportQueries {
          FROM master m
               JOIN uniparc u USING (crc64)
               LEFT JOIN pervar v USING (variant_acc)""",
+    "features_matches" ->
+      """WITH fm AS (
+           SELECT 'P' || CAST(l_orderkey AS VARCHAR) AS protein_acc,
+                  l_partkey % 5 AS dbidx,
+                  l_partkey % 400 AS fkey,
+                  l_linenumber * 3 % 500 AS pos_from,
+                  l_linenumber * 3 % 500
+                    + CAST(l_quantity AS BIGINT) % 30 AS pos_to,
+                  CASE WHEN l_suppkey % 3 = 0 THEN NULL
+                       ELSE 'sf' || CAST(l_suppkey % 5 AS VARCHAR)
+                  END AS seq_feature
+           FROM lineitem
+           WHERE l_partkey % 5 <> 4),
+         wf AS (
+           SELECT protein_acc, dbidx, fkey, pos_from, pos_to,
+                  CASE WHEN seq_feature IS NULL AND dbidx = 0
+                       THEN 'Consensus Disorder Prediction'
+                       ELSE seq_feature END AS feat
+           FROM fm),
+         grp AS (
+           SELECT protein_acc, dbidx, fkey,
+                  string_agg(CAST(pos_from AS VARCHAR) || '-' ||
+                             CAST(pos_to AS VARCHAR) || ':' ||
+                             COALESCE(feat, ''), ';'
+                             ORDER BY pos_from, pos_to,
+                                      feat ASC NULLS FIRST) AS locations,
+                  MIN(pos_from * 1024 + pos_to) AS mk
+           FROM wf
+           GROUP BY protein_acc, dbidx, fkey)
+         SELECT protein_acc,
+                ['m','f','p','s','d'][CAST(dbidx + 1 AS INT)] AS dbcode,
+                'FT' || CAST(fkey AS VARCHAR) AS feature_acc,
+                'fn' || CAST(fkey AS VARCHAR) AS name,
+                CASE WHEN fkey % 7 = 0 THEN NULL
+                     ELSE 'feature ' || CAST(fkey AS VARCHAR)
+                END AS descr,
+                ['mobidblt','funfam','phobius','signalp','pfam-n']
+                  [CAST(dbidx + 1 AS INT)] AS db_name,
+                CASE WHEN ['mobidblt','funfam','phobius','signalp','pfam-n']
+                            [CAST(dbidx + 1 AS INT)] = 'pfam-n'
+                     THEN 'Maskformer'
+                     ELSE ['PREDICTION','HMM','PREDICTION','PREDICTION',
+                           'UNKNOWN'][CAST(dbidx + 1 AS INT)]
+                END AS evidence,
+                locations,
+                ROW_NUMBER() OVER (PARTITION BY protein_acc
+                                   ORDER BY mk // 1024, mk % 1024,
+                                            dbidx, fkey) AS feature_rank
+         FROM grp""",
     "toad_matches" ->
       """WITH tm AS (
            SELECT 'P' || CAST(l_orderkey AS VARCHAR) AS protein_acc,
