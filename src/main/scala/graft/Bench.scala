@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         SparkLocal.initialShufflePartitions(sfDir, cpus.toInt))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
@@ -37,22 +38,40 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .filter(org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed)
         .foreach(_.unpersist(blocking = false))
-    val results = SparkEntry.queries
-      .filter { case (n, _) => only.isEmpty || only(n) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = ms3((System.nanoTime() - t0) / 1e9)
-      sweepEphemeral()
-      // one line per query as it completes: survives tail-only log
-      // capture and pinpoints a hang/crash to the running query
-      println(s"""{"query":"$name","sec":$sec}""")
-      name -> sec
+    // run family by family (not Map iteration order): shared frames
+    // (dedup shingles/signatures, taxa lineage) are built for a family
+    // and released as soon as it ends — persisted frames outliving
+    // their family were the r8 bench contamination (GC pressure bled
+    // ~5-10x into unrelated later queries)
+    val timings = SparkEntry.modules.flatMap { case (_, qs, _) =>
+      val ran = qs.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.isEmpty || only(n) }
+        .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // a throwing query must surface as FAILED in the artifact — a
+        // swallowed exception would otherwise read as an ultra-fast
+        // success and silently inflate the query count the driver grades
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                   false }
+        val sec = ms3((System.nanoTime() - t0) / 1e9)
+        sweepEphemeral()
+        // one line per query as it completes: survives tail-only log
+        // capture and pinpoints a hang/crash to the running query
+        println(s"""{"query":"$name","sec":$sec,"ok":$ok}""")
+        (name, sec, ok)
+      }
+      graft.harness.SharedFrames.release(spark)
+      ran
     }
+    val results = timings.collect { case (n, sec, true) => n -> sec }.toMap
+    val failed = timings.collect { case (n, _, false) => n }.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ms3(if (results.nonEmpty) results.values.sum else 0.0)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // the driver stores only the last ~2000 log chars, which the full
     // per-query map exceeds — persist it to a repo file and keep the
     // FINAL stdout line compact enough to always fit the tail capture
@@ -64,7 +83,7 @@ object Bench {
       System.err.println(s"bench: failed to write detail file $detailPath: $e")
     }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -147,6 +147,7 @@ object CorpusPipeline {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         SparkLocal.initialShufflePartitions(sfDir,
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *    instead of each dup cluster growing 10x (which would blow pair
   *    outputs quadratically and measure output explosion, not scan
   *    scaling);
-  *  - `events.ts` stays INT64 nanoseconds (the Tables.events loader
-  *    contract truncates nanos to micros on read);
+  *  - `events.ts` keeps the source encoding (ns-as-long or µs
+  *    timestamp — the Tables.events loader branches on the schema);
   *  - `embeddings.embedding` gets a tiny first-component nudge per
   *    replica so replicas are near but not exact neighbors.
   *
@@ -34,6 +34,7 @@ object ScaleUp {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -32,31 +32,40 @@ object SparkEntry {
       .orderBy(col("protein_acc"), col("entry_acc"), col("pos_start"))
   }
 
+  /** The single module registry. `queries`/`oracleSql` AND the contract
+    * spec derive from this list, so registering a new module here is the
+    * one and only step — the spec previously kept its own copy of this
+    * list and drifted (a registered-but-unlisted module shipped a red
+    * `sbt test`).
+    */
+  val modules: Seq[(String, Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      ("core", CoreQueries.queries, CoreQueries.oracle),
+      ("join", JoinQueries.queries, JoinQueries.oracle),
+      ("agg", AggQueries.queries, AggQueries.oracle),
+      ("window", WindowQueries.queries, WindowQueries.oracle),
+      ("text", TextQueries.queries, TextQueries.oracle),
+      ("dedup", DedupQueries.queries, DedupQueries.oracle),
+      ("sample", SampleQueries.queries, SampleQueries.oracle),
+      ("vector", VectorQueries.queries, VectorQueries.oracle),
+      ("multimodal", MultimodalQueries.queries, MultimodalQueries.oracle),
+      ("kernel", KernelQueries.queries, KernelQueries.oracle),
+      ("sink", SinkQueries.queries, SinkQueries.oracle),
+      ("stream", StreamQueries.queries, StreamQueries.oracle),
+      ("xref", XrefQueries.queries, XrefQueries.oracle),
+      ("export", ExportQueries.queries, ExportQueries.oracle),
+      ("taxamart", TaxaMartQueries.queries, TaxaMartQueries.oracle),
+      ("goa", GoaQueries.queries, GoaQueries.oracle),
+      ("interaction", InteractionQueries.queries, InteractionQueries.oracle),
+      ("matchexport", MatchExportQueries.queries, MatchExportQueries.oracle))
+
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * LLM-pipeline north-star ops (dedup / similarity / text / media). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ JoinQueries.queries ++
-      AggQueries.queries ++ WindowQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++
-      SampleQueries.queries ++
-      VectorQueries.queries ++ MultimodalQueries.queries ++
-      KernelQueries.queries ++ SinkQueries.queries ++
-      StreamQueries.queries ++ XrefQueries.queries ++
-      ExportQueries.queries ++ TaxaMartQueries.queries ++
-      GoaQueries.queries ++ InteractionQueries.queries ++
-      MatchExportQueries.queries
+    modules.iterator.map(_._2).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ JoinQueries.oracle ++
-      AggQueries.oracle ++ WindowQueries.oracle ++
-      TextQueries.oracle ++ DedupQueries.oracle ++
-      SampleQueries.oracle ++
-      VectorQueries.oracle ++ MultimodalQueries.oracle ++
-      KernelQueries.oracle ++ SinkQueries.oracle ++
-      StreamQueries.oracle ++ XrefQueries.oracle ++
-      ExportQueries.oracle ++ TaxaMartQueries.oracle ++
-      GoaQueries.oracle ++ InteractionQueries.oracle ++
-      MatchExportQueries.oracle
+    modules.iterator.map(_._3).reduce(_ ++ _)
 }

@@ -25,16 +25,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no type
-    * for (PARQUET_TYPE_ILLEGAL by default). Read nanos as long and
-    * truncate to microseconds — the same truncation DuckDB applies when
-    * it casts ns to its µs TIMESTAMP, so oracle comparisons agree.
-    * Integer `div` (not double /): ns-since-epoch exceeds 2^53.
+  /** `events.ts` has shipped in several physical encodings: parquet
+    * TIMESTAMP(NANOS) (no Spark type — read nanos as long via
+    * `spark.sql.legacy.parquet.nanosAsLong`, then truncate to µs, the
+    * same truncation DuckDB applies casting ns to its µs TIMESTAMP)
+    * and plain µs TIMESTAMP with or without the UTC annotation.
+    * Branch on the LOADED schema, not an assumed encoding: with
+    * nanosAsLong set, ns columns surface as LongType, µs columns as
+    * TimestampType/TimestampNTZType. The loader contract is a single
+    * logical type downstream — `ts: TimestampType` in µs (sessions run
+    * UTC, so the NTZ cast is the identity wall-clock mapping DuckDB
+    * applies to the same naive values). Integer `div` (not double /):
+    * ns-since-epoch exceeds 2^53.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => raw // already a (µs) timestamp
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -19,14 +19,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // family-by-family with shared-frame release between families —
+    // same discipline as Bench (see SharedFrames.release)
+    SparkEntry.modules.foreach { case (_, qs, _) =>
+      qs.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a throwing query must FAIL the gate, never vanish from it:
+          // an absent output dir reads as "query removed" to the
+          // checker, so leave an _ERROR marker the checker counts as a
+          // hard failure (mode=overwrite on the next successful run
+          // clears the dir)
+          val dir = Paths.get(outDir, name)
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_ERROR"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+        }
       }
+      graft.harness.SharedFrames.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

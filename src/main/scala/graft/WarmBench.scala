@@ -24,6 +24,7 @@ object WarmBench {
       // the bench it is meant to explain at rehearsal SFs
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         SparkLocal.initialShufflePartitions(sfDir, cpus.toInt))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -18,6 +18,23 @@ object SharedFrames {
   private val frameCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Unpersist and forget every frame cached under `s`'s context (any
+    * sf dir). Bench/Verify call this between query families: a frame
+    * kept persisted after its family finished is pure GC pressure on
+    * every later query — the r8 bench artifact was dominated by it
+    * (kernel_match_merge 9.9 s solo, 90 s when run after the dedup
+    * family in the same JVM). A cross-family frame (taxa lineage) just
+    * rebuilds once for its next family — bounded, and honest per-family
+    * attribution beats a once-per-JVM build landing on whichever query
+    * happens to run first.
+    */
+  def release(s: SparkSession): Unit =
+    frameCache.filterInPlace { case ((sess, _, _), df) =>
+      val keep = sess.sparkContext != s.sparkContext
+      if (!keep && !sess.sparkContext.isStopped) df.unpersist(blocking = false)
+      keep
+    }
+
   def cachedFrame(s: SparkSession, d: String, key: String)
                  (build: => DataFrame): DataFrame = {
     frameCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }

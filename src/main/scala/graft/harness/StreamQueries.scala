@@ -49,6 +49,11 @@ object StreamQueries {
     val out = parent.createDataFrame(
       java.util.Arrays.asList(t.collect(): _*), t.schema)
     sess.catalog.dropTempView(name)
+    // forget the terminated query: the manager's terminated-query list
+    // pins the MemorySink (a full driver-side copy of the result) for
+    // the child session's lifetime — across a 150-query bench those
+    // copies accumulate as pure GC pressure
+    sess.streams.resetTerminated()
     out
   }
 
@@ -172,6 +177,7 @@ object StreamQueries {
         .option("checkpointLocation", s"$outDir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      sess.streams.resetTerminated()
       // a doc collides with the same representative in several bands
       s.read.parquet(s"$outDir/data").distinct()
     }),
@@ -196,6 +202,7 @@ object StreamQueries {
         .option("checkpointLocation", s"$outDir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      sess.streams.resetTerminated()
       // supersession dedup: each batch re-emits the still-open session
       // (same user+start, end/n grown monotonically), so a multi-batch
       // drain's sink holds provisional prefixes of the final row. Keep

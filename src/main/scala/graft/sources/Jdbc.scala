@@ -93,6 +93,40 @@ object Jdbc {
       url, table, batchSize)
   }
 
+  /** Driver-side parameterized DML (UPDATE/DELETE/DDL) — the
+    * reference's one-off release-control statements are single-row
+    * updates with no dataflow, so they run on the driver connection,
+    * never through an executor. Returns the update count.
+    */
+  def execUpdate(url: String, sql: String, params: Seq[Any] = Nil): Int = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement(sql)
+      try {
+        params.zipWithIndex.foreach { case (p, i) => ps.setObject(i + 1, p) }
+        ps.executeUpdate()
+      } finally ps.close()
+    } finally conn.close()
+  }
+
+  /** The reference's pronto freeze switch
+    * (interpro/oracle/pronto.py:5-33): update the 'FROZEN' row of the
+    * release-state table, setting only the columns whose values were
+    * given — a no-op (no connection at all) when both are None, like
+    * the reference's empty-columns early exit. Returns rows updated
+    * (0 when nothing to do).
+    */
+  def updateFrozenState(url: String, table: String,
+                        isFrozen: Option[Boolean],
+                        freezeOn: Option[java.sql.Timestamp]): Int = {
+    val sets = isFrozen.map(_ => "ACTIVE = ?").toSeq ++
+      freezeOn.map(_ => "ACTIVE_FROM = ?").toSeq
+    if (sets.isEmpty) 0
+    else execUpdate(url,
+      s"UPDATE $table SET ${sets.mkString(", ")} WHERE NAME = 'FROZEN'",
+      isFrozen.map(f => if (f) "Y" else "N").toSeq ++ freezeOn.toSeq)
+  }
+
   private def loadPartitions(df: DataFrame, url: String,
                              table: String, batchSize: Int): Unit = {
     val cols = df.schema.fieldNames.toSeq

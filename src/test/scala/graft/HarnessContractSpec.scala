@@ -9,24 +9,33 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class HarnessContractSpec extends AnyFunSuite {
 
-  private val modules: Seq[(String, Map[String, _], Map[String, String])] = Seq(
-    ("core", CoreQueries.queries, CoreQueries.oracle),
-    ("join", JoinQueries.queries, JoinQueries.oracle),
-    ("agg", AggQueries.queries, AggQueries.oracle),
-    ("window", WindowQueries.queries, WindowQueries.oracle),
-    ("text", TextQueries.queries, TextQueries.oracle),
-    ("dedup", DedupQueries.queries, DedupQueries.oracle),
-    ("sample", SampleQueries.queries, SampleQueries.oracle),
-    ("vector", VectorQueries.queries, VectorQueries.oracle),
-    ("multimodal", MultimodalQueries.queries, MultimodalQueries.oracle),
-    ("kernel", KernelQueries.queries, KernelQueries.oracle),
-    ("sink", SinkQueries.queries, SinkQueries.oracle),
-    ("stream", StreamQueries.queries, StreamQueries.oracle),
-    ("xref", XrefQueries.queries, XrefQueries.oracle),
-    ("export", ExportQueries.queries, ExportQueries.oracle),
-    ("taxamart", TaxaMartQueries.queries, TaxaMartQueries.oracle),
-    ("goa", GoaQueries.queries, GoaQueries.oracle),
-    ("interaction", InteractionQueries.queries, InteractionQueries.oracle))
+  // THE registry — owned by SparkEntry so this spec cannot drift from
+  // the shipped query map (the r8 failure mode: a module registered in
+  // SparkEntry but missing from a spec-local copy of this list)
+  private val modules = SparkEntry.modules
+
+  test("every *Queries object in graft.harness is registered in SparkEntry") {
+    // classpath scan, not a hand-list: a new query module that compiles
+    // but was never added to SparkEntry.modules must fail here loudly
+    // (the r8 failure shipped exactly that drift)
+    val url = getClass.getResource("/graft/harness")
+    assert(url != null && url.getProtocol == "file",
+      s"cannot scan graft.harness package dir: $url")
+    val objectNames = new java.io.File(url.toURI).listFiles()
+      .map(_.getName).filter(_.matches("[A-Za-z]+Queries\\$\\.class"))
+      .map(_.stripSuffix("$.class")).toSet
+    assert(objectNames.nonEmpty)
+    val registered = SparkEntry.queries.keySet
+    objectNames.foreach { n =>
+      val cls = Class.forName(s"graft.harness.$n$$")
+      val inst = cls.getField("MODULE$").get(null)
+      val qs = cls.getMethod("queries").invoke(inst)
+        .asInstanceOf[Map[String, _]].keySet
+      val missing = qs.diff(registered)
+      assert(missing.isEmpty,
+        s"$n defines queries absent from SparkEntry.modules: $missing")
+    }
+  }
 
   test("no query name collides across modules") {
     val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }

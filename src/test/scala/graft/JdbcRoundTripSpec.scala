@@ -110,4 +110,41 @@ class JdbcRoundTripSpec extends SparkSpec {
       .groupBy("p").agg(countDistinct("pid").as("n"))
     assert(parts.filter(col("n") > 1).count() === 0)
   }
+
+  test("frozen-state update mirrors pronto.py (partial SETs, no-op on empty)") {
+    // the reference's release-control UPDATE (interpro/oracle/
+    // pronto.py:5-33): SET list built only from the provided values,
+    // keyed WHERE NAME='FROZEN', early-exit when nothing to set
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE pronto_states
+                    (name VARCHAR(32), active VARCHAR(1),
+                     active_from TIMESTAMP)""")
+      st.execute("""INSERT INTO pronto_states VALUES
+                    ('FROZEN', 'N', NULL), ('OTHER', 'N', NULL)""")
+      st.close()
+    } finally conn.close()
+
+    // no values given -> no-op, zero rows touched
+    assert(Jdbc.updateFrozenState(url, "pronto_states", None, None) === 0)
+
+    // only the flag
+    assert(Jdbc.updateFrozenState(url, "pronto_states",
+      Some(true), None) === 1)
+    val t0 = java.sql.Timestamp.valueOf("2026-08-13 00:00:00")
+    // both columns
+    assert(Jdbc.updateFrozenState(url, "pronto_states",
+      Some(false), Some(t0)) === 1)
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "pronto_states").load()
+    val frozen = back.filter(col("name") === "FROZEN").head
+    assert(frozen.getAs[String]("ACTIVE") === "N")
+    assert(frozen.getAs[java.sql.Timestamp]("ACTIVE_FROM") === t0)
+    // the other row is untouched — the WHERE key holds
+    val other = back.filter(col("name") === "OTHER").head
+    assert(other.getAs[String]("ACTIVE") === "N")
+    assert(other.getAs[java.sql.Timestamp]("ACTIVE_FROM") === null)
+  }
 }

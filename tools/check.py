@@ -62,9 +62,24 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = 0
+    # a registered query with NO output dir is a FAIL, not a removal:
+    # Verify leaves an _ERROR marker on throw, but belt-and-braces —
+    # a crash before the marker (or a deleted builder) must still fail
+    vanished = [n for n in sorted(oracle) if n not in names
+                and (not only or n in only)]
+    for name in vanished:
+        print(f"FAIL {name}: registered (oracle present) but no output "
+              f"written — query vanished"); n_fail += 1
+    if vanished:
+        print(f"{len(vanished)} registered-but-unreported queries")
     for name in names:
         if only and name not in only:
             continue
+        err = os.path.join(out_dir, name, "_ERROR")
+        if os.path.exists(err):
+            msg = open(err).read().strip().splitlines()
+            print(f"FAIL {name}: query threw: {msg[0] if msg else '?'}")
+            n_fail += 1; continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
