@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // frames + loop checkpoints; at 8g the tail of the run degrades into
   // GC bursts that add 3-4x noise to unrelated two-operator queries
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 150+ codegen'd queries overflow the 240m default JIT code cache,
+  // after which late queries run interpreted (10-20x) — same flags as
+  // tools/run.sh
+  "-XX:ReservedCodeCacheSize=512m", "-XX:+UseCodeCacheFlushing",
 )
