@@ -323,7 +323,8 @@ object MatchExportQueries {
            SELECT 'P' || CAST(l_orderkey AS VARCHAR) AS protein_acc,
                   'SIG' || CAST(l_partkey % 300 AS VARCHAR) AS sig_acc,
                   l_suppkey % 4 AS group_id,
-                  round((l_orderkey % 89) + (l_suppkey % 4) * 0.1, 1) AS score,
+                  CAST(round((l_orderkey % 89) + (l_suppkey % 4) * 0.1, 1)
+                       AS DOUBLE) AS score,
                   l_linenumber * 7 % 400 AS pos_from,
                   l_linenumber * 7 % 400 + 10
                     + CAST(l_quantity AS BIGINT) % 20 AS pos_to
