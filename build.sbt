@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // after which late queries run interpreted (10-20x) — same flags as
   // tools/run.sh
   "-XX:ReservedCodeCacheSize=512m", "-XX:+UseCodeCacheFlushing",
-)
+) ++
+  // propagate opt-in gate properties into the FORKED test JVM:
+  // `sbt -Dgraft.oracle.sf1=true testOnly ...` otherwise sets the
+  // property only in the sbt JVM and the suite silently cancels —
+  // a gate that reports "canceled" while looking invoked
+  sys.props.get("graft.oracle.sf1").map(v => s"-Dgraft.oracle.sf1=$v").toSeq
