@@ -337,13 +337,30 @@ object AggQueries {
       val sets = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      val cnt = sets.select(explode(col("ps")).as("pk"))
-        .groupBy(col("pk")).agg(count(lit(1)).as("np"))
-      val pairs = RelOps.orderedPairs(sets, Seq("l_orderkey"), "ps")
+      // per-item frequency straight off the fact (distinct orders per
+      // part == "how many ps arrays contain pk"), NOT via
+      // sets.explode: the sets subtree is also the pair generator's
+      // input, and deriving cnt from it recomputed the 18M-row
+      // set-build a second time at 30x
+      val cnt = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(countDistinct(col("l_orderkey")).as("np"))
+      // checkpoint the set frame: orderedPairs consumes it in both its
+      // small/big branches and the 18M-row-at-30x fact aggregation must
+      // not run twice (blocks reclaimed by Bench's ephemeral sweep)
+      val pairs = RelOps.orderedPairs(sets.localCheckpoint(true),
+          Seq("l_orderkey"), "ps")
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
+      // the per-item frequency table is DIMENSION-sized (distinct
+      // parts), orders smaller than the pair fact it enriches —
+      // broadcast both lookups so the pair table is shuffled once
+      // (its own groupBy), not three times (measured at 30x: the two
+      // SMJs over the ~27M-row pair table dominated the query)
       pairs
-        .join(cnt.select(col("pk").as("pa"), col("np").as("na")), Seq("pa"))
-        .join(cnt.select(col("pk").as("pb"), col("np").as("nb")), Seq("pb"))
+        .join(broadcast(cnt.select(col("pk").as("pa"), col("np").as("na"))),
+          Seq("pa"))
+        .join(broadcast(cnt.select(col("pk").as("pb"), col("np").as("nb"))),
+          Seq("pb"))
         .withColumn("jaccard",
           round(col("nab").cast("double") / (col("na") + col("nb") - col("nab")), 6))
         .filter(col("nab").cast("double") / (col("na") + col("nb") - col("nab")) >= 0.01)

@@ -168,14 +168,23 @@ object RelOps {
   def orderedPairs(sets: DataFrame, keys: Seq[String], setCol: String,
                    cap: Int = 256): DataFrame = {
     require(cap > 1, s"cap must exceed 1, got $cap")
+    // NOTE: both branches below consume `sets`, and ReuseExchange does
+    // not fire across the differing branch projections — when the set
+    // build is an expensive full-fact aggregation, the CALLER should
+    // hand in a localCheckpoint'd frame so it materializes once
+    // (agg_similarity does; measured 2x the set-build cost at 30x
+    // without it). Not checkpointed here unconditionally: for cheap
+    // set builds the eager materialization costs more than the
+    // recompute (agg_clan_graph regressed 0.6 -> 4.4 s at sf0.1).
+    val mat = sets
     val sc = col(setCol)
-    val small = sets.filter(size(sc) <= cap)
+    val small = mat.filter(size(sc) <= cap)
       .select(keys.map(col) :+ explode(flatten(transform(sc, (x, i) =>
         transform(slice(sc, i + lit(2), size(sc)),
           y => struct(x.as("pa"), y.as("pb")))))).as("__pr"): _*)
       .select(keys.map(col) :+ col("__pr.pa").as("pa")
         :+ col("__pr.pb").as("pb"): _*)
-    val big = sets.filter(size(sc) > cap)
+    val big = mat.filter(size(sc) > cap)
     val l = big.select(keys.map(col) :+ posexplode(sc).as(Seq("__ia", "pa")): _*)
     val r = big.select(keys.map(col) :+ posexplode(sc).as(Seq("__ib", "pb")): _*)
     val bigPairs = l.join(r, keys).filter(col("__ia") < col("__ib"))
