@@ -63,10 +63,12 @@ object XrefQueries {
     // semantics). The reference merges per-worker dicts driver-side;
     // here it is one agg + one regroup, no driver state.
     "xref_domorg" -> ((s, d) => {
+      // no pre-distinct: collect_set dedupes, and its PARTIAL
+      // aggregation already shrinks the map side — a distinct() first
+      // is a second full-fact shuffle for nothing
       val doms = Tables.lineitem(s, d)
         .select(col("l_orderkey"),
           concat(lit("PF"), (col("l_partkey") % 50).cast("string")).as("dom"))
-        .distinct()
       val ida = doms.groupBy(col("l_orderkey"))
         .agg(concat_ws("-", sort_array(collect_set(col("dom")))).as("ida"))
         .select(col("l_orderkey"), col("ida"), md5(col("ida")).as("ida_id"))
