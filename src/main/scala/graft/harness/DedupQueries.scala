@@ -20,6 +20,7 @@ object DedupQueries {
   private val K = 16          // minhash signature size
   private val BANDS = 8       // LSH bands (of K/BANDS rows each)
   private val JACC = 0.5      // near-dup verification threshold
+  private val CONT = 0.9      // containment (doc-in-doc) threshold
   private val DfCap = 64      // max document frequency of a shingle
                               // allowed to generate candidate pairs
   private val SimBits = 64    // simhash signature width: wide enough
@@ -141,6 +142,18 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, d) => {
       val sh = shingleFrame(s, d)
       jaccardPairs(sh, postingCandidates(sh))
+    }),
+
+    // Asymmetric containment over the same df-capped candidates:
+    // |A∩B| / min(|A|,|B|) flags a short document embedded in a long
+    // one (quoted articles, boilerplate-wrapped reuse, concatenated
+    // dumps) that symmetric Jaccard scores near |A|/|B| and misses.
+    // Same blocked-candidates + exact-verify posture; shares the
+    // shingle frame with the whole dedup family.
+    "dedup_containment" -> ((s, d) => {
+      val sh = shingleFrame(s, d)
+      graft.ops.CorpusOps.containmentVerify(sh, postingCandidates(sh),
+        "doc_id", CONT)
     }),
 
     // MinHash + LSH: 16 md5-min hashes -> 8 bands of 2 -> bucket join
@@ -471,6 +484,13 @@ object DedupQueries {
           FROM (SELECT doc_id, $fpSql AS fp FROM documents)
           GROUP BY fp HAVING COUNT(*) > 1""",
     "dedup_ngram_jaccard" -> verifySql(postingCandCte, "m"),
+    "dedup_containment" ->
+      s"""WITH $shCte, $postingCandCte
+          pr AS (SELECT da, db, COUNT(*) AS nab FROM m GROUP BY da, db)
+          SELECT da, db, nab, x.n AS na, y.n AS nb,
+                 round(CAST(nab AS DOUBLE)/least(x.n, y.n), 6) AS containment
+          FROM pr JOIN ns x ON da = x.doc_id JOIN ns y ON db = y.doc_id
+          WHERE round(CAST(nab AS DOUBLE)/least(x.n, y.n), 6) >= $CONT""",
     "dedup_minhash_lsh" -> verifySql(
       s"""sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
           bands AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),

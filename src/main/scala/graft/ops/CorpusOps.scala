@@ -143,24 +143,49 @@ object CorpusOps {
     * shingle frame: `(da, db, nab, na, nb, jaccard)` for pairs at or
     * above `thresh`. All joins are keyed on document ids.
     */
-  def jaccardVerify(sh: DataFrame, cand: DataFrame, idCol: String,
-                    thresh: Double): DataFrame = {
+  /** (da, db, nab, na, nb, containment) for the candidate pairs, with
+    * containment = |A∩B| / min(|A|, |B|) — the asymmetric near-dup
+    * measure: a short document fully embedded in a long one scores
+    * ~1.0 here while its Jaccard stays near |A|/|B| (tiny). This is
+    * the doc-in-doc test every training-corpus dedup needs alongside
+    * symmetric Jaccard (boilerplate pages wrapped around reused
+    * bodies, quoted articles, concatenated dumps). Same exact
+    * verification posture as [[jaccardVerify]]: candidates come from
+    * whatever blocked generator the caller used; the measure itself
+    * runs over the full shingle sets.
+    */
+  def containmentVerify(sh: DataFrame, cand: DataFrame, idCol: String,
+                        thresh: Double): DataFrame =
+    pairOverlap(sh, cand, idCol)
+      .withColumn("containment",
+        round(col("nab").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= thresh)
+      .select("da", "db", "nab", "na", "nb", "containment")
+
+  /** (da, db, nab, na, nb) — exact intersection size per candidate
+    * pair plus both set sizes; shared by the Jaccard and containment
+    * verifiers.
+    */
+  private def pairOverlap(sh: DataFrame, cand: DataFrame,
+                          idCol: String): DataFrame = {
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val a = sh.select(col(idCol).as("da"), col("s"))
     val b = sh.select(col(idCol).as("db"), col("s").as("__sb"))
-    // disambiguate: the candidate pair's right id joins b's id, then
-    // the surviving column is renamed back to db for the groupBy
-    val matched = cand.select(col("da"), col("db").as("__db"))
+    cand.select(col("da"), col("db").as("__db"))
       .join(a, Seq("da"))
       .join(b, col("s") === col("__sb") && col("__db") === col("db"))
-    matched.groupBy(col("da"), col("db")).agg(count(lit(1)).as("nab"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("nab"))
       .join(ns.select(col(idCol).as("da"), col("__n").as("na")), Seq("da"))
       .join(ns.select(col(idCol).as("db"), col("__n").as("nb")), Seq("db"))
+  }
+
+  def jaccardVerify(sh: DataFrame, cand: DataFrame, idCol: String,
+                    thresh: Double): DataFrame =
+    pairOverlap(sh, cand, idCol)
       .withColumn("jaccard",
         round(col("nab").cast("double") / (col("na") + col("nb") - col("nab")), 6))
       .filter(col("jaccard") >= thresh)
       .select("da", "db", "nab", "na", "nb", "jaccard")
-  }
 
   /** Exact per-group quantiles by rank selection: each requested
     * quantile `(name, a, b)` is the value at rank ceil(a·n/b) — no
