@@ -142,11 +142,10 @@ object InteractionQueries {
     // reference's precedence rules -> required-field gate -> one row
     // per (entry, interaction), deduped on the interaction id.
     "intact_interactions" -> ((s, d) => {
-      // widen BETWEEN the line build and the parse: the exchange both
-      // spreads the single-split orders scan across cores AND cuts the
-      // fused whole-stage function in two — line assembly and the
-      // 42-column parse each compile under Janino's 64 KB method
-      // limit, where the fully fused pipeline bails out of codegen.
+      // widen between the line build and the parse kernel: the
+      // exchange spreads the single-split orders scan across cores
+      // before the per-line regex work (a one-row-group parquet file
+      // otherwise serializes the whole parse onto one task)
       val lines = Tables.widened(Tables.orders(s, d)
         .select(mitabLine(col("o_orderkey")).as("value")))
       Mitab.interproInteractions(lines)
