@@ -2,7 +2,7 @@ package graft.harness
 
 import graft.Tables
 import graft.ops.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -102,6 +102,112 @@ object VectorQueries {
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rk") <= 5)
       .select("qid", "vec_id", "cell", "sim", "rk")
+  }
+
+  // ---- product quantization (PQ) ----------------------------------
+  // The memory-compression ANN path: each 64-dim vector becomes NSub=4
+  // codes into 16-entry per-subspace codebooks (16 bytes → 4 codes),
+  // and search scores against code lookup tables instead of raw
+  // vectors (asymmetric distance computation). At 100 TB this is the
+  // index that makes an embedding corpus fit executor memory: 256 B of
+  // floats → 4 B of codes per vector, and the per-pair cost is NSub
+  // table adds. Codebooks seed deterministically from the first
+  // NCodes vectors' subvectors and take one Lloyd refinement round per
+  // subspace (decimal-exact means, the ivfCentroids discipline) before
+  // encoding.
+
+  private val SubDim = 16
+  private val NSub = 4 // NSub * SubDim == Dim
+  private val NCodes = 16
+
+  /** L2² between equal-length double arrays as one left-to-right
+    * fold — bit-identical to the oracle's list_reduce over the same
+    * element order (0 + e1 ≡ e1, so the differing seeds agree).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d),
+      (acc, x) => acc + x)
+
+  /** (vec_id, m, sv): every vector split into NSub contiguous
+    * subvectors — a narrow explode, no shuffle.
+    */
+  private def subFrame(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("v", VectorOps.asDouble(col("embedding")))
+      .select(col("vec_id"), explode(array((0 until NSub).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * SubDim + 1, SubDim).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** Distance of every subvector in `sub` to every code centroid of
+    * the `cb` codebook (≤ NSub×NCodes = 64 rows — broadcast), d2
+    * rounded to 6 dp before any argmin/sum so both engines rank
+    * identical values.
+    */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", round(l2sq(col("sv"), col("cv")), 6))
+
+  /** The refined codebook: seed codes = first NCodes vectors'
+    * subvectors, one Lloyd round — every subvector joins its argmin
+    * seed code (`min(struct(d2, code, sv))`, map-side combinable; tie
+    * → lowest code), then per-(subspace, code, position) means update
+    * the centroids. DECIMAL(18,9) sums keep the means exact and
+    * order-independent (the ivfCentroids discipline); a code that
+    * attracts no subvectors drops out in both engines alike. Cached
+    * per (session, sf): the frame is ≤64 rows.
+    */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    SharedFrames.cachedFrame(s, d, "pq_codebook") {
+      val seed = subFrame(s, d).filter(col("vec_id") < NCodes)
+        .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+      val asg0 = pqAssign(subFrame(s, d), seed)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"), col("sv"))).as("mc"))
+        .select(col("m"), col("mc.code").as("code"), col("mc.sv").as("sv"))
+      asg0
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "val")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg((sum(col("val").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("mu"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          x => x("mu")).as("cv"))
+    }
+
+  /** The encoded corpus (vec_id, m, code) against the refined
+    * codebook — 4 small ints per vector, the cheapest frame in the
+    * family to pin; both PQ queries consume it.
+    */
+  private def pqEncoded(s: SparkSession, d: String): DataFrame =
+    SharedFrames.cachedFrame(s, d, "pq_codes") {
+      pqAssign(subFrame(s, d), pqCodebook(s, d))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("mc"))
+        .select(col("vec_id"), col("m"), col("mc.code").as("code"))
+    }
+
+  /** ADC search: per query, a NSub×NCodes distance lookup table
+    * (3 200 rows for 50 queries — broadcast); the encoded corpus
+    * equi-joins it on (m, code) and sums NSub decimal-exact
+    * contributions per (query, vector). One shuffle (the pair
+    * groupBy), one window for the final top-k.
+    */
+  private def pqTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dtab = pqAssign(subFrame(s, d).filter(col("vec_id") < 50),
+        pqCodebook(s, d))
+      .select(col("vec_id").as("qid"), col("m"), col("code"), col("d2"))
+    pqEncoded(s, d).join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      // DECIMAL(18,9) partial sums: exact, order-independent (the 4
+      // subspace contributions arrive in arbitrary shuffle order)
+      .agg(sum(col("d2").cast(DecimalType(18, 9))).cast("double").as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select("qid", "vec_id", "dist", "rk")
   }
 
   val queries: Map[String, Q] = Map(
@@ -230,6 +336,38 @@ object VectorQueries {
             round(col("n_hit").cast("double") / col("n_expected"), 6)
               .as("recall"))
       }.reduce(_ unionByName _)
+    }),
+
+    // PQ/ADC top-5: the compressed-index search (codes + lookup
+    // tables, no raw vectors at search time).
+    "ann_pq_topk" -> ((s, d) => pqTopk(s, d)),
+
+    // Recall@5 of PQ against the exact L2² ground truth (the metric
+    // ADC approximates) — the gauge that decides codebook size.
+    "ann_pq_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", VectorOps.asDouble(col("embedding")))
+        .select(col("vec_id"), col("v"))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val bf = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dd", round(l2sq(col("qv"), col("v")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dd"), col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val pq = pqTopk(s, d)
+        .select(col("qid").as("__q"), col("vec_id").as("__v"))
+      bf.join(pq, col("qid") === col("__q") && col("vec_id") === col("__v"),
+          "left_outer")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("n_expected"),
+          sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_queries"), col("n_expected"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_expected"), 6)
+            .as("recall"))
     })
   )
 
@@ -278,7 +416,78 @@ object VectorQueries {
 
   private val ivfKmeansCtes = s"$ivfSharedCtes,\n ${ivfProbeCtes(2, "")}"
 
+  /** Shared PQ oracle CTEs, mirroring subFrame → pqDistances →
+    * pqEncoded → pqTopk stage by stage. list_reduce is a left fold
+    * over the same element order as the Spark zip_with/aggregate pair,
+    * so d2 is bit-identical before its 6-dp round; the ADC sum uses
+    * the same DECIMAL(18,9) exact accumulation as the Spark side.
+    */
+  private val pqCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       sub AS (SELECT vec_id, m, v[m*$SubDim+1 : m*$SubDim+$SubDim] AS sv
+               FROM e, UNNEST([0,1,2,3]) AS t(m)),
+       seed AS (SELECT m, vec_id AS code, sv AS cv FROM sub
+                WHERE vec_id < $NCodes),
+       dj0 AS (SELECT s.vec_id, s.m, seed.code, s.sv AS sv, seed.cv AS cv
+               FROM sub s JOIN seed USING (m)),
+       a0 AS (SELECT vec_id, m, code, sv,
+                     round(list_reduce(list_transform(range(1, ${SubDim + 1}),
+                       i -> (sv[i]-cv[i])*(sv[i]-cv[i])), (x,y) -> x+y), 6) AS d2
+              FROM dj0),
+       asg0 AS (SELECT vec_id, m, code, sv
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY d2, code) AS rk FROM a0)
+                WHERE rk = 1),
+       comp AS (SELECT m, code, pos,
+                       CAST(SUM(CAST(sv[pos] AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*) AS mu
+                FROM asg0, UNNEST(range(1, ${SubDim + 1})) AS u(pos)
+                GROUP BY m, code, pos),
+       cb AS (SELECT m, code, list(mu ORDER BY pos) AS cv
+              FROM comp GROUP BY m, code),
+       dj AS (SELECT s.vec_id, s.m, cb.code, s.sv AS sv, cb.cv AS cv
+              FROM sub s JOIN cb USING (m)),
+       d0 AS (SELECT vec_id, m, code,
+                     round(list_reduce(list_transform(range(1, ${SubDim + 1}),
+                       i -> (sv[i]-cv[i])*(sv[i]-cv[i])), (x,y) -> x+y), 6) AS d2
+              FROM dj),
+       enc AS (SELECT vec_id, m, code
+               FROM (SELECT vec_id, m, code,
+                            row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, code) AS rk FROM d0)
+               WHERE rk = 1),
+       dtab AS (SELECT vec_id AS qid, m, code, d2 FROM d0 WHERE vec_id < 50),
+       adc AS (SELECT qid, enc.vec_id,
+                      CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS DOUBLE) AS dist
+               FROM enc JOIN dtab USING (m, code)
+               WHERE enc.vec_id <> qid
+               GROUP BY qid, enc.vec_id),
+       pq AS (SELECT qid, vec_id, dist, rk
+              FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY dist, vec_id) AS rk FROM adc)
+              WHERE rk <= 5)"""
+
   val oracle: Map[String, String] = Map(
+    "ann_pq_topk" ->
+      s"WITH $pqCtes SELECT qid, vec_id, dist, rk FROM pq",
+    "ann_pq_recall" ->
+      s"""WITH $pqCtes,
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+          bfs AS (SELECT qid, e.vec_id,
+                         round(list_reduce(list_transform(range(1, ${Dim + 1}),
+                           i -> (qv[i]-v[i])*(qv[i]-v[i])), (x,y) -> x+y), 6) AS dd
+                  FROM q, e WHERE e.vec_id <> qid),
+          bf AS (SELECT qid, vec_id
+                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY dd, vec_id) AS rk FROM bfs)
+                 WHERE rk <= 5)
+          SELECT COUNT(DISTINCT bf.qid) AS n_queries,
+                 COUNT(*) AS n_expected,
+                 CAST(SUM(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hit,
+                 round(CAST(SUM(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / COUNT(*), 6) AS recall
+          FROM bf LEFT JOIN pq ON bf.qid = pq.qid AND bf.vec_id = pq.vec_id""",
     "ann_ivf_kmeans_topk" ->
       s"WITH $ivfKmeansCtes SELECT qid, vec_id, cell, sim, rk FROM iv",
     "ann_ivf_recall" ->

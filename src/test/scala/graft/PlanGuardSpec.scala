@@ -29,6 +29,8 @@ class PlanGuardSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     "ann_ivf_recall", "ann_ivf_nprobe_recall", "ann_lsh_topk",
+    "ann_pq_recall", // exact-L2 ground truth: 50-query broadcast cross
+
     "agg_having_regroup", "sample_temperature", "join_asof",
     "text_langid_ngram", "text_langid_sampled")
 
