@@ -178,12 +178,14 @@ object RelOps {
     // recompute (agg_clan_graph regressed 0.6 -> 4.4 s at sf0.1).
     val mat = sets
     val sc = col(setCol)
+    // pair expansion streams through the ordered_pairs generator
+    // (graft.functions.OrderedPairsGen): the HOF formulation
+    // (explode∘flatten∘transform²) materialized every inner pair array
+    // plus the flattened n·(n-1)/2 copy per row before exploding, and
+    // the pair census was GC-bound at 30x — the generator allocates
+    // one row per pair and nothing else (A/B in SCALE.md r9)
     val small = mat.filter(size(sc) <= cap)
-      .select(keys.map(col) :+ explode(flatten(transform(sc, (x, i) =>
-        transform(slice(sc, i + lit(2), size(sc)),
-          y => struct(x.as("pa"), y.as("pb")))))).as("__pr"): _*)
-      .select(keys.map(col) :+ col("__pr.pa").as("pa")
-        :+ col("__pr.pb").as("pb"): _*)
+      .select(keys.map(col) :+ call_function("ordered_pairs", sc): _*)
     val big = mat.filter(size(sc) > cap)
     val l = big.select(keys.map(col) :+ posexplode(sc).as(Seq("__ia", "pa")): _*)
     val r = big.select(keys.map(col) :+ posexplode(sc).as(Seq("__ib", "pb")): _*)
