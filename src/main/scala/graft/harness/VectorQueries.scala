@@ -155,7 +155,11 @@ object VectorQueries {
     * the centroids. DECIMAL(18,9) sums keep the means exact and
     * order-independent (the ivfCentroids discipline); a code that
     * attracts no subvectors drops out in both engines alike. Cached
-    * per (session, sf): the frame is ≤64 rows.
+    * per (session, sf): the frame is ≤64 rows. Carrying sv through the
+    * argmin struct makes this one build a SortAggregate — acceptable
+    * because it runs once over the training pass; at 100 TB the
+    * codebook trains on a hash-sampled slice (standard PQ practice),
+    * not the full corpus, so this stage never scales with the data.
     */
   private def pqCodebook(s: SparkSession, d: String): DataFrame =
     SharedFrames.cachedFrame(s, d, "pq_codebook") {
