@@ -284,6 +284,48 @@ object TextQueries {
             regexp_replace(col("text"), lit(PiiEmail), lit("<EMAIL>")),
             lit(PiiPhone), lit("<PHONE>")),
           lit(PiiIp), lit("<IP>")).as("clean_text"))
+    }),
+
+    // Collocation mining: top-100 adjacent bigrams by lift — the
+    // log-free PMI analogue (lift = P(w1w2)/(P(w1)·P(w2)) as one
+    // rational of exact counts; ln() is avoided for the same
+    // cross-engine reason as text_rarity). The phrase-mining pass a
+    // tokenizer-vocabulary build runs over a corpus. Shape: one
+    // narrow bigram explode + one pair groupBy (the only
+    // corpus-scaled shuffle); unigram counts are vocab-sized →
+    // broadcast; the (NT, NB) census is a single broadcast row
+    // (NB = NT - n_docs exactly — no second corpus pass); final
+    // top-k is TakeOrdered, never a full sort at the driver.
+    "text_collocations" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val census = toks.agg(
+        sum(size(col("toks"))).as("nt"),
+        (sum(size(col("toks"))) - count(lit(1))).as("nbg"))
+      val uni = toks.select(explode(col("toks")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      val pairs = toks
+        .withColumn("w1s", slice(col("toks"), lit(1), size(col("toks")) - 1))
+        .withColumn("w2s", slice(col("toks"), lit(2), size(col("toks")) - 1))
+        .select(explode(zip_with(col("w1s"), col("w2s"),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 5)
+      pairs
+        .join(broadcast(uni.select(col("t").as("w1"), col("n").as("na"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("t").as("w2"), col("n").as("nb"))),
+          Seq("w2"))
+        .crossJoin(broadcast(census))
+        // exact integer operands, left-assoc double products, one
+        // division — both engines round the identical value
+        .withColumn("lift", round(
+          col("nab").cast("double") * col("nt") * col("nt") /
+            (col("na").cast("double") * col("nb") * col("nbg")), 6))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(100)
+        .select("w1", "w2", "nab", "lift")
     })
   )
 
@@ -491,6 +533,26 @@ object TextQueries {
                    '$PiiEmail', '<EMAIL>', 'g'),
                    '$PiiPhone', '<PHONE>', 'g'),
                    '$PiiIp', '<IP>', 'g') AS clean_text
-          FROM planted"""
+          FROM planted""",
+
+    "text_collocations" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          census AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS nt,
+                            CAST(SUM(len(toks)) - COUNT(*) AS BIGINT) AS nbg
+                     FROM tok),
+          uni AS (SELECT u.t AS t, COUNT(*) AS n
+                  FROM tok, UNNEST(toks) AS u(t) GROUP BY u.t),
+          pair AS (SELECT w1, w2, COUNT(*) AS nab
+                   FROM (SELECT toks[p] AS w1, toks[p+1] AS w2
+                         FROM tok, UNNEST(range(1, len(toks))) AS u(p))
+                   GROUP BY w1, w2
+                   HAVING COUNT(*) >= 5)
+          SELECT w1, w2, nab,
+                 round(CAST(nab AS DOUBLE) * nt * nt /
+                       (CAST(a.n AS DOUBLE) * b.n * nbg), 6) AS lift
+          FROM pair JOIN uni a ON pair.w1 = a.t
+                    JOIN uni b ON pair.w2 = b.t
+                    CROSS JOIN census
+          ORDER BY lift DESC, w1, w2 LIMIT 100"""
   )
 }

@@ -32,7 +32,8 @@ class PlanGuardSpec extends SparkSpec {
     "ann_pq_recall", // exact-L2 ground truth: 50-query broadcast cross
 
     "agg_having_regroup", "sample_temperature", "join_asof",
-    "text_langid_ngram", "text_langid_sampled")
+    "text_langid_ngram", "text_langid_sampled",
+    "text_collocations") // single-row (NT, NB) census broadcast
 
   test("no registered query plans a CartesianProduct or un-allowlisted BroadcastNestedLoopJoin") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
