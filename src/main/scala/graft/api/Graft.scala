@@ -123,6 +123,34 @@ object Graft {
                          blockCol: String): DataFrame =
     VectorOps.blockedPairs(df, idCol, vecCol, blockCol)
 
+  /** Product-quantization family — the compressed ANN index (vectors
+    * → nSub codes into per-subspace codebooks; ADC search against
+    * broadcast lookup tables). See VectorOps.pq* for stage contracts.
+    */
+  def pqSubvectors(emb: DataFrame, idCol: String, vecCol: String,
+                   nSub: Int, subDim: Int): DataFrame =
+    VectorOps.pqSubvectors(emb, idCol, vecCol, nSub, subDim)
+
+  def pqTrainCodebook(sub: DataFrame, seeds: DataFrame,
+                      idCol: String): DataFrame =
+    VectorOps.pqTrainCodebook(sub, seeds, idCol)
+
+  def pqEncode(sub: DataFrame, codebook: DataFrame, idCol: String): DataFrame =
+    VectorOps.pqEncode(sub, codebook, idCol)
+
+  def pqSearchTopK(encoded: DataFrame, queryTables: DataFrame,
+                   idCol: String, k: Int): DataFrame =
+    VectorOps.pqSearchTopK(encoded, queryTables, idCol, k)
+
+  /** Every ordered element pair (i<j) of an array column, streamed by
+    * the native ordered_pairs generator (no intermediate pair arrays);
+    * above `cap` set sizes the expansion falls back to a positional
+    * self-join to bound per-row work.
+    */
+  def orderedPairs(sets: DataFrame, keys: Seq[String], setCol: String,
+                   cap: Int = 256): DataFrame =
+    RelOps.orderedPairs(sets, keys, setCol, cap)
+
   // ---- corpus curation (north-star ops)
 
   /** Gopher-family repetition quality signals per document. */

@@ -120,42 +120,18 @@ object VectorQueries {
   private val NSub = 4 // NSub * SubDim == Dim
   private val NCodes = 16
 
-  /** L2² between equal-length double arrays as one left-to-right
-    * fold — bit-identical to the oracle's list_reduce over the same
-    * element order (0 + e1 ≡ e1, so the differing seeds agree).
-    */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d),
-      (acc, x) => acc + x)
+  // The harness instantiates the parameterized VectorOps.pq* library
+  // operators with (NSub, SubDim, NCodes) and this table's column
+  // names; the DuckDB oracle below mirrors the pipeline stage by
+  // stage (see VectorOps scaladoc for the determinism discipline).
 
-  /** (vec_id, m, sv): every vector split into NSub contiguous
-    * subvectors — a narrow explode, no shuffle.
-    */
   private def subFrame(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .withColumn("v", VectorOps.asDouble(col("embedding")))
-      .select(col("vec_id"), explode(array((0 until NSub).map(m =>
-        struct(lit(m).as("m"),
-          slice(col("v"), m * SubDim + 1, SubDim).as("sv"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    VectorOps.pqSubvectors(Tables.embeddings(s, d), "vec_id", "embedding",
+      NSub, SubDim)
 
-  /** Distance of every subvector in `sub` to every code centroid of
-    * the `cb` codebook (≤ NSub×NCodes = 64 rows — broadcast), d2
-    * rounded to 6 dp before any argmin/sum so both engines rank
-    * identical values.
-    */
-  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.join(broadcast(cb), Seq("m"))
-      .withColumn("d2", round(l2sq(col("sv"), col("cv")), 6))
-
-  /** The refined codebook: seed codes = first NCodes vectors'
-    * subvectors, one Lloyd round — every subvector joins its argmin
-    * seed code (`min(struct(d2, code, sv))`, map-side combinable; tie
-    * → lowest code), then per-(subspace, code, position) means update
-    * the centroids. DECIMAL(18,9) sums keep the means exact and
-    * order-independent (the ivfCentroids discipline); a code that
-    * attracts no subvectors drops out in both engines alike. Cached
-    * per (session, sf): the frame is ≤64 rows. Carrying sv through the
+  /** The refined codebook: seeds = first NCodes vectors' subvectors +
+    * one Lloyd round (VectorOps.pqTrainCodebook). Cached per
+    * (session, sf): the frame is ≤64 rows. Carrying sv through the
     * argmin struct makes this one build a SortAggregate — acceptable
     * because it runs once over the training pass; at 100 TB the
     * codebook trains on a hash-sampled slice (standard PQ practice),
@@ -165,18 +141,7 @@ object VectorQueries {
     SharedFrames.cachedFrame(s, d, "pq_codebook") {
       val seed = subFrame(s, d).filter(col("vec_id") < NCodes)
         .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
-      val asg0 = pqAssign(subFrame(s, d), seed)
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d2"), col("code"), col("sv"))).as("mc"))
-        .select(col("m"), col("mc.code").as("code"), col("mc.sv").as("sv"))
-      asg0
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "val")))
-        .groupBy(col("m"), col("code"), col("pos"))
-        .agg((sum(col("val").cast(DecimalType(18, 9))).cast("double") /
-          count(lit(1))).as("mu"))
-        .groupBy(col("m"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
-          x => x("mu")).as("cv"))
+      VectorOps.pqTrainCodebook(subFrame(s, d), seed, "vec_id")
     }
 
   /** The encoded corpus (vec_id, m, code) against the refined
@@ -185,33 +150,18 @@ object VectorQueries {
     */
   private def pqEncoded(s: SparkSession, d: String): DataFrame =
     SharedFrames.cachedFrame(s, d, "pq_codes") {
-      pqAssign(subFrame(s, d), pqCodebook(s, d))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d2"), col("code"))).as("mc"))
-        .select(col("vec_id"), col("m"), col("mc.code").as("code"))
+      VectorOps.pqEncode(subFrame(s, d), pqCodebook(s, d), "vec_id")
     }
 
   /** ADC search: per query, a NSub×NCodes distance lookup table
-    * (3 200 rows for 50 queries — broadcast); the encoded corpus
-    * equi-joins it on (m, code) and sums NSub decimal-exact
-    * contributions per (query, vector). One shuffle (the pair
-    * groupBy), one window for the final top-k.
+    * (3 200 rows for 50 queries — broadcast) fed to
+    * VectorOps.pqSearchTopK.
     */
   private def pqTopk(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dtab = pqAssign(subFrame(s, d).filter(col("vec_id") < 50),
-        pqCodebook(s, d))
+    val dtab = VectorOps.pqAssign(
+        subFrame(s, d).filter(col("vec_id") < 50), pqCodebook(s, d))
       .select(col("vec_id").as("qid"), col("m"), col("code"), col("d2"))
-    pqEncoded(s, d).join(broadcast(dtab), Seq("m", "code"))
-      .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      // DECIMAL(18,9) partial sums: exact, order-independent (the 4
-      // subspace contributions arrive in arbitrary shuffle order)
-      .agg(sum(col("d2").cast(DecimalType(18, 9))).cast("double").as("dist"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
-      .filter(col("rk") <= 5)
-      .select("qid", "vec_id", "dist", "rk")
+    VectorOps.pqSearchTopK(pqEncoded(s, d), dtab, "vec_id", 5)
   }
 
   val queries: Map[String, Q] = Map(
@@ -357,7 +307,7 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val bf = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dd", round(l2sq(col("qv"), col("v")), 6))
+        .withColumn("dd", round(VectorOps.l2sq(col("qv"), col("v")), 6))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("dd"), col("vec_id"))))
         .filter(col("rk") <= 5)

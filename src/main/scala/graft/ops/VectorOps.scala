@@ -83,6 +83,91 @@ object VectorOps {
       .drop("__qv", "__qn", "__cv", "__cn")
   }
 
+  // ---- product quantization (PQ) ----------------------------------
+  // Parameterized library form of the memory-compression ANN index:
+  // nSub per-subspace codebooks of nCodes centroids each; vectors
+  // become nSub small codes and search scores against per-query
+  // lookup tables (asymmetric distance computation). The query
+  // harness instantiates these with (4, 16, 16) — see
+  // harness/VectorQueries.scala for the oracle-mirrored pipeline.
+
+  /** L2² between equal-length double arrays as one left-to-right
+    * fold — bit-identical to a DuckDB list_reduce over the same
+    * element order (0 + e1 ≡ e1, so the differing seeds agree).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d),
+      (acc, x) => acc + x)
+
+  /** (id, m, sv): every vector split into nSub contiguous subvectors —
+    * a narrow explode, no shuffle.
+    */
+  def pqSubvectors(emb: DataFrame, idCol: String, vecCol: String,
+                   nSub: Int, subDim: Int): DataFrame =
+    emb.select(col(idCol), explode(array((0 until nSub).map(m =>
+        struct(lit(m).as("m"),
+          slice(asDouble(col(vecCol)), m * subDim + 1, subDim).as("sv"))): _*))
+        .as("s"))
+      .select(col(idCol), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** Distance of every subvector to every code centroid of its
+    * subspace: a broadcast join against the nSub×nCodes codebook,
+    * d2 rounded to 6 dp before any argmin/sum so engines rank
+    * identical values.
+    */
+  def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame =
+    sub.join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", round(l2sq(col("sv"), col("cv")), 6))
+
+  /** Train the codebook: `seeds` (nCodes rows of (m, code, cv)) plus
+    * one Lloyd round — every subvector joins its argmin seed code
+    * (min(struct), map-side combinable; tie → lowest code), then
+    * per-(subspace, code, position) DECIMAL-exact means update the
+    * centroids; a code attracting no subvectors drops out. At corpus
+    * scale, train on a hash-sampled slice — the codebook never needs
+    * the full data.
+    */
+  def pqTrainCodebook(sub: DataFrame, seeds: DataFrame,
+                      idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    pqAssign(sub, seeds)
+      .groupBy(col(idCol), col("m"))
+      .agg(min(struct(col("d2"), col("code"), col("sv"))).as("mc"))
+      .select(col("m"), col("mc.code").as("code"), col("mc.sv").as("sv"))
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "val")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(col("val").cast(DecimalType(18, 9))).cast("double") /
+        count(lit(1))).as("mu"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        x => x("mu")).as("cv"))
+  }
+
+  /** Encode: (id, m, code) — each subvector's argmin codebook entry. */
+  def pqEncode(sub: DataFrame, codebook: DataFrame, idCol: String): DataFrame =
+    pqAssign(sub, codebook)
+      .groupBy(col(idCol), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("mc"))
+      .select(col(idCol), col("m"), col("mc.code").as("code"))
+
+  /** ADC search: the encoded corpus equi-joins each query's broadcast
+    * (m, code) → d2 lookup table and sums nSub DECIMAL-exact
+    * contributions per (query, vector); top-k per query by (distance,
+    * id). One shuffle (the pair groupBy) + one window.
+    */
+  def pqSearchTopK(encoded: DataFrame, queryTables: DataFrame,
+                   idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    encoded.join(broadcast(queryTables), Seq("m", "code"))
+      .filter(col(idCol) =!= col("qid"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("d2").cast(DecimalType(18, 9))).cast("double").as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col(idCol), col("dist"), col("rk"))
+  }
+
   /** Blocked all-pairs similarity: equi-join on a blocking key (label,
     * LSH bucket, coarse centroid id) turns the quadratic cross join
     * into a per-block join — the shape that survives 100 TB. Pairs are
