@@ -95,10 +95,47 @@ object SampleQueries {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           sum(col("doc_id")).as("id_checksum"))
+    }),
+
+    // DSIR-style importance resampling (Xie et al. 2023,
+    // arXiv:2302.03169): rank raw documents by how target-like their
+    // unigram distribution is — score(doc) = Σ_t [ln p̂_target(t) −
+    // ln p̂_raw(t)] over the doc's token multiset, add-one smoothed,
+    // target = the 'en' slice of the corpus itself. The paper hashes
+    // n-grams into a fixed bucket space; the unigram census here IS
+    // that bucket census (vocabulary-sized, so the weight table
+    // broadcasts). Plan shape: one exploded-token shuffle for the
+    // census, one keyed re-agg for doc scores with the weight table
+    // broadcast between them, and TakeOrderedAndProject for the
+    // top-N selection — per-partition top-N then a driver merge of
+    // N-row heads, never a global sort. Per-token log-ratios round to
+    // 6dp and sum as exact DECIMAL so the score is order-independent
+    // and cross-engine identical.
+    "sample_dsir" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val tok = Tables.widened(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+      val cnt = tok.groupBy(col("t")).agg(
+        count(lit(1)).as("c_s"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+      val tot = cnt.agg(sum(col("c_s")).as("tot_s"), sum(col("c_t")).as("tot_t"),
+        count(lit(1)).as("v"))
+      val w = cnt.crossJoin(broadcast(tot)).select(col("t"),
+        round(log((col("c_t") + lit(1.0)) / (col("tot_t") + col("v"))) -
+              log((col("c_s") + lit(1.0)) / (col("tot_s") + col("v"))), 6)
+          .cast(DecimalType(12, 6)).as("w"))
+      tok.join(broadcast(w), Seq("t"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("lang")).as("lang"), count(lit(1)).as("n_tok"),
+          sum(col("w")).cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(DsirN)
     })
   )
 
   private val PackBudget = 512L
+  private val DsirN = 100 // docs kept by importance rank (sample_dsir)
 
   private def hvSql(salt: String) =
     s"""(instr('0123456789abcdef',
@@ -147,6 +184,25 @@ object SampleQueries {
           SELECT CAST(FLOOR(CAST(cum0 AS DOUBLE) / $PackBudget) AS BIGINT) AS bin,
                  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
-          FROM c GROUP BY 1"""
+          FROM c GROUP BY 1""",
+    "sample_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+                       FROM documents),
+          cnt AS (SELECT t, COUNT(*) AS c_s,
+                         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+                  FROM tok GROUP BY t),
+          tot AS (SELECT SUM(c_s) AS tot_s, SUM(c_t) AS tot_t,
+                         COUNT(*) AS v
+                  FROM cnt),
+          w AS (SELECT t,
+                       CAST(round(ln((c_t + 1.0) / (tot_t + v)) -
+                                  ln((c_s + 1.0) / (tot_s + v)), 6)
+                            AS DECIMAL(12,6)) AS w
+                FROM cnt, tot)
+          SELECT doc_id, any_value(lang) AS lang,
+                 COUNT(*) AS n_tok, CAST(SUM(w) AS DOUBLE) AS score
+          FROM tok JOIN w USING (t)
+          GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT $DsirN"""
   )
 }

@@ -122,6 +122,31 @@ object StreamQueries {
       drained(s, sess, name)
     }),
 
+    // Within-watermark streaming dedup: dropDuplicatesWithinWatermark
+    // keeps the FIRST arrival per key and — unlike dropDuplicates —
+    // expires each key's state one watermark delay after that first
+    // arrival, so the state store is bounded by the key cardinality
+    // of a sliding horizon instead of the whole stream's history (the
+    // right primitive when keys repeat forever, e.g. content hashes).
+    // The key is (event_type, event_id mod 1000), a genuinely
+    // colliding content key; counting per type is key-deterministic
+    // even though WHICH colliding row survives depends on arrival
+    // order.
+    "stream_dropdup_watermark" -> ((s, d) => {
+      val name = "stream_dropdup_wm_mem"
+      val sess = streamSession(s)
+      val agg = EventsStream.readStream(sess, d)
+        .withColumn("dup_key", pmod(col("event_id"), lit(1000L)))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_type", "dup_key")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drained(s, sess, name)
+    }),
+
     // Stream-stream interval join: click->purchase attribution per
     // user within 6 hours. Both sides carry watermarks so the join
     // state is BOUNDED — Spark evicts buffered clicks once the
@@ -230,6 +255,9 @@ object StreamQueries {
          FROM events GROUP BY 1, 2""",
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+         FROM events GROUP BY event_type""",
+    "stream_dropdup_watermark" ->
+      """SELECT event_type, COUNT(DISTINCT event_id % 1000) AS n_keys
          FROM events GROUP BY event_type""",
     "stream_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id,

@@ -120,6 +120,10 @@ object VectorQueries {
   private val NSub = 4 // NSub * SubDim == Dim
   private val NCodes = 16
 
+  // semantic-dedup cosine threshold (dedup_semantic): within-cluster
+  // pairs at or above it collapse onto their lowest-id member
+  private val SemTau = 0.4
+
   // The harness instantiates the parameterized VectorOps.pq* library
   // operators with (NSub, SubDim, NCodes) and this table's column
   // names; the DuckDB oracle below mirrors the pipeline stage by
@@ -322,6 +326,37 @@ object VectorQueries {
         .select(col("n_queries"), col("n_expected"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_expected"), 6)
             .as("recall"))
+    }),
+
+    // Semantic dedup, SemDeDup-style (cluster, then within-cluster
+    // cosine; Abbas et al. 2023, arXiv:2303.09540): every vector lands
+    // in its refined k-means cell, and is DROPPED iff a lower-id
+    // vector in the same cell sits at cosine ≥ SemTau — keep-first-
+    // wins, the dedup family's standing tie policy. Output is the
+    // full corpus with the keep flag plus, for dropped rows, the
+    // lowest such witness and the strongest similarity seen. The
+    // cells ARE the blocking: pair expansion is per-cell, never
+    // corpus-wide. At 100 TB the cluster count scales with the corpus
+    // (the paper runs ~100k clusters on LAION) so per-cell membership
+    // — and with it the quadratic term — stays bounded; k here is the
+    // centroid seed count (8 at test SF), shared with the IVF family.
+    "dedup_semantic" -> ((s, d) => {
+      val a = assign(embFrame(s, d), ivfCentroids(s, d), 1)
+        .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+      val wit = a.select(col("cell"), col("vec_id").as("wit"),
+        col("v").as("wv"), col("nv").as("wn"))
+      val dup = a.select(col("cell"), col("vec_id").as("dup"),
+        col("v").as("dv"), col("nv").as("dn"))
+      val flagged = wit.join(dup, Seq("cell"))
+        .filter(col("wit") < col("dup"))
+        .withColumn("sim",
+          round(VectorOps.dot(col("wv"), col("dv")) / (col("wn") * col("dn")), 6))
+        .filter(col("sim") >= SemTau)
+        .groupBy(col("dup"))
+        .agg(min(col("wit")).as("witness"), max(col("sim")).as("max_sim"))
+      a.join(flagged, col("vec_id") === col("dup"), "left_outer")
+        .select(col("vec_id"), col("cell"),
+          col("witness").isNull.as("keep"), col("witness"), col("max_sim"))
     })
   )
 
@@ -532,6 +567,17 @@ object VectorQueries {
           SELECT qid, vec_id, cell, sim, rk
           FROM (SELECT *, row_number() OVER (PARTITION BY qid
                   ORDER BY sim DESC, vec_id) AS rk FROM s)
-          WHERE rk <= 5"""
+          WHERE rk <= 5""",
+    "dedup_semantic" ->
+      s"""WITH $ivfSharedCtes,
+          prs AS (SELECT b.vec_id AS dup, a.vec_id AS wit,
+                         round(list_cosine_similarity(a.v, b.v), 6) AS sim
+                  FROM asgc a JOIN asgc b
+                    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+          fl AS (SELECT dup, MIN(wit) AS witness, MAX(sim) AS max_sim
+                 FROM prs WHERE sim >= $SemTau GROUP BY dup)
+          SELECT asgc.vec_id, asgc.cell, fl.witness IS NULL AS keep,
+                 fl.witness, fl.max_sim
+          FROM asgc LEFT JOIN fl ON asgc.vec_id = fl.dup"""
   )
 }

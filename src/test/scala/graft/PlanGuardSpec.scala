@@ -30,10 +30,12 @@ class PlanGuardSpec extends SparkSpec {
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     "ann_ivf_recall", "ann_ivf_nprobe_recall", "ann_lsh_topk",
     "ann_pq_recall", // exact-L2 ground truth: 50-query broadcast cross
+    "dedup_semantic", // kmeans cell assignment: <=8-row centroid cross
 
     "agg_having_regroup", "sample_temperature", "join_asof",
     "text_langid_ngram", "text_langid_sampled",
-    "text_collocations") // single-row (NT, NB) census broadcast
+    "text_collocations", // single-row (NT, NB) census broadcast
+    "sample_dsir") // single-row (tot_s, tot_t, V) census broadcast
 
   test("no registered query plans a CartesianProduct or un-allowlisted BroadcastNestedLoopJoin") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1,0 +1,81 @@
+package graft
+
+import graft.harness.{SampleQueries, StreamQueries, VectorQueries}
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-9 additions that the value-hash oracle
+  * cannot state directly:
+  *
+  *  - `dedup_semantic` (SemDeDup, arXiv:2303.09540): a dropped vector's
+  *    witness is a LOWER id in the SAME cell at sim ≥ τ, every kept
+  *    vector has none, and the kept set is a function of the corpus —
+  *    not of partitioning (keep-first-wins is deterministic).
+  *  - `sample_dsir` (arXiv:2302.03169): the selected documents are the
+  *    top-N by score with the doc_id tiebreak — no row outside the
+  *    selection may beat a selected row.
+  *  - `stream_dropdup_watermark`: per-type kept counts equal the batch
+  *    distinct counts of the dedup key (the single-batch ground truth
+  *    of dropDuplicatesWithinWatermark's keep-first semantics).
+  */
+class SemDedupDsirSpec extends SparkSpec {
+
+  test("dedup_semantic: witnesses are lower-id same-cell neighbors; keeps have none") {
+    val out = VectorQueries.queries("dedup_semantic")(spark, sf)
+    val rows = out.collect()
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dropped = rows.filter(!_.getBoolean(2))
+    assert(rows.length > 0)
+    // at τ=0.4 over random 64-d vectors some but not all rows collapse
+    assert(dropped.length > 0 && dropped.length < rows.length)
+    dropped.foreach { r =>
+      val (id, wit) = (r.getLong(0), r.getLong(3))
+      assert(wit < id, s"witness $wit !< dropped $id")
+      assert(cellOf(wit) === r.getLong(1), s"witness $wit in another cell")
+      assert(r.getDouble(4) >= 0.4, s"dropped $id below threshold")
+    }
+    // kept rows carry no witness
+    rows.filter(_.getBoolean(2)).foreach(r => assert(r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("sample_dsir: selection is the global top-N by (score desc, doc_id)") {
+    val sel = SampleQueries.queries("sample_dsir")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(sel.length === 100)
+    val worst = sel.minBy { case (id, sc) => (sc, -id) }
+    // recompute every doc's score via the same pipeline minus the limit
+    // (drop the limit by ranking all docs: any non-selected doc must
+    // not outrank the worst selected one)
+    val ids = sel.map(_._1).toSet
+    val full = {
+      import org.apache.spark.sql.types.DecimalType
+      val tok = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+      val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c_s"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+      val tot = cnt.agg(sum(col("c_s")).as("tot_s"),
+        sum(col("c_t")).as("tot_t"), count(lit(1)).as("v"))
+      val w = cnt.crossJoin(broadcast(tot)).select(col("t"),
+        round(log((col("c_t") + lit(1.0)) / (col("tot_t") + col("v"))) -
+              log((col("c_s") + lit(1.0)) / (col("tot_s") + col("v"))), 6)
+          .cast(DecimalType(12, 6)).as("w"))
+      tok.join(broadcast(w), Seq("t")).groupBy(col("doc_id"))
+        .agg(sum(col("w")).cast("double").as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    }
+    full.filterNot { case (id, _) => ids(id) }.foreach { case (id, sc) =>
+      val better = sc > worst._2 || (sc == worst._2 && id < worst._1)
+      assert(!better, s"non-selected doc $id (score $sc) outranks the cut")
+    }
+  }
+
+  test("stream_dropdup_watermark: kept counts equal batch distinct keys per type") {
+    val got = StreamQueries.queries("stream_dropdup_watermark")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(pmod(col("event_id"), lit(1000L))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+}
