@@ -326,6 +326,54 @@ object TextQueries {
         .orderBy(col("lift").desc, col("w1"), col("w2"))
         .limit(100)
         .select("w1", "w2", "nab", "lift")
+    }),
+
+    // In-engine quality-classifier training — the fastText/CCNet-style
+    // learned filter, trained AS a Spark job instead of a notebook
+    // step: batch logistic regression by full-batch gradient descent
+    // where each iteration is ONE exact aggregate over the feature
+    // frame (per-row gradient terms rounded to 9dp and summed as
+    // DECIMAL — order-independent, map-side combinable — then a
+    // 4-number weight update on the driver; weights are MODEL, not
+    // data). The feature frame (4 doubles/doc) persists across the
+    // ClfIters+1 passes via the family cache. Scoring embeds the
+    // learned weights as literals — one codegen'd projection, no
+    // shuffle. At 100 TB this is exactly how a linear quality filter
+    // trains: O(iters) scans, gradient state that never leaves the
+    // reducers, nothing driver-side but the weight vector.
+    "text_quality_classifier" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      val feats = SharedFrames.cachedFrame(s, d, "clf_feats") {
+        widened(Tables.documents(s, d)).select(
+          col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          (nTok / lit(100.0)).as("x1"),
+          (TextOps.stopwordCount(toks, stop) / nTok).as("x2"),
+          (length(translate(col("text"), " ", "")) / nTok / lit(10.0)).as("x3"))
+      }
+      def z(w: Array[Double]) =
+        lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+          lit(w(3)) * col("x3")
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      for (_ <- 1 to ClfIters) {
+        val r = col("y") - lit(1.0) / (lit(1.0) + exp(-z(w)))
+        def g(x: org.apache.spark.sql.Column) =
+          sum(round(r * x, 9).cast(DecimalType(20, 9)))
+        val row = feats
+          .agg(g(lit(1.0)), g(col("x1")), g(col("x2")), g(col("x3")),
+            count(lit(1)))
+          .head()
+        val n = row.getLong(4).toDouble
+        w = Array.tabulate(4) { i =>
+          BigDecimal(w(i) + ClfEta * row.getDecimal(i).doubleValue() / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      val p = round(lit(1.0) / (lit(1.0) + exp(-z(w))), 6)
+      feats.select(col("doc_id"), col("y"), p.as("p"),
+        (p >= 0.5).as("pred"))
     })
   )
 
@@ -338,6 +386,10 @@ object TextQueries {
   // chunk window / stride (16-token overlap)
   private val ChunkW = 64
   private val ChunkS = 48
+
+  // quality-classifier training: full-batch GD iterations / step size
+  private val ClfIters = 5
+  private val ClfEta = 1.0
 
   private val sqlToks = "string_split(text, ' ')"
 
@@ -553,6 +605,45 @@ object TextQueries {
           FROM pair JOIN uni a ON pair.w1 = a.t
                     JOIN uni b ON pair.w2 = b.t
                     CROSS JOIN census
-          ORDER BY lift DESC, w1, w2 LIMIT 100"""
+          ORDER BY lift DESC, w1, w2 LIMIT 100""",
+    "text_quality_classifier" -> {
+      // unrolled full-batch GD: one CTE per iteration, each reading
+      // the previous weight row (renamed pb/pc* to dodge lateral-alias
+      // ambiguity) — the same 9dp-rounded DECIMAL gradient sums and
+      // 6dp weight rounds as the Spark driver loop, op for op
+      val sig = "1/(1+exp(-(pb + pc1*x1 + pc2*x2 + pc3*x3)))"
+      // mean gradient component: 9dp-rounded per-row terms, exact
+      // DECIMAL sum, one double division — matches the Spark agg
+      def gsum(x: String) = {
+        val t = if (x.isEmpty) s"(y - $sig)" else s"(y - $sig)*$x"
+        s"CAST(SUM(CAST(round($t, 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*)"
+      }
+      def prev(i: Int, alias: String) =
+        s"(SELECT b AS pb, c1 AS pc1, c2 AS pc2, c3 AS pc3 FROM w$i) $alias"
+      // two CTEs per iteration: the aggregate-only gradient row, then
+      // the weight update (a non-aggregated weight column cannot sit
+      // next to SUMs in one SELECT)
+      val iters = (1 to ClfIters).map { i =>
+        s"""g$i AS (SELECT ${gsum("")} AS gb, ${gsum("x1")} AS g1,
+                           ${gsum("x2")} AS g2, ${gsum("x3")} AS g3
+                    FROM f, ${prev(i - 1, s"pg$i")}),
+            w$i AS (SELECT round(pb + gb, 6) AS b, round(pc1 + g1, 6) AS c1,
+                           round(pc2 + g2, 6) AS c2, round(pc3 + g3, 6) AS c3
+                    FROM g$i, ${prev(i - 1, s"pw$i")})"""
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                 len($sqlToks) / 100.0 AS x1,
+                 len(list_filter($sqlToks, t -> t IN ('the','a')))
+                   / len($sqlToks) AS x2,
+                 length(replace(text, ' ', '')) / len($sqlToks) / 10.0 AS x3
+               FROM documents),
+          w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS c1,
+                        CAST(0.0 AS DOUBLE) AS c2, CAST(0.0 AS DOUBLE) AS c3),
+          $iters,
+          scored AS (SELECT doc_id, y, round($sig, 6) AS p
+                     FROM f, ${prev(ClfIters, "pwf")})
+          SELECT doc_id, y, p, p >= 0.5 AS pred FROM scored"""
+    }
   )
 }

@@ -69,6 +69,19 @@ class SemDedupDsirSpec extends SparkSpec {
     }
   }
 
+  test("text_quality_classifier: GD lowers training log-loss below the zero model") {
+    val out = graft.harness.TextQueries.queries("text_quality_classifier")(spark, sf)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, p) => assert(p > 0.0 && p < 1.0) }
+    // the zero-weight model scores p=0.5 everywhere (loss ln 2); five
+    // full-batch steps must have moved the weights downhill
+    val loss = out.map { case (y, p) =>
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }.sum / out.length
+    assert(loss < math.log(2.0), s"log-loss $loss not below ln2")
+  }
+
   test("stream_dropdup_watermark: kept counts equal batch distinct keys per type") {
     val got = StreamQueries.queries("stream_dropdup_watermark")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
