@@ -57,7 +57,8 @@ object SparkEntry {
       ("taxamart", TaxaMartQueries.queries, TaxaMartQueries.oracle),
       ("goa", GoaQueries.queries, GoaQueries.oracle),
       ("interaction", InteractionQueries.queries, InteractionQueries.oracle),
-      ("matchexport", MatchExportQueries.queries, MatchExportQueries.oracle))
+      ("matchexport", MatchExportQueries.queries, MatchExportQueries.oracle),
+      ("graph", GraphQueries.queries, GraphQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * LLM-pipeline north-star ops (dedup / similarity / text / media). */

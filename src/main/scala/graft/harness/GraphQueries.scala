@@ -1,0 +1,148 @@
+package graft.harness
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over harness-derived edge sets — the iterative and
+  * multiway-self-join shapes (PageRank power iteration, ordered
+  * triangle enumeration) that complement the min-label connected
+  * components already shipped with the dedup family
+  * (graft.ops.Graphs.connectedComponents). Both queries follow the
+  * repo's determinism discipline: per-edge contributions round to a
+  * fixed scale and sum as DECIMAL (order-independent, map-side
+  * combinable), every per-iteration result rounds before it feeds the
+  * next step, so the DuckDB oracle can replay the identical
+  * trajectory.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val PrIters = 5
+  private val PrDamp = 0.85
+  // co-occurrence bucket count for the part-bucket projection
+  private val Buckets = 1000
+
+  /** The undirected supplier <-> part-bucket graph: suppliers link to
+    * the buckets of the parts they shipped (lineitem projected to
+    * 8-byte keys, distinct). Bucket ids offset by 1e6 so the two node
+    * families never collide. Symmetric closure — PageRank runs on the
+    * undirected graph.
+    */
+  private def bipartite(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d)
+      .select(col("l_suppkey").cast("long").as("src"),
+        (lit(1000000L) + col("l_partkey") % Buckets).as("dst"))
+      .distinct()
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // PageRank by power iteration: r <- (1-d)/N + d * Σ r(u)/deg(u)
+    // over in-edges, PrIters rounds. Each iteration is one keyed join
+    // (ranks onto edge sources) + one keyed agg (inflow per dst) —
+    // two shuffles on 8-byte keys, the canonical distributed PageRank
+    // plan; the edge frame is reused across iterations (at cluster
+    // scale: persisted once, partitioned by src, so the rank join
+    // aligns exchange-free every round). Contributions round to 12dp
+    // and sum as DECIMAL, ranks round to 9dp per round — the whole
+    // trajectory is order-independent and cross-engine identical.
+    // Dangling nodes cannot exist here (symmetric closure: every node
+    // has out-edges), so no dangling-mass redistribution term.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = bipartite(s, d)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = deg.select(col("src").as("node"), col("deg"))
+      val n = nodes.count()
+      var ranks = nodes.select(col("node"),
+        round(lit(1.0) / n, 9).as("rank"))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges
+          .join(ranks.join(deg, ranks("node") === deg("src"))
+            .select(col("node"), col("rank"), col("deg")),
+            edges("src") === col("node"))
+          .select(col("dst"),
+            round(col("rank") / col("deg"), 12)
+              .cast(DecimalType(28, 12)).as("c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).cast("double").as("inflow"))
+        ranks = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left_outer")
+          .select(nodes("node"),
+            round(lit(1 - PrDamp) / n +
+              lit(PrDamp) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    }),
+
+    // Triangle enumeration by ordered 3-way self-join over the
+    // co-occurrence graph of part buckets sharing an order: the a<b<c
+    // ordering makes each triangle appear exactly once, so the join
+    // IS the count — no post-dedup. Pair expansion per order rides
+    // the ordered_pairs generator (bounded by per-order line counts);
+    // the three joins are keyed equi-joins on 8-byte ints. Output is
+    // the per-node triangle membership census + the global count.
+    "graph_triangles" -> ((s, d) => {
+      val sets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), (col("l_partkey") % Buckets).as("b"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("b"))).as("bs"))
+      val pairs = graft.ops.RelOps.orderedPairs(sets, Seq("l_orderkey"), "bs")
+        .select(col("pa").as("a"), col("pb").as("b"))
+        .distinct()
+      val ab = pairs.select(col("a"), col("b"))
+      val bc = pairs.select(col("a").as("b2"), col("b").as("c"))
+      val ac = pairs.select(col("a").as("a3"), col("b").as("c3"))
+      val tris = ab
+        .join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      val edgeCte =
+        s"""e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                          1000000 + l_partkey % $Buckets AS dst
+                   FROM lineitem),
+            e AS (SELECT src, dst FROM e0
+                  UNION ALL SELECT dst, src FROM e0),
+            deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+            nn AS (SELECT COUNT(*) AS n FROM deg),
+            r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 9) AS rank
+                   FROM deg, nn)"""
+      val iters = (1 to PrIters).map { i =>
+        s"""c$i AS (SELECT e.dst,
+                           CAST(SUM(CAST(round(r.rank / deg.deg, 12)
+                                         AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+                    FROM e JOIN r${i - 1} r ON e.src = r.node
+                           JOIN deg ON e.src = deg.node
+                    GROUP BY e.dst),
+            r$i AS (SELECT deg.node,
+                           round(CAST(${1 - PrDamp} AS DOUBLE) / n +
+                                 CAST($PrDamp AS DOUBLE) *
+                                   COALESCE(c$i.inflow, CAST(0.0 AS DOUBLE)),
+                                 9) AS rank
+                    FROM deg LEFT JOIN c$i ON deg.node = c$i.dst, nn)"""
+      }.mkString(",\n")
+      s"WITH $edgeCte,\n$iters\nSELECT node, rank FROM r$PrIters"
+    },
+    "graph_triangles" ->
+      s"""WITH sets AS (SELECT l_orderkey, l_partkey % $Buckets AS b
+                        FROM lineitem GROUP BY 1, 2),
+          p AS (SELECT DISTINCT a.b AS a, c.b AS b
+                FROM sets a JOIN sets c
+                  ON a.l_orderkey = c.l_orderkey AND a.b < c.b),
+          t AS (SELECT ab.a AS a, ab.b AS b, bc.b AS c
+                FROM p ab JOIN p bc ON ab.b = bc.a
+                          JOIN p ac ON ab.a = ac.a AND bc.b = ac.b)
+          SELECT node, COUNT(*) AS n_triangles
+          FROM (SELECT unnest([a, b, c]) AS node FROM t)
+          GROUP BY node"""
+  )
+}
