@@ -23,6 +23,9 @@ object GraphQueries {
   private val PrDamp = 0.85
   // co-occurrence bucket count for the part-bucket projection
   private val Buckets = 1000
+  // backbone edge budget for triangle enumeration (top edges by
+  // support; keeps the post-census stages corpus-size-independent)
+  private val TriEdges = 5000
 
   /** The undirected supplier <-> part-bucket graph: suppliers link to
     * the buckets of the parts they shipped (lineitem projected to
@@ -51,8 +54,19 @@ object GraphQueries {
     // Dangling nodes cannot exist here (symmetric closure: every node
     // has out-edges), so no dangling-mass redistribution term.
     "graph_pagerank" -> ((s, d) => {
-      val edges = bipartite(s, d)
+      import org.apache.spark.storage.StorageLevel
+      // materialize the edge set and the (node, deg) dimension ONCE —
+      // a lazy edge frame would re-run the corpus-wide distinct every
+      // iteration (measured 5x the loop cost at 30x). Edges persist
+      // pre-partitioned on src, so each iteration's rank join either
+      // broadcasts (AQE, small node set — the case here) or shuffles
+      // only the rank side against the standing edge partitioning;
+      // the one corpus-scaled exchange per round is the inflow
+      // groupBy.
+      val edges = bipartite(s, d).repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val nodes = deg.select(col("src").as("node"), col("deg"))
       val n = nodes.count()
       var ranks = nodes.select(col("node"),
@@ -74,16 +88,24 @@ object GraphQueries {
               lit(PrDamp) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
           .localCheckpoint(true)
       }
+      // the final ranks are checkpoint-materialized; the loop inputs
+      // can release immediately
+      edges.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
       ranks
     }),
 
-    // Triangle enumeration by ordered 3-way self-join over the
-    // co-occurrence graph of part buckets sharing an order: the a<b<c
-    // ordering makes each triangle appear exactly once, so the join
-    // IS the count — no post-dedup. Pair expansion per order rides
-    // the ordered_pairs generator (bounded by per-order line counts);
-    // the three joins are keyed equi-joins on 8-byte ints. Output is
-    // the per-node triangle membership census + the global count.
+    // Triangle census over the co-occurrence BACKBONE: part buckets
+    // sharing an order form a co-occurrence graph whose density
+    // SATURATES as the corpus grows (bucket cardinality is fixed, so
+    // raw triangle enumeration is the quadratic trap SCALE.md warns
+    // about — measured 1e8+ triangles at sf0.1). The operator instead
+    // keeps the TriEdges strongest edges by support (TakeOrdered,
+    // deterministic count/a/b tiebreak — the backbone-graph reduction)
+    // and enumerates triangles there via the a<b<c ordered 3-way
+    // self-join, so each triangle appears exactly once. The only
+    // corpus-scaled stage is the pair-support groupBy; everything
+    // after runs on a fixed-size edge set at every SF.
     "graph_triangles" -> ((s, d) => {
       val sets = Tables.lineitem(s, d)
         .select(col("l_orderkey"), (col("l_partkey") % Buckets).as("b"))
@@ -91,7 +113,10 @@ object GraphQueries {
         .agg(array_sort(collect_set(col("b"))).as("bs"))
       val pairs = graft.ops.RelOps.orderedPairs(sets, Seq("l_orderkey"), "bs")
         .select(col("pa").as("a"), col("pb").as("b"))
-        .distinct()
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+        .orderBy(col("nab").desc, col("a"), col("b"))
+        .limit(TriEdges)
+        .select(col("a"), col("b"))
       val ab = pairs.select(col("a"), col("b"))
       val bc = pairs.select(col("a").as("b2"), col("b").as("c"))
       val ac = pairs.select(col("a").as("a3"), col("b").as("c3"))
@@ -133,11 +158,14 @@ object GraphQueries {
       s"WITH $edgeCte,\n$iters\nSELECT node, rank FROM r$PrIters"
     },
     "graph_triangles" ->
-      s"""WITH sets AS (SELECT l_orderkey, l_partkey % $Buckets AS b
-                        FROM lineitem GROUP BY 1, 2),
-          p AS (SELECT DISTINCT a.b AS a, c.b AS b
-                FROM sets a JOIN sets c
-                  ON a.l_orderkey = c.l_orderkey AND a.b < c.b),
+      s"""WITH sets AS (SELECT DISTINCT l_orderkey, l_partkey % $Buckets AS b
+                        FROM lineitem),
+          cnt AS (SELECT a.b AS a, c.b AS b, COUNT(*) AS nab
+                  FROM sets a JOIN sets c
+                    ON a.l_orderkey = c.l_orderkey AND a.b < c.b
+                  GROUP BY 1, 2),
+          p AS (SELECT a, b FROM cnt
+                ORDER BY nab DESC, a, b LIMIT $TriEdges),
           t AS (SELECT ab.a AS a, ab.b AS b, bc.b AS c
                 FROM p ab JOIN p bc ON ab.b = bc.a
                           JOIN p ac ON ab.a = ac.a AND bc.b = ac.b)
