@@ -35,8 +35,16 @@ object TextQueries {
     // value-identical to array_distinct(transform(sequence...)) on
     // every >=3-char doc, without a lambda + substring alloc per
     // character position
+    // materialized ONCE: the profile build and the scoring pass are
+    // two separate plans over this frame, so a lazy docTris runs the
+    // per-character extraction twice — the doubled extraction, not
+    // the census groupBy, dominated the query (A/B at sf0.1: warm
+    // 4.1 -> 1.4 s). The trade is corpus-sized block storage for one
+    // extraction pass — the same pay-storage-over-recompute call as
+    // agg_similarity's checkpointed set frame.
     val docTris = docs.select(col("doc_id"), col("lang"),
       call_function("char_ngrams_distinct", col("text"), lit(3)).as("tris"))
+      .localCheckpoint(true)
     val prof = trainOn(docTris)
       .select(col("lang"), explode(col("tris")).as("tri"))
       .groupBy(col("lang").as("plang"), col("tri"))
