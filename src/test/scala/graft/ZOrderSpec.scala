@@ -31,6 +31,25 @@ class ZOrderSpec extends SparkSpec {
     assert(out === Seq(0L, 1L, 2L, 15L, 17L))
   }
 
+  test("property: interleave is the Morton bijection on its domain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(500)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .distinct
+    val codes = pts.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.interleave(8, col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // injective: distinct points -> distinct codes
+    assert(codes.map(_._3).distinct.length === pts.length)
+    // invertible: de-interleaving the code recovers both coordinates
+    codes.foreach { case (a, b, z) =>
+      val (da, db) = (0 until 8).foldLeft((0L, 0L)) { case ((x, y), i) =>
+        (x | (((z >> (2 * i)) & 1L) << i), y | (((z >> (2 * i + 1)) & 1L) << i))
+      }
+      assert(da === a && db === b, s"code $z did not invert to ($a, $b)")
+    }
+  }
+
   test("z-ordered files are tight on both dimensions; sorted files on one") {
     val n = 1 << 16
     val df = spark.range(n).select(
