@@ -204,4 +204,21 @@ object Graft {
     */
   def perceptualHash(df: DataFrame): DataFrame =
     graft.ops.Multimodal.perceptualHash(df)
+
+  /** BPE tokenizer training at corpus scale (Sennrich et al. 2016):
+    * the corpus contributes ONE word-count groupBy; every merge round
+    * runs on the vocabulary-sized frequency table. Deterministic
+    * merge order (count desc, pair asc), differential-tested against
+    * the classic single-machine algorithm (BpeSpec).
+    */
+  def bpeWordCounts(docs: DataFrame, textCol: String): DataFrame =
+    graft.ops.Bpe.wordCounts(docs, textCol)
+
+  def bpeTrain(spark: org.apache.spark.sql.SparkSession, counts: DataFrame,
+               rounds: Int): (Seq[graft.ops.Bpe.Merge],
+                 org.apache.spark.sql.Dataset[graft.ops.Bpe.WordSeg]) =
+    graft.ops.Bpe.train(spark, counts, rounds)
+
+  def bpeEncode(word: String, merges: Seq[graft.ops.Bpe.Merge]): Seq[String] =
+    graft.ops.Bpe.encode(word, merges)
 }

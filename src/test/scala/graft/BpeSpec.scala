@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+
+/** Differential gate for the distributed BPE trainer: the learned
+  * merge sequence and final segmentations must equal a plain
+  * single-machine implementation of the classic algorithm (same
+  * count-desc / pair-asc argmax), and greedy encode with the learned
+  * merges must reproduce the trainer's own segmentation for every
+  * word — the invariant an exported tokenizer relies on.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def mergePair(s: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  private def refTrain(words: Map[String, Long], rounds: Int)
+      : (Seq[(String, String, Long)], Map[String, Seq[String]]) = {
+    var segs: Map[String, Seq[String]] =
+      words.map { case (w, _) => w -> (w.map(_.toString) :+ Bpe.Eow) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    while (round < rounds) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((w, syms) <- segs; Seq(a, b) <- syms.sliding(2))
+        pc((a, b)) += words(w)
+      if (pc.isEmpty) round = rounds
+      else {
+        val ((l, r), n) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((l, r, n))
+        segs = segs.map { case (w, s) => w -> mergePair(s, l, r) }
+        round += 1
+      }
+    }
+    (merges.toSeq, segs)
+  }
+
+  test("differential: distributed trainer equals the classic algorithm") {
+    val docs = Tables.documents(spark, sf)
+    val counts = Bpe.wordCounts(docs, "text")
+    val wordMap = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rounds = 12
+    val (merges, segs) = Bpe.train(spark, counts, rounds)
+    val (refMerges, refSegs) = refTrain(wordMap, rounds)
+    assert(merges.map(m => (m.left, m.right, m.n)) === refMerges)
+    val got = segs.collect().map(ws => ws.word -> ws.syms).toMap
+    assert(got === refSegs)
+  }
+
+  test("greedy encode reproduces the trainer's segmentation per word") {
+    val counts = Bpe.wordCounts(Tables.documents(spark, sf), "text")
+    val (merges, segs) = Bpe.train(spark, counts, 8)
+    segs.collect().foreach { ws =>
+      assert(Bpe.encode(ws.word, merges) === ws.syms,
+        s"encode diverged on '${ws.word}'")
+    }
+  }
+}
