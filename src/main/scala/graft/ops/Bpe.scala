@@ -97,4 +97,36 @@ object Bpe {
     merges.sortBy(_.rank).foreach(m => syms = mergePair(syms, m.left, m.right))
     syms
   }
+
+  /** Distributed encode pass: subtoken count per document under the
+    * learned merges — the real token-cost census a trained tokenizer
+    * is FOR. The merge list (model, ~rounds rows) ships in the
+    * closure; per-document work is embarrassingly parallel with a
+    * per-partition memo over the word vocabulary (documents repeat
+    * words heavily, so each partition encodes each distinct word
+    * once).
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        def enc(w: String): Int = memo.getOrElseUpdate(w, {
+          var syms: Seq[String] = w.map(_.toString) :+ Eow
+          ordered.foreach { case (l, r) => syms = mergePair(syms, l, r) }
+          syms.length
+        })
+        rows.map { case (id, text) =>
+          val words = text.split(' ').iterator.filter(_.nonEmpty)
+          var total = 0L; var n = 0L
+          words.foreach { w => total += enc(w); n += 1 }
+          (id, n, total)
+        }
+      }
+      .toDF(idCol, "n_words", "n_subtokens")
+  }
 }

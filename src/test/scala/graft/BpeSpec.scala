@@ -56,6 +56,20 @@ class BpeSpec extends SparkSpec {
     assert(got === refSegs)
   }
 
+  test("encodeCorpus equals the per-word encode summed over each document") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val counts = Bpe.wordCounts(Tables.documents(spark, sf), "text")
+    val (merges, _) = Bpe.train(spark, counts, 8)
+    val got = Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.select(col("doc_id"), col("text")).collect().foreach { r =>
+      val words = r.getString(1).split(' ').filter(_.nonEmpty)
+      val want = (words.length.toLong,
+        words.map(w => Bpe.encode(w, merges).length.toLong).sum)
+      assert(got(r.getLong(0)) === want)
+    }
+  }
+
   test("greedy encode reproduces the trainer's segmentation per word") {
     val counts = Bpe.wordCounts(Tables.documents(spark, sf), "text")
     val (merges, segs) = Bpe.train(spark, counts, 8)
