@@ -97,6 +97,26 @@ object SampleQueries {
           sum(col("doc_id")).as("id_checksum"))
     }),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis,
+    // IPL 2006): each row races an exponential clock -ln(u)/w — the
+    // N smallest clocks are a weighted sample without replacement.
+    // u derives from the salted md5 byte ((hv+1)/257 in (0,1]), w is
+    // the document's token count, so the drawn set is a pure function
+    // of the corpus: reruns and engines agree, and adding rows never
+    // reshuffles the survivors' clocks (only the cutoff moves). The
+    // clock is per-row arithmetic on the scan; selection is
+    // TakeOrderedAndProject — no global sort.
+    "sample_weighted" -> ((s, d) => {
+      val w = size(TextOps.tokens(col("text"))).cast("double")
+      val u = (hv("wrs1") + lit(1.0)) / lit(257.0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          w.cast("long").as("n_tok"),
+          round(-log(u) / w, 12).as("clock"))
+        .orderBy(col("clock"), col("doc_id"))
+        .limit(WeightedN)
+    }),
+
     // DSIR-style importance resampling (Xie et al. 2023,
     // arXiv:2302.03169): rank raw documents by how target-like their
     // unigram distribution is — score(doc) = Σ_t [ln p̂_target(t) −
@@ -136,6 +156,7 @@ object SampleQueries {
 
   private val PackBudget = 512L
   private val DsirN = 100 // docs kept by importance rank (sample_dsir)
+  private val WeightedN = 150 // docs drawn without replacement (sample_weighted)
 
   private def hvSql(salt: String) =
     s"""(instr('0123456789abcdef',
@@ -185,6 +206,14 @@ object SampleQueries {
                  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
           FROM c GROUP BY 1""",
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 round(-ln((${hvSql("wrs1")} + 1.0) / 257.0)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE), 12)
+                   AS clock
+          FROM documents
+          ORDER BY clock, doc_id LIMIT $WeightedN""",
     "sample_dsir" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
                        FROM documents),
