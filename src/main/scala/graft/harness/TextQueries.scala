@@ -336,6 +336,26 @@ object TextQueries {
         .select("w1", "w2", "nab", "lift")
     }),
 
+    // Character-distribution entropy — the classic gibberish/boiler-
+    // plate signal (low entropy = repeated characters, high = noise;
+    // natural text sits in a band). One char explode + two keyed aggs
+    // on doc_id; per-class terms -(p ln p) round to 9dp and sum as
+    // DECIMAL so the entropy is order-independent and cross-engine
+    // exact.
+    "text_entropy" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ch = widened(Tables.documents(s, d))
+        .select(col("doc_id"), length(col("text")).as("len"),
+          explode(split(col("text"), "")).as("c"))
+      ch.groupBy(col("doc_id"), col("c"))
+        .agg(first(col("len")).as("len"), count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("len")).cast("long").as("n_chars"),
+          count(lit(1)).as("n_distinct_chars"),
+          round(sum(round(-(col("n") / col("len")) * log(col("n") / col("len")), 9)
+            .cast(DecimalType(12, 9))).cast("double"), 6).as("entropy"))
+    }),
+
     // In-engine quality-classifier training — the fastText/CCNet-style
     // learned filter, trained AS a Spark job instead of a notebook
     // step: batch logistic regression by full-batch gradient descent
@@ -614,6 +634,18 @@ object TextQueries {
                     JOIN uni b ON pair.w2 = b.t
                     CROSS JOIN census
           ORDER BY lift DESC, w1, w2 LIMIT 100""",
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS len,
+                            unnest(string_split(text, '')) AS c
+                     FROM documents),
+          cnt AS (SELECT doc_id, c, ANY_VALUE(len) AS len, COUNT(*) AS n
+                  FROM ch GROUP BY doc_id, c)
+          SELECT doc_id, CAST(ANY_VALUE(len) AS BIGINT) AS n_chars,
+                 COUNT(*) AS n_distinct_chars,
+                 round(CAST(SUM(CAST(round(-(n/len)*ln(n/len), 9)
+                                     AS DECIMAL(12,9))) AS DOUBLE), 6)
+                   AS entropy
+          FROM cnt GROUP BY doc_id""",
     "text_quality_classifier" -> {
       // unrolled full-batch GD: one CTE per iteration, each reading
       // the previous weight row (renamed pb/pc* to dodge lateral-alias
