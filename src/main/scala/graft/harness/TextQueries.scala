@@ -356,6 +356,50 @@ object TextQueries {
             .cast(DecimalType(12, 9))).cast("double"), 6).as("entropy"))
     }),
 
+    // Bigram language-model scoring — the CCNet-style perplexity
+    // quality signal, with the LM trained in-engine on the corpus
+    // itself: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) (add-one smoothing
+    // over the corpus vocabulary), doc score = mean −ln P over the
+    // document's bigram occurrences. Plan shape at corpus scale: the
+    // bigram census and the per-doc bigram counts are two keyed aggs
+    // over ONE exploded bigram frame (both map-side combinable); the
+    // model-apply is a keyed join on (w1,w2) — the model is
+    // bigram-table-sized, NOT corpus-sized, so it shuffles as the
+    // small side — the unigram history counts broadcast (vocab-
+    // sized), and the V census is a single broadcast row. Per-
+    // occurrence −ln P terms round to 9dp and sum as DECIMAL so the
+    // mean is order-independent and cross-engine exact. Docs with <2
+    // tokens have no bigrams and drop out (inner semantics, both
+    // engines).
+    "text_perplexity" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val bg = toks
+        .withColumn("w1s", slice(col("toks"), lit(1), size(col("toks")) - 1))
+        .withColumn("w2s", slice(col("toks"), lit(2), size(col("toks")) - 1))
+        .select(col("doc_id"), explode(zip_with(col("w1s"), col("w2s"),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k"))
+      val model = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("nab"))
+      val uni = toks.select(explode(col("toks")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      val census = uni.agg(count(lit(1)).as("v"))
+      docBg.join(model, Seq("w1", "w2"))
+        .join(broadcast(uni.select(col("t").as("w1"), col("n").as("na"))),
+          Seq("w1"))
+        .crossJoin(broadcast(census))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          round(sum(
+            round(-log((col("nab") + lit(1.0)) / (col("na") + col("v"))), 9)
+              .cast(DecimalType(12, 9)) * col("k")).cast("double") /
+            sum(col("k")), 6).as("avg_nll"))
+    }),
+
     // In-engine quality-classifier training — the fastText/CCNet-style
     // learned filter, trained AS a Spark job instead of a notebook
     // step: batch logistic regression by full-batch gradient descent
@@ -646,6 +690,25 @@ object TextQueries {
                                      AS DECIMAL(12,9))) AS DOUBLE), 6)
                    AS entropy
           FROM cnt GROUP BY doc_id""",
+    "text_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          bg AS (SELECT doc_id, toks[p] AS w1, toks[p+1] AS w2
+                 FROM tok, UNNEST(range(1, len(toks))) AS u(p)),
+          docbg AS (SELECT doc_id, w1, w2, COUNT(*) AS k
+                    FROM bg GROUP BY doc_id, w1, w2),
+          model AS (SELECT w1, w2, COUNT(*) AS nab FROM bg GROUP BY w1, w2),
+          uni AS (SELECT u.t AS t, COUNT(*) AS n
+                  FROM tok, UNNEST(toks) AS u(t) GROUP BY u.t),
+          census AS (SELECT COUNT(*) AS v FROM uni)
+          SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+                 round(CAST(SUM(CAST(round(-ln((nab + 1.0) / (n + v)), 9)
+                                     AS DECIMAL(12,9)) * k) AS DOUBLE)
+                       / SUM(k), 6) AS avg_nll
+          FROM docbg
+          JOIN model USING (w1, w2)
+          JOIN uni ON docbg.w1 = uni.t
+          CROSS JOIN census
+          GROUP BY doc_id""",
     "text_quality_classifier" -> {
       // unrolled full-batch GD: one CTE per iteration, each reading
       // the previous weight row (renamed pb/pc* to dodge lateral-alias

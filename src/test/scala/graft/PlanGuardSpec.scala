@@ -35,7 +35,8 @@ class PlanGuardSpec extends SparkSpec {
     "agg_having_regroup", "sample_temperature", "join_asof",
     "text_langid_ngram", "text_langid_sampled",
     "text_collocations", // single-row (NT, NB) census broadcast
-    "sample_dsir") // single-row (tot_s, tot_t, V) census broadcast
+    "sample_dsir", // single-row (tot_s, tot_t, V) census broadcast
+    "text_perplexity") // single-row vocabulary-size census broadcast
 
   test("no registered query plans a CartesianProduct or un-allowlisted BroadcastNestedLoopJoin") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
