@@ -356,6 +356,33 @@ object TextQueries {
             .cast(DecimalType(12, 9))).cast("double"), 6).as("entropy"))
     }),
 
+    // Canonical text normalization — NFC compose + unicode lowercase
+    // + whitespace collapse, the cleanup pass every dedup/fingerprint
+    // stage assumes (canonically-equal strings must hash equal). The
+    // NFC step is the native `nfc_normalize` expression
+    // (functions/NfcNormalize.scala): codegen'd, allocation-free on
+    // already-normalized text — a UDF here would break whole-stage
+    // codegen on the hottest full-corpus scan there is. The corpus is
+    // ASCII, so decomposed sequences (e+U+0301), precomposed É, and a
+    // tab are planted deterministically from doc_id — the oracle
+    // recomposes with DuckDB's utf8proc and must agree byte-for-byte.
+    // Purely per-row: no shuffle, the filter-free projection rides
+    // the scan at any scale.
+    "text_normalize" -> ((s, d) => {
+      val raw = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" Café TABLE"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ÉLAN  spaced\tout"))
+          .otherwise(lit("")))
+      val nfc = call_function("nfc_normalize", col("raw"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(nfc), "\\s+", " ")).as("norm_text"),
+          (nfc =!= col("raw")).as("recomposed"),
+          length(nfc).cast("long").as("n_chars_nfc"))
+    }),
+
     // Bigram language-model scoring — the CCNet-style perplexity
     // quality signal, with the LM trained in-engine on the corpus
     // itself: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) (add-one smoothing
@@ -690,6 +717,20 @@ object TextQueries {
                                      AS DECIMAL(12,9))) AS DOUBLE), 6)
                    AS entropy
           FROM cnt GROUP BY doc_id""",
+    "text_normalize" ->
+      """WITH planted AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0
+                 THEN ' Cafe' || chr(769) || ' TABLE' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+                 THEN ' ' || chr(201) || 'LAN  spaced' || chr(9) || 'out'
+                 ELSE '' END AS raw
+          FROM documents)
+          SELECT doc_id,
+                 trim(regexp_replace(lower(nfc_normalize(raw)),
+                      '\s+', ' ', 'g')) AS norm_text,
+                 nfc_normalize(raw) <> raw AS recomposed,
+                 CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc
+          FROM planted""",
     "text_perplexity" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
           bg AS (SELECT doc_id, toks[p] AS w1, toks[p+1] AS w2

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayDot, CharNgramsDistinct, GzipCodec, HammingBits, OrderedPairsGen, ShingleHash52}
+import graft.functions.{ArrayDot, CharNgramsDistinct, GzipCodec, HammingBits, NfcNormalize, OrderedPairsGen, ShingleHash52}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session extensions for the engine's custom Catalyst surface —
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ShingleHash52.descriptor)
     ext.injectFunction(CharNgramsDistinct.descriptor)
     ext.injectFunction(OrderedPairsGen.descriptor)
+    ext.injectFunction(NfcNormalize.descriptor)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
