@@ -117,6 +117,18 @@ object SampleQueries {
         .limit(WeightedN)
     }),
 
+    // Deterministic pre-training shuffle: every document gets a
+    // (shard, pos) assignment that is a pure function of its id —
+    // shard from the salted-hash first byte, within-shard order
+    // lexicographic on the full hash (CorpusOps.shuffleShards). The
+    // position comes from a distributed prefix sum over 256 hash
+    // sub-buckets per shard, so no reducer sorts a whole shard; the
+    // oracle's single window per shard is the small-scale ground
+    // truth the bucketed layout must equal exactly.
+    "sample_shuffle_shards" -> ((s, d) =>
+      graft.ops.CorpusOps.shuffleShards(
+        Tables.documents(s, d), "doc_id", ShuffleShards)),
+
     // DSIR-style importance resampling (Xie et al. 2023,
     // arXiv:2302.03169): rank raw documents by how target-like their
     // unigram distribution is — score(doc) = Σ_t [ln p̂_target(t) −
@@ -157,6 +169,7 @@ object SampleQueries {
   private val PackBudget = 512L
   private val DsirN = 100 // docs kept by importance rank (sample_dsir)
   private val WeightedN = 150 // docs drawn without replacement (sample_weighted)
+  private val ShuffleShards = 8 // training shards (sample_shuffle_shards)
 
   private def hvSql(salt: String) =
     s"""(instr('0123456789abcdef',
@@ -175,6 +188,19 @@ object SampleQueries {
           FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
                   ORDER BY hv, doc_id) AS rk FROM h)
           WHERE rk <= $StratumK""",
+    "sample_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+                            md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+                     FROM documents),
+          b AS (SELECT doc_id, h,
+                  CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+                        (instr('0123456789abcdef', substr(h, 2, 1)) - 1))
+                       % $ShuffleShards AS INT) AS shard
+                FROM h)
+          SELECT doc_id, shard,
+                 CAST(row_number() OVER (PARTITION BY shard
+                        ORDER BY h, doc_id) AS BIGINT) AS pos
+          FROM b""",
     "sample_temperature" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
           m AS (SELECT MIN(n_s) AS n_min FROM c),

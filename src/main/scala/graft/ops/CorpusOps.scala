@@ -327,6 +327,43 @@ object CorpusOps {
         floor(col("__cum0") / budget).as("bin"))
   }
 
+  /** Deterministic global shuffle into `nShards` balanced training
+    * shards — the "shuffle the corpus before training" stage, made a
+    * pure function of the data: shard = salted-md5 byte mod nShards,
+    * within-shard order = lexicographic on the full hash. Reruns and
+    * engines agree; adding documents never changes the relative order
+    * of existing ones within a shard.
+    *
+    * The within-shard position is a DISTRIBUTED prefix sum, not one
+    * window per shard: rows sub-bucket on the hash's first byte (the
+    * sort key's most significant digits, so bucket order IS hash
+    * order), a 256-row census computes each sub-bucket's offset
+    * within its shard, and a window ranks only within (shard,
+    * sub-bucket) — no reducer ever sorts a whole shard, the same
+    * layout `packSequences` uses for its global token offsets. At
+    * 100 TB you widen the sub-bucket to more hash digits so each
+    * (shard, bucket) run fits an executor; the census stays tiny and
+    * broadcasts.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"shuffleShards requires nShards >= 1, got $nShards")
+    val base = df.select(col(idCol))
+      .withColumn("__h", md5(concat(lit("shuf:"), col(idCol).cast("string"))))
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
+      .withColumn("shard", (col("__b") % nShards).cast("int"))
+    val census = base.groupBy(col("shard"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.partitionBy(col("shard")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__b"), col("__off"))
+    val w = Window.partitionBy(col("shard"), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    base.join(broadcast(census), Seq("shard", "__b"))
+      .withColumn("pos", col("__off") + row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Kept-corpus assembly after near-dup clustering: drop every non
     * -representative member of a component (the representative is the
     * min-label node, i.e. the component id itself). `components` is
