@@ -128,6 +128,23 @@ object MultimodalQueries {
         .select("da", "db", "siga", "sigb", "dist")
     }),
 
+    // Real audio decode through the JDK's own WAV codec: blobs are
+    // deterministic sawtooth PCM WAVs synthesized from doc_id
+    // (Multimodal.synthWav — fully valid RIFF headers the codec
+    // parses for real), decoded per partition by
+    // javax.sound.sampled.AudioSystem into header metadata + 8-band
+    // RMS loudness. The waveform is pure integer math, so the oracle
+    // regenerates the samples with a range() comprehension and must
+    // match the DECODED output exactly — a genuine byte-level codec
+    // differential, not a stub. Per-row both ways; no shuffle.
+    "multimodal_audio" -> ((s, d) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.synthWavBlobs(Tables.documents(s, d).select(col("doc_id"))))
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"),
+          concat_ws(",", transform(col("rms"),
+            r => r.cast("decimal(12,6)").cast("string"))).as("rms_csv"))),
+
     // F11: gzip codec roundtrip through the custom GzipCompress /
     // GzipDecompress expressions (reference gzips sequences/HMM blobs,
     // interpro/oracle/proteins.py:68). The compressed bytes are
@@ -205,6 +222,29 @@ object MultimodalQueries {
           FROM f GROUP BY doc_id, frame_no""",
     "fn_gzip_roundtrip" ->
       """SELECT doc_id, text, TRUE AS compressed_ok FROM documents""",
+    // multimodal_audio: regenerate the synthesized sawtooth samples
+    // (sample i = ((phase + i*step) mod 65536) - 32768, band =
+    // (i*8)//n) and recompute the 8-band RMS the JDK codec path must
+    // decode to. Sum-of-squares terms are integers < 2^53, so the
+    // double SUM is order-independent-exact and sqrt is correctly
+    // rounded in both engines.
+    "multimodal_audio" ->
+      """WITH p AS (SELECT doc_id, 800 + doc_id % 200 AS n,
+                           40 + doc_id % 50 AS step,
+                           (doc_id * 7) % 65536 AS phase
+                    FROM documents),
+          s AS (SELECT doc_id, (u.i * 8) // n AS band,
+                       ((phase + u.i * step) % 65536) - 32768 AS v
+                FROM p, UNNEST(range(0, n)) AS u(i)),
+          b AS (SELECT doc_id, band,
+                       sqrt(SUM(CAST(v AS DOUBLE) * v) / COUNT(*)) AS rms
+                FROM s GROUP BY doc_id, band)
+          SELECT p.doc_id, 8000 AS sample_rate, 1 AS channels,
+                 CAST(n AS BIGINT) AS n_frames,
+                 string_agg(CAST(CAST(rms AS DECIMAL(12,6)) AS VARCHAR), ','
+                            ORDER BY band) AS rms_csv
+          FROM b JOIN p USING (doc_id)
+          GROUP BY p.doc_id, n""",
     // NOTE: like multimodal_decode's oracle, this relies on the test
     // corpus being pure ASCII — the Spark kernel iterates UTF-8 BYTES
     // while the SQL below indexes CHARACTERS (substring + ascii); the

@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
   * column; decode / feature-extract runs per partition so a real codec
   * (image decode, audio resample, frame sampling) drops in without
   * changing the plan shape. Image bytes decode for REAL via the JDK's
-  * own codecs (javax.imageio: PNG/GIF/BMP/JPEG — no external library
-  * needed); bytes that are not a recognizable image fall back to the
-  * clearly-marked deterministic STUB, which remains the seam where
-  * audio/video codecs (absent from the JDK) would drop in. Everything
-  * around the seam (schema, encoders, per-partition batching, null
-  * handling) is real and tested either way.
+  * own codecs (javax.imageio: PNG/GIF/BMP/JPEG) and WAV audio decodes
+  * for REAL via javax.sound.sampled — no external library either way;
+  * bytes no JDK codec recognizes fall back to the clearly-marked
+  * deterministic STUB, which remains the seam where video codecs
+  * (absent from the JDK) would drop in. Everything around the seam
+  * (schema, encoders, per-partition batching, null handling) is real
+  * and tested either way.
   */
 object Multimodal {
 
@@ -88,6 +89,133 @@ object Multimodal {
       (acc % 1000).toFloat / 1000f
     }
     (w, h, feats)
+  }
+
+  /** Typed audio decode output: real header metadata + 8-band RMS
+    * loudness over the PCM frames (the audio analogue of the image
+    * band-luminance features).
+    */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+                           n_frames: Long, rms: Array[Double])
+
+  /** Real WAV decode through the JDK's own codec
+    * (javax.sound.sampled.AudioSystem — no external library): RIFF
+    * magic probe, header parse, then one pass over the 16-bit PCM
+    * frames accumulating per-band sum-of-squares in exact Long math;
+    * band b of frame i is i*8/n (the same integer bucketing as the
+    * frame sampler, so the SQL oracle reproduces it exactly).
+    * RMS_b = sqrt(sumsq_b / cnt_b) — the sums are integers < 2^53,
+    * so the double division and the correctly-rounded sqrt are
+    * bit-identical in every engine. None → caller falls back to the
+    * stub seam (truncated/corrupt/non-WAV bytes).
+    */
+  private[ops] def decodeAudio(blob: Array[Byte]): Option[(Int, Int, Long, Array[Double])] = {
+    def sig(off: Int, s: String) =
+      blob.length >= off + s.length &&
+        s.zipWithIndex.forall { case (c, i) => blob(off + i) == c.toByte }
+    if (!(sig(0, "RIFF") && sig(8, "WAVE"))) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
+        val channels = fmt.getChannels
+        val frameSize = fmt.getFrameSize
+        val n = ais.getFrameLength
+        if (n <= 0) return None
+        val bytes = ais.readAllBytes()
+        if (bytes.length < n * frameSize) return None
+        val sumsq = new Array[Long](8)
+        val cnts = new Array[Long](8)
+        var i = 0L
+        while (i < n) {
+          val band = (i * 8 / n).toInt
+          // first channel of the frame, little-endian 16-bit signed
+          val off = (i * frameSize).toInt
+          val v = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort.toLong
+          sumsq(band) += v * v
+          cnts(band) += 1
+          i += 1
+        }
+        val rms = Array.tabulate(8)(b =>
+          if (cnts(b) == 0) 0.0
+          else math.sqrt(sumsq(b).toDouble / cnts(b)))
+        Some((fmt.getSampleRate.toInt, channels, n, rms))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic 16-bit mono PCM WAV synthesis from an id — the
+    * test corpus has no real audio, so "audio" blobs are sawtooth
+    * waves whose length/step/phase derive from the id in pure integer
+    * math (sample i = ((phase + i·step) mod 65536) − 32768). The
+    * bytes are a fully valid canonical 44-byte-header WAV that the
+    * JDK codec parses for real; the integer waveform is what lets the
+    * SQL oracle recompute the decoded RMS exactly.
+    */
+  private[ops] def synthWav(id: Long): Array[Byte] = {
+    val n = (800 + id % 200).toInt
+    val step = 40 + id % 50
+    val phase = (id * 7) % 65536
+    val sampleRate = 8000
+    val data = new Array[Byte](44 + n * 2)
+    def le32(off: Int, v: Int): Unit = {
+      data(off) = v.toByte; data(off + 1) = (v >> 8).toByte
+      data(off + 2) = (v >> 16).toByte; data(off + 3) = (v >> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      data(off) = v.toByte; data(off + 1) = (v >> 8).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.zipWithIndex.foreach { case (c, i) => data(off + i) = c.toByte }
+    tag(0, "RIFF"); le32(4, 36 + n * 2); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, sampleRate); le32(28, sampleRate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((phase + i * step) % 65536) - 32768).toInt
+      le16(44 + i * 2, v & 0xFFFF)
+      i += 1
+    }
+    data
+  }
+
+  /** Synthesized WAV blob column for an id frame — per-row, no
+    * shuffle; stands in for reading real audio files at scale.
+    */
+  def synthWavBlobs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthWav(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** Per-partition audio decode (the real half of the audio seam).
+    * Non-WAV bytes flow through with zeroed metadata and an empty
+    * band list rather than failing the batch.
+    */
+  def decodeAudioFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    implicit val enc = org.apache.spark.sql.Encoders.product[AudioFeatures]
+    df.select("doc_id", "blob").as(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { it =>
+        // a heavier codec/model would initialize once per partition here
+        it.map { case (id, blob) =>
+          val bytes = if (blob == null) Array.empty[Byte] else blob
+          decodeAudio(bytes) match {
+            case Some((sr, ch, n, rms)) => AudioFeatures(id, sr, ch, n, rms)
+            case None => AudioFeatures(id, 0, 0, bytes.length, Array.empty)
+          }
+        }
+      }
+      .toDF()
   }
 
   /** One sampled "frame" of a media blob: the video-style one-to-many
