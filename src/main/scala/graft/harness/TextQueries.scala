@@ -356,6 +356,27 @@ object TextQueries {
             .cast(DecimalType(12, 9))).cast("double"), 6).as("entropy"))
     }),
 
+    // Frequent tokens via the SpaceSaving sketch (kernels/
+    // HeavyHitters.scala) — the mergeable frequent-items summary that
+    // replaces a full token groupBy at corpus scale: every map task
+    // holds <= 64 counters and the shuffle moves ONE 64-entry summary
+    // per partition, not the exploded token stream. The corpus
+    // vocabulary (31, fixed by the generator at every SF) is under
+    // the capacity, so the sketch runs in its provably EXACT regime
+    // and the oracle pins it to the true counts; the over-capacity
+    // approximation bracket is property-tested in HeavyHittersSpec.
+    "text_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("value")).as[String]
+        .select(graft.kernels.HeavyHitters.spaceSaving(64).toColumn).toDF("hh")
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.token").as("token"), col("e.count").as("n"),
+          col("e.err").as("err"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
     // Canonical text normalization — NFC compose + unicode lowercase
     // + whitespace collapse, the cleanup pass every dedup/fingerprint
     // stage assumes (canonically-equal strings must hash equal). The
@@ -717,6 +738,13 @@ object TextQueries {
                                      AS DECIMAL(12,9))) AS DOUBLE), 6)
                    AS entropy
           FROM cnt GROUP BY doc_id""",
+    "text_heavy_hitters" ->
+      s"""WITH tok AS (SELECT u.t AS token
+                       FROM documents, UNNEST($sqlToks) AS u(t))
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS err
+          FROM tok GROUP BY token
+          ORDER BY n DESC, token LIMIT 20""",
     "text_normalize" ->
       """WITH planted AS (SELECT doc_id, text ||
             CASE WHEN doc_id % 3 = 0
