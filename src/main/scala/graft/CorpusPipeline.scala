@@ -43,8 +43,17 @@ object CorpusPipeline {
       out
     }
 
-    val raw = Tables.documents(spark, sfDir)
-    stages += "corpus_raw" -> raw.count()
+    val raw0 = Tables.documents(spark, sfDir)
+    stages += "corpus_raw" -> raw0.count()
+
+    // 0. canonical normalization (NFC compose via the native
+    //    expression, unicode lowercase, whitespace collapse) — run
+    //    FIRST so every downstream key (fingerprints, shingles,
+    //    spans) sees canonically-equal text as equal. Per-row, rides
+    //    the scan.
+    val raw = stage("corpus_normalized")(
+      raw0.withColumn("text", Graft.normalizeText(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long")))
 
     // 1. composed quality filter (length prior, stopword density,
     //    quality score, exact-dup demotion) — the oracle-checked
@@ -122,6 +131,11 @@ object CorpusPipeline {
           .agg(round(avg(col("dup_tok_frac")), 6).as("mean_dup_tok_frac"),
             round(avg(col("top2_frac")), 6).as("mean_top2_frac")),
         Seq("lang"), "left_outer"))
+
+    // 5b. deterministic training shuffle: every surviving doc gets a
+    //     (shard, pos) assignment — the layout the trainer consumes.
+    stage("corpus_shards")(
+      Graft.shuffleShards(sampled, "doc_id", 8))
 
     // 6. serving handoff: the final corpus as a graftkv sorted log
     //    keyed by doc_id (point lookups prune to one bucket)

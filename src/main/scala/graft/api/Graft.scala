@@ -221,4 +221,27 @@ object Graft {
 
   def bpeEncode(word: String, merges: Seq[graft.ops.Bpe.Merge]): Seq[String] =
     graft.ops.Bpe.encode(word, merges)
+
+  /** Canonical text normalization: NFC compose (native codegen
+    * expression), unicode lowercase, whitespace collapse, trim —
+    * the cleanup every dedup/fingerprint key assumes.
+    */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.functions._
+    trim(regexp_replace(lower(call_function("nfc_normalize", text)),
+      "\\s+", " "))
+  }
+
+  /** Deterministic global shuffle into `nShards` training shards:
+    * (shard, pos) is a pure function of the id — bucketed prefix
+    * sum, no whole-shard sort (CorpusOps.shuffleShards).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    CorpusOps.shuffleShards(df, idCol, nShards)
+
+  /** SpaceSaving frequent-items summary (k counters per map task,
+    * one k-entry state per partition on the shuffle); exact while a
+    * summary holds <= k distinct items (kernels/HeavyHitters.scala).
+    */
+  def heavyHitters(k: Int) = graft.kernels.HeavyHitters.spaceSaving(k)
 }

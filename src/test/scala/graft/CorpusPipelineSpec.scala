@@ -17,6 +17,8 @@ class CorpusPipelineSpec extends SparkSpec {
     val stages = CorpusPipeline.build(spark, sf, out).toMap
 
     assert(stages("corpus_raw") > 0)
+    assert(stages("corpus_normalized") === stages("corpus_raw"),
+      "normalization rewrites text, never drops rows")
     assert(stages("corpus_filtered") <= stages("corpus_raw"))
     assert(stages("corpus_deduped") <= stages("corpus_filtered"))
     assert(stages("corpus_clean") <= stages("corpus_deduped"))
@@ -48,6 +50,20 @@ class CorpusPipelineSpec extends SparkSpec {
     val hit = spark.read.format("graftkv").load(s"$out/corpus_kv")
       .filter(col("k") === key)
     assert(hit.count() === 1)
+
+    // shard assignment partitions the final corpus: every doc gets
+    // exactly one (shard, pos) and pos is the dense 1..n_shard rank
+    val shards = spark.read.parquet(s"$out/corpus_shards")
+    assert(stages("corpus_shards") === stages("corpus_sampled"))
+    val perShard = shards.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"),
+        max(col("pos")).as("hi"), countDistinct(col("pos")).as("nd"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getLong(2) === 1L && r.getLong(3) === r.getLong(1) &&
+        r.getLong(4) === r.getLong(1),
+        s"shard ${r.getInt(0)}: pos is not a dense 1..n rank")
+    }
 
     // per-language stats cover exactly the languages in the corpus
     val stats = spark.read.parquet(s"$out/corpus_stats")
