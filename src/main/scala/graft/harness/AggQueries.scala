@@ -326,6 +326,22 @@ object AggQueries {
         .join(exact, Seq("g"))
     }),
 
+    // A4 at 100 TB, native form: HyperLogLog++ cardinality
+    // (approx_count_distinct, rsd 2%) next to the exact count. The
+    // exact countDistinct shuffles every distinct (g, key) pair; the
+    // HLL path carries a fixed-size sketch per group that combines
+    // map-side — the only cardinality shape that survives a 100 TB
+    // key column. The estimate itself is engine-specific, so the
+    // emitted contract is the 3·rsd error bracket as a boolean the
+    // oracle pins to TRUE (plus the exact count, hash-compared).
+    "agg_hll_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag").as("g"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("__est"))
+        .select(col("g"), col("n_exact"),
+          (abs(col("__est") - col("n_exact")) <=
+            col("n_exact") * lit(3 * 0.02)).as("hll_ok"))),
+
     // A15: similarity coefficients over co-occurrence pair counts
     // (Jaccard + containment, interpro/xrefs/entries.py:103-134).
     // Dedupe + group happen in ONE shuffle (collect_set); the ordered
@@ -551,6 +567,11 @@ object AggQueries {
                                 '","') ||
                 '"]}' AS doc
          FROM customer GROUP BY c_nationkey""",
+    "agg_hll_distinct" ->
+      """SELECT l_returnflag AS g,
+                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+                TRUE AS hll_ok
+         FROM lineitem GROUP BY 1""",
     "agg_kmv_distinct" ->
       """WITH hashed AS (
            SELECT DISTINCT l_returnflag AS g,
