@@ -359,17 +359,19 @@ object TextQueries {
     // Frequent tokens via the SpaceSaving sketch (kernels/
     // HeavyHitters.scala) — the mergeable frequent-items summary that
     // replaces a full token groupBy at corpus scale: every map task
-    // holds <= 64 counters and the shuffle moves ONE 64-entry summary
+    // holds <= 4096 counters and the shuffle moves ONE such summary
     // per partition, not the exploded token stream. The corpus
-    // vocabulary (31, fixed by the generator at every SF) is under
-    // the capacity, so the sketch runs in its provably EXACT regime
-    // and the oracle pins it to the true counts; the over-capacity
-    // approximation bracket is property-tested in HeavyHittersSpec.
+    // vocabulary (31 per generator word list, x the ScaleUp replica
+    // factor: 310 at 10x, 930 at 30x) stays under the capacity, so
+    // the sketch runs in its provably EXACT regime at every tested
+    // scale and the oracle pins it to the true counts; the
+    // over-capacity approximation bracket is property-tested in
+    // HeavyHittersSpec.
     "text_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("value")).as[String]
-        .select(graft.kernels.HeavyHitters.spaceSaving(64).toColumn).toDF("hh")
+        .select(graft.kernels.HeavyHitters.spaceSaving(4096).toColumn).toDF("hh")
         .select(explode(col("hh")).as("e"))
         .select(col("e.token").as("token"), col("e.count").as("n"),
           col("e.err").as("err"))
