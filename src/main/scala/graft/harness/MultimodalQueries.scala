@@ -136,14 +136,20 @@ object MultimodalQueries {
     // RMS loudness. The waveform is pure integer math, so the oracle
     // regenerates the samples with a range() comprehension and must
     // match the DECODED output exactly — a genuine byte-level codec
-    // differential, not a stub. Per-row both ways; no shuffle.
+    // differential, not a stub. The hash-compared feature is the
+    // EXACT per-band sum-of-squares (Long): a 6dp-rounded RMS double
+    // can land on a decimal-rounding boundary where the two engines'
+    // double-to-decimal rules split by one ulp (observed once in
+    // 1.2M band values at 30x); the integer form proves the same
+    // decode with zero float risk at any scale. Per-row both ways;
+    // no shuffle.
     "multimodal_audio" -> ((s, d) =>
       Multimodal.decodeAudioFeatures(
         Multimodal.synthWavBlobs(Tables.documents(s, d).select(col("doc_id"))))
         .select(col("doc_id"), col("sample_rate"), col("channels"),
           col("n_frames"),
-          concat_ws(",", transform(col("rms"),
-            r => r.cast("decimal(12,6)").cast("string"))).as("rms_csv"))),
+          concat_ws(",", transform(col("band_sumsq"),
+            x => x.cast("string"))).as("sumsq_csv"))),
 
     // F11: gzip codec roundtrip through the custom GzipCompress /
     // GzipDecompress expressions (reference gzips sequences/HMM blobs,
@@ -237,12 +243,12 @@ object MultimodalQueries {
                        ((phase + u.i * step) % 65536) - 32768 AS v
                 FROM p, UNNEST(range(0, n)) AS u(i)),
           b AS (SELECT doc_id, band,
-                       sqrt(SUM(CAST(v AS DOUBLE) * v) / COUNT(*)) AS rms
+                       CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq
                 FROM s GROUP BY doc_id, band)
           SELECT p.doc_id, 8000 AS sample_rate, 1 AS channels,
                  CAST(n AS BIGINT) AS n_frames,
-                 string_agg(CAST(CAST(rms AS DECIMAL(12,6)) AS VARCHAR), ','
-                            ORDER BY band) AS rms_csv
+                 string_agg(CAST(sumsq AS VARCHAR), ','
+                            ORDER BY band) AS sumsq_csv
           FROM b JOIN p USING (doc_id)
           GROUP BY p.doc_id, n""",
     // NOTE: like multimodal_decode's oracle, this relies on the test

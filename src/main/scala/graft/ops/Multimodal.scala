@@ -96,7 +96,8 @@ object Multimodal {
     * band-luminance features).
     */
   case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
-                           n_frames: Long, rms: Array[Double])
+                           n_frames: Long, rms: Array[Double],
+                           band_sumsq: Array[Long])
 
   /** Real WAV decode through the JDK's own codec
     * (javax.sound.sampled.AudioSystem — no external library): RIFF
@@ -104,19 +105,22 @@ object Multimodal {
     * frames accumulating per-band sum-of-squares in exact Long math;
     * band b of frame i is i*8/n (the same integer bucketing as the
     * frame sampler, so the SQL oracle reproduces it exactly).
-    * RMS_b = sqrt(sumsq_b / cnt_b) — the sums are integers < 2^53,
-    * so the double division and the correctly-rounded sqrt are
-    * bit-identical in every engine. None → caller falls back to the
-    * stub seam (truncated/corrupt/non-WAV bytes).
+    * RMS_b = sqrt(sumsq_b / cnt_b); the raw per-band sum-of-squares
+    * rides along as EXACT Longs — that integer form is what the hash
+    * oracle compares (a rounded double can land on a decimal-rounding
+    * boundary where Spark's shortest-repr rounding and the oracle's
+    * exact-binary rounding disagree by one ulp — observed once in
+    * 1.2M band values at 30x). None → caller falls back to the stub
+    * seam (truncated/corrupt/non-WAV bytes).
     */
-  private[ops] def decodeAudio(blob: Array[Byte]): Option[(Int, Int, Long, Array[Double])] = {
+  private[ops] def decodeAudio(blob: Array[Byte])
+      : Option[(Int, Int, Long, Array[Double], Array[Long])] = {
     def sig(off: Int, s: String) =
       blob.length >= off + s.length &&
         s.zipWithIndex.forall { case (c, i) => blob(off + i) == c.toByte }
     if (!(sig(0, "RIFF") && sig(8, "WAVE"))) return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(blob))
+      val ais = getWavStream(new java.io.ByteArrayInputStream(blob))
       try {
         val fmt = ais.getFormat
         if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
@@ -142,9 +146,38 @@ object Multimodal {
         val rms = Array.tabulate(8)(b =>
           if (cnts(b) == 0) 0.0
           else math.sqrt(sumsq(b).toDouble / cnts(b)))
-        Some((fmt.getSampleRate.toInt, channels, n, rms))
+        Some((fmt.getSampleRate.toInt, channels, n, rms, sumsq))
       } finally ais.close()
     } catch { case _: Exception => None }
+  }
+
+  /** The JDK's registered audio readers, resolved ONCE per JVM via
+    * the public SPI: `AudioSystem.getAudioInputStream` re-walks the
+    * provider registry (and pays an UnsupportedAudioFileException per
+    * non-matching provider) on EVERY call — measurable at corpus
+    * scale where the decode runs per row. The WAV-accepting reader is
+    * tried first; the full AudioSystem path remains the fallback so
+    * behavior is identical for any provider ordering.
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    // WAVE reader first: every blob this engine decodes is RIFF-probed
+    b.result().sortBy(r => !r.getClass.getName.toLowerCase.contains("wave"))
+  }
+
+  private def getWavStream(in: java.io.ByteArrayInputStream)
+      : javax.sound.sampled.AudioInputStream = {
+    audioReaders.foreach { r =>
+      try return r.getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          in.reset()
+      }
+    }
+    javax.sound.sampled.AudioSystem.getAudioInputStream(in)
   }
 
   /** Deterministic 16-bit mono PCM WAV synthesis from an id — the
@@ -210,8 +243,10 @@ object Multimodal {
         it.map { case (id, blob) =>
           val bytes = if (blob == null) Array.empty[Byte] else blob
           decodeAudio(bytes) match {
-            case Some((sr, ch, n, rms)) => AudioFeatures(id, sr, ch, n, rms)
-            case None => AudioFeatures(id, 0, 0, bytes.length, Array.empty)
+            case Some((sr, ch, n, rms, sq)) =>
+              AudioFeatures(id, sr, ch, n, rms, sq)
+            case None =>
+              AudioFeatures(id, 0, 0, bytes.length, Array.empty, Array.empty)
           }
         }
       }
