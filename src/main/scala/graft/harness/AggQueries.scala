@@ -280,6 +280,35 @@ object AggQueries {
         "lang", "n_chars",
         Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))),
 
+    // agg_quantiles at 100 TB, native form: approx_percentile
+    // (Greenwald-Khanna mergeable summary) next to the exact ranks.
+    // The exact path sorts every group; the GK path carries a
+    // bounded-size summary that combines map-side — the only
+    // quantile shape that survives a 100 TB value column. Like
+    // agg_hll_distinct, the engine-specific estimate collapses into
+    // an oracle-pinnable contract: GK with accuracy eps guarantees a
+    // value whose rank is within eps·n of the target, so the emitted
+    // booleans assert the estimate lies inside the exact
+    // [p-eps, p+eps] rank-quantile bracket.
+    "agg_approx_quantiles" -> ((s, d) => {
+      val eps = 0.05 // rank error: 1/accuracy, accuracy = 20
+      val docs = Tables.documents(s, d)
+      val exact = graft.ops.CorpusOps.rankQuantiles(docs, "lang", "n_chars",
+        Seq(("p50_lo", 45, 100), ("p50_hi", 55, 100),
+          ("p90_lo", 85, 100), ("p90_hi", 95, 100)))
+      docs.groupBy(col("lang"))
+        .agg(percentile_approx(col("n_chars"), lit(0.5),
+            lit((1 / eps).toInt)).as("e50"),
+          percentile_approx(col("n_chars"), lit(0.9),
+            lit((1 / eps).toInt)).as("e90"))
+        .join(exact, Seq("lang"))
+        .select(col("lang"), col("n"),
+          (col("e50") >= col("p50_lo") && col("e50") <= col("p50_hi"))
+            .as("p50_ok"),
+          (col("e90") >= col("p90_lo") && col("e90") <= col("p90_hi"))
+            .as("p90_ok"))
+    }),
+
     // §2.10 typed-Aggregator surface: the reference's copy_dict
     // recursive monoid merge (utils.py:4-18) as a case-class-buffer
     // Aggregator over a typed Dataset — counts add, decimal totals
@@ -542,6 +571,10 @@ object AggQueries {
          FROM lineitem""",
     "agg_histogram" ->
       "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+    "agg_approx_quantiles" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                TRUE AS p50_ok, TRUE AS p90_ok
+         FROM documents GROUP BY lang""",
     "agg_quantiles" ->
       """WITH r AS (SELECT lang, n_chars,
                            CAST(row_number() OVER (PARTITION BY lang

@@ -356,6 +356,56 @@ object TextQueries {
             .cast(DecimalType(12, 9))).cast("double"), 6).as("entropy"))
     }),
 
+    // Inverted-index build — the search-serving artifact: token →
+    // document frequency + ordered posting list (A7's grouped
+    // sort+concat shape on the token key). ONE distinct + ONE
+    // token-keyed shuffle; posting lists stay distributed one row per
+    // token. At corpus scale the known skew is the stop-word posting
+    // (a single giant row) — production shards hot postings by
+    // doc-range exactly like the lineage-rollup salt; the synthetic
+    // vocab has no such token so the plain shape is the honest one
+    // here.
+    "text_inverted_index" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"),
+          col("doc_id"))
+        .distinct()
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string"))).as("postings"))),
+
+    // tf-idf top terms per document — the classic relevance weight,
+    // computed the DSIR way for cross-engine exactness: idf =
+    // ln(N/df) rounded to 6dp as DECIMAL (vocab-sized, broadcast),
+    // score = tf · idf exact from there, cast to DOUBLE only at the
+    // edge. Shape: one token explode feeding two keyed aggs (tf per
+    // doc, df per token), the weight table broadcasts back onto the
+    // tf frame, and the per-doc top-3 is a bounded window.
+    "text_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      val tf = tok.groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val census = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val w = tok.select(col("doc_id"), col("t")).distinct()
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(census))
+        .select(col("t"),
+          round(log(col("nd") / col("df")), 6).cast(DecimalType(12, 6))
+            .as("w"))
+      tf.join(broadcast(w), Seq("t"))
+        .withColumn("score", (col("tf") * col("w")).cast("double"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("t"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("t").as("token"), col("tf"),
+          col("score"))
+    }),
+
     // Frequent tokens via the SpaceSaving sketch (kernels/
     // HeavyHitters.scala) — the mergeable frequent-items summary that
     // replaces a full token groupBy at corpus scale: every map task
@@ -740,6 +790,30 @@ object TextQueries {
                                      AS DECIMAL(12,9))) AS DOUBLE), 6)
                    AS entropy
           FROM cnt GROUP BY doc_id""",
+    "text_inverted_index" ->
+      s"""WITH t AS (SELECT DISTINCT u.t AS token, doc_id
+                     FROM documents, UNNEST($sqlToks) AS u(t))
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+          FROM t GROUP BY token""",
+    "text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, u.t AS t
+                       FROM documents, UNNEST($sqlToks) AS u(t)),
+          tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok
+                 GROUP BY doc_id, t),
+          census AS (SELECT COUNT(*) AS nd FROM documents),
+          dfc AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+          w AS (SELECT t, CAST(round(ln(CAST(nd AS DOUBLE) / df), 6)
+                               AS DECIMAL(12,6)) AS w
+                FROM dfc CROSS JOIN census),
+          sc AS (SELECT doc_id, tf.t AS token, tf,
+                        CAST(tf * w AS DOUBLE) AS score
+                 FROM tf JOIN w ON tf.t = w.t)
+          SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, token) AS rk FROM sc)
+          WHERE rk <= 3""",
     "text_heavy_hitters" ->
       s"""WITH tok AS (SELECT u.t AS token
                        FROM documents, UNNEST($sqlToks) AS u(t))

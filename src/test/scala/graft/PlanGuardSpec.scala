@@ -36,7 +36,8 @@ class PlanGuardSpec extends SparkSpec {
     "text_langid_ngram", "text_langid_sampled",
     "text_collocations", // single-row (NT, NB) census broadcast
     "sample_dsir", // single-row (tot_s, tot_t, V) census broadcast
-    "text_perplexity") // single-row vocabulary-size census broadcast
+    "text_perplexity", // single-row vocabulary-size census broadcast
+    "text_tfidf") // single-row corpus-count census broadcast
 
   test("no registered query plans a CartesianProduct or un-allowlisted BroadcastNestedLoopJoin") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
