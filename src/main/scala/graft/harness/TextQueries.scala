@@ -356,6 +356,38 @@ object TextQueries {
             .cast(DecimalType(12, 9))).cast("double"), 6).as("entropy"))
     }),
 
+    // URL canonicalization — the C4/web-pipeline dedup key: parse
+    // host/path/query with Spark's codegen'd parse_url builtin, strip
+    // tracking parameters (utm_*, ref) and sort the survivors so
+    // canonically-equal URLs compare equal. The corpus has no URL
+    // column, so URLs are planted deterministically from doc_id (the
+    // PII-query pattern); the oracle re-parses with RE2 regexes and
+    // list ops. Purely per-row — the projection rides the scan.
+    "text_url_normalize" -> ((s, d) => {
+      val url = concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p/"), (col("doc_id") % 100).cast("string"),
+        lit("?id="), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("&utm_source=feed&utm_campaign=x"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("&ref=partner")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("&page="), (col("doc_id") % 9).cast("string")))
+          .otherwise(lit("")))
+      val canonQ = array_join(array_sort(filter(
+        split(parse_url(col("url"), lit("QUERY")), "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("ref=")))), "&")
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          canonQ.as("canon_query"))
+        .withColumn("canon_url",
+          concat(lit("https://"), col("host"), col("path"),
+            when(length(col("canon_query")) > 0,
+              concat(lit("?"), col("canon_query"))).otherwise(lit(""))))
+    }),
+
     // Inverted-index build — the search-serving artifact: token →
     // document frequency + ordered posting list (A7's grouped
     // sort+concat shape on the token key). ONE distinct + ONE
@@ -790,6 +822,31 @@ object TextQueries {
                                      AS DECIMAL(12,9))) AS DOUBLE), 6)
                    AS entropy
           FROM cnt GROUP BY doc_id""",
+    "text_url_normalize" ->
+      """WITH planted AS (SELECT doc_id,
+              'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+              '?id=' || CAST(doc_id % 50 AS VARCHAR) ||
+              CASE WHEN doc_id % 2 = 0
+                   THEN '&utm_source=feed&utm_campaign=x' ELSE '' END ||
+              CASE WHEN doc_id % 3 = 0 THEN '&ref=partner' ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0
+                   THEN '&page=' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
+              AS url
+            FROM documents),
+          parsed AS (SELECT doc_id,
+              regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+              regexp_extract(url, 'https?://[^/]+([^?]*)', 1) AS path,
+              array_to_string(list_sort(list_filter(
+                string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+                p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))), '&')
+                AS canon_query
+            FROM planted)
+          SELECT doc_id, host, path, canon_query,
+                 'https://' || host || path ||
+                 CASE WHEN length(canon_query) > 0
+                      THEN '?' || canon_query ELSE '' END AS canon_url
+          FROM parsed""",
     "text_inverted_index" ->
       s"""WITH t AS (SELECT DISTINCT u.t AS token, doc_id
                      FROM documents, UNNEST($sqlToks) AS u(t))
