@@ -244,4 +244,14 @@ object Graft {
     * summary holds <= k distinct items (kernels/HeavyHitters.scala).
     */
   def heavyHitters(k: Int) = graft.kernels.HeavyHitters.spaceSaving(k)
+
+  /** Streaming windowed top-k: the SpaceSaving summary held as
+    * flatMapGroupsWithState state — k counters per open window, never
+    * the key universe (streaming/StreamTopK.scala; replay semantics
+    * pinned by StreamTopKSpec).
+    */
+  def streamTopK(events: Dataset[graft.streaming.StreamTopK.KeyedEvent],
+                 capacity: Int, topN: Int)
+      : Dataset[graft.streaming.StreamTopK.TopKOut] =
+    graft.streaming.StreamTopK.topkStream(events, capacity, topN)
 }
