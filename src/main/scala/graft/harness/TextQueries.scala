@@ -356,6 +356,34 @@ object TextQueries {
             .cast(DecimalType(12, 9))).cast("double"), 6).as("entropy"))
     }),
 
+    // Encoding-quality (mojibake) signal — the corrupt-decode filter
+    // every web-scraped corpus runs before training: count U+FFFD
+    // replacement characters (the tombstone a lossy charset decode
+    // leaves behind) and C0 control characters, flag documents whose
+    // ratio crosses the drop threshold. The ASCII corpus has neither,
+    // so both are planted deterministically from doc_id (the PII
+    // pattern); per-row regexp_count rides the scan.
+    "text_mojibake" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" br"), lit("�"), lit("ken"),
+              when(col("doc_id") % 8 === 0, lit("��"))
+                .otherwise(lit("")))).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit(Seq(7, 1).map(_.toChar).mkString)).otherwise(lit("")))
+          .as("text"))
+      planted.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit("�")).cast("long")
+          .as("n_replacement"),
+        regexp_count(col("text"), lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+          .cast("long").as("n_control"))
+        .withColumn("bad_ratio",
+          round((col("n_replacement") + col("n_control")) / col("n_chars"), 6))
+        .withColumn("keep", col("bad_ratio") < 0.005)
+    }),
+
     // URL canonicalization — the C4/web-pipeline dedup key: parse
     // host/path/query with Spark's codegen'd parse_url builtin, strip
     // tracking parameters (utm_*, ref) and sort the survivors so
@@ -822,6 +850,29 @@ object TextQueries {
                                      AS DECIMAL(12,9))) AS DOUBLE), 6)
                    AS entropy
           FROM cnt GROUP BY doc_id""",
+    "text_mojibake" ->
+      """WITH planted AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 4 = 0
+                 THEN ' br' || chr(65533) || 'ken' ||
+                      CASE WHEN doc_id % 8 = 0
+                           THEN chr(65533) || chr(65533) ELSE '' END
+                 ELSE '' END ||
+            CASE WHEN doc_id % 9 = 0 THEN chr(7) || chr(1) ELSE '' END
+              AS text
+          FROM documents),
+          counted AS (SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT)
+                AS n_replacement,
+              CAST(len(regexp_extract_all(text,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control
+            FROM planted)
+          SELECT doc_id, n_chars, n_replacement, n_control,
+                 round((n_replacement + n_control) / CAST(n_chars AS DOUBLE), 6)
+                   AS bad_ratio,
+                 round((n_replacement + n_control) / CAST(n_chars AS DOUBLE), 6)
+                   < CAST(0.005 AS DOUBLE) AS keep
+          FROM counted""",
     "text_url_normalize" ->
       """WITH planted AS (SELECT doc_id,
               'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
