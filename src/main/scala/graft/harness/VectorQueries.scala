@@ -169,6 +169,32 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Scalar int8 quantization of the embedding column — the storage
+    // path for a 100 TB vector corpus (4x smaller than float32, 1.6x
+    // smaller than PQ codes at these dims, and dot products stay
+    // SIMD-able): per-vector symmetric scale q_i = round(127·x_i /
+    // max|x|), emitted with the scale and a reconstruction-error
+    // bracket the oracle pins (|x_i − q_i·s| <= max|x|/253 by
+    // construction, slack over the tight /254 for fp noise). Purely
+    // per-row; the projection rides the scan.
+    "vector_quantize_int8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val maxabs = array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      val q = transform(col("embedding"),
+        x => round(x.cast("double") * lit(127.0) / col("maxabs"))
+          .cast("int"))
+      val err = array_max(zip_with(col("embedding"), col("q"),
+        (x, qi) => abs(x.cast("double") -
+          qi.cast("double") * col("maxabs") / lit(127.0))))
+      emb.select(col("vec_id"), col("embedding"), maxabs.as("maxabs"))
+        .withColumn("q", q)
+        .select(col("vec_id"),
+          round(col("maxabs"), 6).as("scale_maxabs"),
+          concat_ws(",", transform(col("q"), _.cast("string"))).as("q_csv"),
+          (err <= col("maxabs") / lit(253.0)).as("quant_ok"))
+    }),
+
     // ANN baseline: 50 query vectors against the full corpus, top-5
     // by (rounded cosine desc, vec_id) — the query side is broadcast,
     // the corpus streams, so the plan scales with corpus size only.
@@ -457,6 +483,17 @@ object VectorQueries {
               WHERE rk <= 5)"""
 
   val oracle: Map[String, String] = Map(
+    "vector_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+                list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+              FROM embeddings)
+         SELECT vec_id, round(maxabs, 6) AS scale_maxabs,
+                array_to_string(list_transform(embedding,
+                  x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs, 0)
+                            AS INT) AS VARCHAR)), ',') AS q_csv,
+                TRUE AS quant_ok
+         FROM m""",
     "ann_pq_topk" ->
       s"WITH $pqCtes SELECT qid, vec_id, dist, rk FROM pq",
     "ann_pq_recall" ->
