@@ -195,6 +195,36 @@ object VectorQueries {
           (err <= col("maxabs") / lit(253.0)).as("quant_ok"))
     }),
 
+    // Search over the QUANTIZED corpus — the serving half of the int8
+    // story: integer dot products (exact Longs, SIMD-able at scale)
+    // ranked by idot·scale_c (the query's own scale is constant per
+    // group and drops out of the ordering). The emitted columns are
+    // the exact integer dot and the rank — no rounded double ever
+    // reaches the hash compare (the SCALE.md r9 determinism rule).
+    // Shape matches the float brute-force baseline: 50 quantized
+    // queries broadcast, corpus streams.
+    "ann_int8_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      def quantized(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("ma", array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))))
+        .withColumn("q", transform(col("embedding"),
+          x => round(x.cast("double") * lit(127.0) / col("ma")).cast("int")))
+      val corpus = quantized(emb).select(col("vec_id"), col("ma"), col("q"))
+      val qs = quantized(emb.filter(col("vec_id") < 50))
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      qs.crossJoin(corpus)
+        .withColumn("idot", aggregate(
+          zip_with(col("qq"), col("q"), (a, b) => (a * b).cast("long")),
+          lit(0L), _ + _))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy((col("idot").cast("double") * col("ma")).desc,
+            col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"), col("idot"), col("rk"))
+    }),
+
     // ANN baseline: 50 query vectors against the full corpus, top-5
     // by (rounded cosine desc, vec_id) — the query side is broadcast,
     // the corpus streams, so the plan scales with corpus size only.
@@ -494,6 +524,28 @@ object VectorQueries {
                             AS INT) AS VARCHAR)), ',') AS q_csv,
                 TRUE AS quant_ok
          FROM m""",
+    "ann_int8_topk" ->
+      """WITH m AS (SELECT vec_id, embedding,
+                list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS ma
+              FROM embeddings),
+          qz AS (SELECT vec_id, ma,
+                list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / ma, 0) AS INT))
+                  AS q
+              FROM m),
+          pairs AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, b.ma AS ma,
+                CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                      CAST(b.q AS DOUBLE[])) AS BIGINT)
+                  AS idot
+              FROM qz a CROSS JOIN qz b
+              WHERE a.vec_id < 50),
+          ranked AS (SELECT qid, vec_id, idot,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY CAST(idot AS DOUBLE) * ma DESC, vec_id) AS INT)
+                  AS rk
+              FROM pairs)
+          SELECT qid, vec_id, idot, rk FROM ranked WHERE rk <= 5""",
     "ann_pq_topk" ->
       s"WITH $pqCtes SELECT qid, vec_id, dist, rk FROM pq",
     "ann_pq_recall" ->

@@ -30,6 +30,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
     "ann_ivf_recall", "ann_ivf_nprobe_recall", "ann_lsh_topk",
     "ann_pq_recall", // exact-L2 ground truth: 50-query broadcast cross
+    "ann_int8_topk", // quantized brute force: 50-query broadcast cross
     "dedup_semantic", // kmeans cell assignment: <=8-row centroid cross
 
     "agg_having_regroup", "sample_temperature", "join_asof",
