@@ -117,6 +117,30 @@ object SampleQueries {
         .limit(WeightedN)
     }),
 
+    // Explicit-weight data mixing — the "mixture spec" step of a
+    // pretraining run (40% src0, 30% src1, ...), distinct from
+    // temperature sampling (which derives weights from corpus counts):
+    // the target proportions are GIVEN, and each source's hash-keep
+    // threshold is solved from its census so the kept set lands on
+    // the spec at the configured budget. One tiny per-source census
+    // broadcast back onto the scan — the document side never
+    // shuffles, identical to the temperature plan shape.
+    "sample_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wExpr = MixWeights.foldLeft(lit(0.0)) {
+        case (acc, (src, w)) => when(col("source") === src, w).otherwise(acc)
+      }
+      val census = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_tot"))))
+        .select(col("source"),
+          round(lit(256.0) * MixBudget * wExpr * col("n_tot") / col("n_s"), 6)
+            .as("thresh"))
+      docs.withColumn("hv", hv("mixw1"))
+        .join(broadcast(census), Seq("source"))
+        .filter(col("hv") < col("thresh"))
+        .select(col("doc_id"), col("source"), col("hv"), col("thresh"))
+    }),
+
     // Deterministic pre-training shuffle: every document gets a
     // (shard, pos) assignment that is a pure function of its id —
     // shard from the salted-hash first byte, within-shard order
@@ -170,6 +194,10 @@ object SampleQueries {
   private val DsirN = 100 // docs kept by importance rank (sample_dsir)
   private val WeightedN = 150 // docs drawn without replacement (sample_weighted)
   private val ShuffleShards = 8 // training shards (sample_shuffle_shards)
+  // target mixture proportions + global keep budget (sample_mixture)
+  private val MixWeights = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.1,
+    "src3" -> 0.05, "src4" -> 0.05, "src5" -> 0.05, "src6" -> 0.05)
+  private val MixBudget = 0.2
 
   private def hvSql(salt: String) =
     s"""(instr('0123456789abcdef',
@@ -188,6 +216,22 @@ object SampleQueries {
           FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
                   ORDER BY hv, doc_id) AS rk FROM h)
           WHERE rk <= $StratumK""",
+    "sample_mixture" -> {
+      val values = MixWeights
+        .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents
+                     GROUP BY source),
+          t AS (SELECT COUNT(*) AS n_tot FROM documents),
+          w(source, w) AS (VALUES $values),
+          th AS (SELECT c.source,
+                        round(256.0 * CAST($MixBudget AS DOUBLE) * w
+                              * n_tot / n_s, 6) AS thresh
+                 FROM c JOIN w USING (source) CROSS JOIN t),
+          h AS (SELECT doc_id, source, ${hvSql("mixw1")} AS hv
+                FROM documents)
+          SELECT doc_id, h.source, hv, thresh
+          FROM h JOIN th USING (source) WHERE hv < thresh"""
+    },
     "sample_shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id,
                             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h

@@ -33,7 +33,8 @@ class PlanGuardSpec extends SparkSpec {
     "ann_int8_topk", // quantized brute force: 50-query broadcast cross
     "dedup_semantic", // kmeans cell assignment: <=8-row centroid cross
 
-    "agg_having_regroup", "sample_temperature", "join_asof",
+    "agg_having_regroup", "sample_temperature", "sample_mixture",
+    "join_asof",
     "text_langid_ngram", "text_langid_sampled",
     "text_collocations", // single-row (NT, NB) census broadcast
     "sample_dsir", // single-row (tot_s, tot_t, V) census broadcast
