@@ -241,7 +241,10 @@ object Graft {
 
   /** SpaceSaving frequent-items summary (k counters per map task,
     * one k-entry state per partition on the shuffle); exact while a
-    * summary holds <= k distinct items (kernels/HeavyHitters.scala).
+    * summary holds <= k distinct items, and in the over-capacity
+    * regime the over-estimate bracket true <= est <= true + err
+    * survives every partial-aggregation merge (lossy summaries
+    * min-offset absent items — kernels/HeavyHitters.scala).
     */
   def heavyHitters(k: Int) = graft.kernels.HeavyHitters.spaceSaving(k)
 

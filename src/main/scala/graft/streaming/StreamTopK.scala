@@ -26,7 +26,6 @@ object StreamTopK {
 
   def topkStream(events: Dataset[KeyedEvent], capacity: Int,
                  topN: Int): Dataset[TopKOut] = {
-    val agg = HeavyHitters.spaceSaving(capacity)
     implicit val outEnc = Encoders.product[TopKOut]
     implicit val stateEnc = Encoders.product[HeavyHitters.SsBuf]
     implicit val keyEnc = Encoders.scalaLong
@@ -34,11 +33,15 @@ object StreamTopK {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (w: Long, it: Iterator[KeyedEvent],
          state: GroupState[HeavyHitters.SsBuf]) =>
-          val buf = it.foldLeft(state.getOption.getOrElse(agg.zero))(
-            (b, e) => agg.reduce(b, e.key))
+          // rehydrate the mutable Stream-Summary from the row-encoded
+          // state, fold the batch through it, persist the wire form
+          val sum = HeavyHitters.Summary.fromBuf(capacity,
+            state.getOption.getOrElse(HeavyHitters.SsBuf(Nil, lossy = false)))
+          it.foreach(e => sum.add(e.key))
+          val buf = sum.toBuf
           state.update(buf)
           val total = buf.entries.map(_.count).sum
-          agg.finish(buf).take(topN).zipWithIndex.map { case (e, i) =>
+          buf.entries.take(topN).zipWithIndex.map { case (e, i) =>
             TopKOut(w, i + 1, e.token, e.count, e.err, total)
           }.iterator
       }

@@ -59,6 +59,68 @@ class HeavyHittersSpec extends SparkSpec {
     assert(out.exists(_._1 === "tok000"), "top item evicted")
   }
 
+  test("merge min-offsets items absent from a lossy summary (no under-estimate)") {
+    // substream X: k=2 sketch evicts 'b' (true count 5) and forgets it;
+    // substream Y sees one more 'b'. A naive count-summing merge would
+    // report b=1 against a true total of 6 — the mergeable-summaries
+    // composition must add X's min count as offset instead.
+    val agg = HeavyHitters.spaceSaving(2)
+    val xs = Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(6)("c")
+    val ys = Seq("b")
+    val truth = (xs ++ ys).groupBy(identity).map { case (t, v) => (t, v.size.toLong) }
+    val merged = agg.finish(agg.merge(
+      xs.foldLeft(agg.zero)(agg.reduce),
+      ys.foldLeft(agg.zero)(agg.reduce)))
+    assert(merged.size <= 2)
+    merged.foreach { e =>
+      val actual = truth(e.token)
+      assert(e.count >= actual,
+        s"${e.token}: merged est ${e.count} under-counts true $actual")
+      assert(e.count - e.err <= actual,
+        s"${e.token}: bracket violated (est ${e.count}, err ${e.err}, true $actual)")
+    }
+    // both directions of the one-sided offset
+    val agg2 = HeavyHitters.spaceSaving(2)
+    val merged2 = agg2.finish(agg2.merge(
+      ys.foldLeft(agg2.zero)(agg2.reduce),
+      xs.foldLeft(agg2.zero)(agg2.reduce)))
+    merged2.foreach { e =>
+      val actual = truth(e.token)
+      assert(e.count >= actual && e.count - e.err <= actual, s"${e.token}")
+    }
+  }
+
+  test("merge of exact (non-lossy) summaries stays exact — no spurious offsets") {
+    val agg = HeavyHitters.spaceSaving(8)
+    val xs = Seq("a", "a", "b")
+    val ys = Seq("c", "c", "c", "a")
+    val truth = (xs ++ ys).groupBy(identity).map { case (t, v) => (t, v.size.toLong) }
+    val out = agg.finish(agg.merge(
+      xs.foldLeft(agg.zero)(agg.reduce),
+      ys.foldLeft(agg.zero)(agg.reduce)))
+    assert(out.size === 3)
+    out.foreach { e =>
+      assert(e.err === 0L, s"${e.token}: exact merge must carry zero error")
+      assert(e.count === truth(e.token), s"${e.token}")
+    }
+  }
+
+  test("eviction-heavy regime: vocab >> k, bracket holds and top item survives") {
+    // vocabulary far beyond capacity so eviction fires on most tokens —
+    // the regime the harness corpus never reaches (31-token vocab)
+    val data = skewed(5000, 20000, 7)
+    val truth = data.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val agg = HeavyHitters.spaceSaving(64)
+    val out = agg.finish(data.foldLeft(agg.zero)(agg.reduce))
+    assert(out.size === 64)
+    out.foreach { e =>
+      val actual = truth(e.token)
+      assert(e.count >= actual && e.count - e.err <= actual,
+        s"${e.token}: est ${e.count}, err ${e.err}, true $actual")
+    }
+    assert(out.exists(_.token === "tok000"), "heaviest item evicted")
+  }
+
   test("single-partition sequential sketch honors the same bracket") {
     val data = skewed(40, 800, 3)
     val truth = data.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
