@@ -24,13 +24,23 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding` gets a tiny first-component nudge per
   *    replica so replicas are near but not exact neighbors.
   *
-  * Usage: ScaleUp <srcDir> <outDir> [factor=10]
+  * Usage: ScaleUp <srcDir> <outDir> [factor=10] [mode=fixed|vocab]
+  *
+  * `vocab` mode additionally scales the documents token VOCABULARY
+  * with the corpus (suffix = replica + doc_id%256, so distinct
+  * tokens ~ 31 x factor x 256 instead of 31 x factor): replica 0
+  * keeps the original heavy tokens while replicas i>0 contribute a
+  * long tail of rare tokens, which pushes the sketch family
+  * (SpaceSaving, KMV, HLL) out of its exact/under-capacity regime —
+  * the stress the fixed-vocab rehearsal can never produce (31 x 30
+  * = 930 < k = 4096 even at 30x).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val vocabMode = args.lift(3).contains("vocab")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -92,9 +102,19 @@ object ScaleUp {
       Map("doc_id" -> stride(documents, "doc_id")),
       (d, i) =>
         if (i == 0) d
-        else d.withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", "$1" + i.toString))
-          .withColumn("n_chars", length(col("text")).cast("long"))))
+        else {
+          val suffixed =
+            if (vocabMode)
+              // vocab ~ corpus size: every (replica, doc_id%256) pair
+              // mints its own 31-token dialect
+              d.withColumn("text", regexp_replace(col("text"),
+                lit("(\\S+)"), concat(lit("$1" + i.toString + "v"),
+                  pmod(col("doc_id"), lit(256)).cast("string"))))
+            else
+              d.withColumn("text",
+                regexp_replace(col("text"), "(\\S+)", "$1" + i.toString))
+          suffixed.withColumn("n_chars", length(col("text")).cast("long"))
+        }))
     write("embeddings", replicate(embeddings,
       Map("vec_id" -> stride(embeddings, "vec_id")),
       (d, i) =>

@@ -108,6 +108,31 @@ object DedupQueries {
       graft.ops.Graphs.connectedComponents(pairs, "da", "db")
     }
 
+  /** (doc_id, minhash signature) — the K md5-min hashes over the
+    * shingle ids, shared by the LSH band join and the incremental
+    * ingest query. The shingle id IS the 52-bit hash — the k min
+    * aggs are pure multiply-add arithmetic, no digest work at all.
+    */
+  private def minhashFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "minhash_sig") {
+      graft.ops.CorpusOps.minhashSignatures(shingleFrame(s, d), "doc_id", K)
+    }
+
+  /** Materialize this family's shared frames up front — the Bench
+    * preamble (SparkEntry.preambles): the build cost lands on one
+    * named warm row instead of whichever consumer happens to run
+    * first alphabetically in the census (r9's recorded
+    * dedup_incremental "regression" was exactly the minhash frame
+    * build landing on it).
+    */
+  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
+    shingleFrame(s, d)
+    minhashFrame(s, d)
+    simhashFrame(s, d)
+    componentsFrame(s, d)
+    ()
+  }
+
   /** (doc_id, sig) — SimBits-wide SimHash signature per document,
     * shared by the exact-cluster and hamming-radius queries.
     */
@@ -161,11 +186,7 @@ object DedupQueries {
     // the scale path: only documents sharing a band bucket ever meet.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh = shingleFrame(s, d)
-      val sig = cachedFrame(s, d, "minhash_sig") {
-        // the shingle id IS the 52-bit hash — the k min aggs are pure
-        // multiply-add arithmetic, no digest work at all
-        graft.ops.CorpusOps.minhashSignatures(sh, "doc_id", K)
-      }
+      val sig = minhashFrame(s, d)
       jaccardPairs(sh,
         graft.ops.CorpusOps.lshCandidates(sig, "doc_id", BANDS, K / BANDS))
     }),
@@ -278,10 +299,7 @@ object DedupQueries {
       val exactHit = fp(incoming)
         .join(fp(existing).select(col("fp")).distinct(), Seq("fp"))
         .select(col("doc_id"), lit("exact").as("reason"))
-      val sh = shingleFrame(s, d)
-      val sig = cachedFrame(s, d, "minhash_sig") {
-        graft.ops.CorpusOps.minhashSignatures(sh, "doc_id", K)
-      }
+      val sig = minhashFrame(s, d)
       val bands = sig.select(col("doc_id"),
         explode(TextOps.bandKeys(BANDS, K / BANDS)).as("bk"))
       val ids = docs.select(col("doc_id"), col("__hv"))

@@ -69,13 +69,15 @@ object GraphQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nodes = deg.select(col("src").as("node"), col("deg"))
       val n = nodes.count()
-      var ranks = nodes.select(col("node"),
+      // the rank frame CARRIES each node's degree across iterations,
+      // so the contribution stage is one join (edges × ranks), not
+      // two — the degree rides along for free through the rebuild
+      // because `nodes` already holds it
+      var ranks = nodes.select(col("node"), col("deg"),
         round(lit(1.0) / n, 9).as("rank"))
       for (_ <- 1 to PrIters) {
         val contrib = edges
-          .join(ranks.join(deg, ranks("node") === deg("src"))
-            .select(col("node"), col("rank"), col("deg")),
-            edges("src") === col("node"))
+          .join(ranks, edges("src") === ranks("node"))
           .select(col("dst"),
             round(col("rank") / col("deg"), 12)
               .cast(DecimalType(28, 12)).as("c"))
@@ -83,7 +85,7 @@ object GraphQueries {
           .agg(sum(col("c")).cast("double").as("inflow"))
         ranks = nodes
           .join(contrib, nodes("node") === contrib("dst"), "left_outer")
-          .select(nodes("node"),
+          .select(nodes("node"), nodes("deg"),
             round(lit(1 - PrDamp) / n +
               lit(PrDamp) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
           .localCheckpoint(true)
@@ -92,7 +94,7 @@ object GraphQueries {
       // can release immediately
       edges.unpersist(blocking = false)
       deg.unpersist(blocking = false)
-      ranks
+      ranks.select(col("node"), col("rank"))
     }),
 
     // Triangle census over the co-occurrence BACKBONE: part buckets

@@ -131,13 +131,19 @@ object StreamQueries {
     // The key is (event_type, event_id mod 1000), a genuinely
     // colliding content key; counting per type is key-deterministic
     // even though WHICH colliding row survives depends on arrival
-    // order.
+    // order. The oracle (COUNT DISTINCT over the whole stream) is
+    // only batch-layout independent if no key's state expires before
+    // the drain finishes — a 2h delay would re-count recurring keys
+    // under any multi-batch split — so the gated instance pins the
+    // delay beyond the generator's full 30-day event span; a
+    // production deployment tunes the delay to its dedup horizon and
+    // accepts re-counts past it (that IS the primitive's contract).
     "stream_dropdup_watermark" -> ((s, d) => {
       val name = "stream_dropdup_wm_mem"
       val sess = streamSession(s)
       val agg = EventsStream.readStream(sess, d)
         .withColumn("dup_key", pmod(col("event_id"), lit(1000L)))
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", "45 days")
         .dropDuplicatesWithinWatermark("event_type", "dup_key")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_keys"))
@@ -205,6 +211,40 @@ object StreamQueries {
       sess.streams.resetTerminated()
       // a doc collides with the same representative in several bands
       s.read.parquet(s"$outDir/data").distinct()
+    }),
+
+    // Streaming windowed top-k (graft.streaming.StreamTopK): one
+    // SpaceSaving summary per open hour-window held as
+    // flatMapGroupsWithState state — k counters per window, never the
+    // key universe. Every batch re-emits the window's current top-5
+    // tagged with the processed total, so the drain dedupes exactly
+    // with max-n_processed-per-window (StreamTopKSpec pins the
+    // multi-batch/restart semantics). Keys are user_id mod 99 — 99
+    // distinct keys per window, far under capacity 4096, so the
+    // sketch runs in its provably exact regime and the oracle pins
+    // the true counts (and err = 0).
+    "stream_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val name = "stream_topk_mem"
+      val sess = streamSession(s)
+      import sess.implicits._
+      val events = EventsStream.readStream(sess, d)
+        .select(unix_micros(date_trunc("hour", col("ts"))).as("window_us"),
+          pmod(col("user_id"), lit(99L)).cast("string").as("key"))
+        .as[graft.streaming.StreamTopK.KeyedEvent]
+      val topk = graft.streaming.StreamTopK
+        .topkStream(events, capacity = 4096, topN = 5)
+      val q = topk.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drained(s, sess, name)
+        .withColumn("mx", max(col("n_processed")).over(
+          Window.partitionBy(col("window_us"))))
+        .filter(col("n_processed") === col("mx"))
+        .select(
+          date_format(timestamp_micros(col("window_us")),
+            "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("rank").as("rk"), col("key"), col("est").as("n"), col("err"))
     }),
 
     // Custom stateful streaming: gap sessionization per user via
@@ -288,6 +328,18 @@ object StreamQueries {
           SELECT DISTINCT a.doc_id AS dup_id, b2.rep AS rep_id
           FROM bands a JOIN b2 USING (bk) WHERE a.doc_id > b2.rep"""
     },
+    "stream_topk" ->
+      """WITH k AS (SELECT date_trunc('hour', ts) AS w,
+                           CAST(user_id % 99 AS VARCHAR) AS key
+                    FROM events),
+          c AS (SELECT w, key, COUNT(*) AS n FROM k GROUP BY w, key),
+          r AS (SELECT w, key, n,
+                       CAST(row_number() OVER (PARTITION BY w
+                         ORDER BY n DESC, key) AS INT) AS rk
+                FROM c)
+          SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, rk, key, n,
+                 CAST(0 AS BIGINT) AS err
+          FROM r WHERE rk <= 5""",
     "stream_sessionize" ->
       """WITH l AS (SELECT user_id, ts,
                            CASE WHEN lag(ts) OVER w IS NULL

@@ -104,6 +104,70 @@ object VectorQueries {
       .select("qid", "vec_id", "cell", "sim", "rk")
   }
 
+  /** The cell-probed int8 search — the serving composition of the two
+    * halves the family already had: IVF cells bound WHICH vectors a
+    * query meets (nprobe of the refined k-means cells, reusing the
+    * shared centroid frame), int8 codes bound WHAT each meeting costs
+    * (an exact integer dot over 4x-compressed codes). The quantizer
+    * runs on the assignment frame's own double vectors, so no second
+    * corpus-wide join is needed: one broadcast centroid cross for the
+    * assignment, one cell-blocked equi-join for the search — no BNLJ
+    * anywhere in the plan, unlike the exhaustive `ann_int8_topk`
+    * ranking-kernel demo this supersedes at serving time.
+    */
+  /** The exhaustive int8 ranking (50 broadcast queries × streaming
+    * corpus): the exact search the probed variant approximates — the
+    * ranking-kernel demo AND the recall ground truth.
+    */
+  private def int8ExhaustiveTopk(s: SparkSession, d: String,
+                                 excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    def quantized(df: DataFrame) = df
+      .withColumn("ma", array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))))
+      .withColumn("q", transform(col("embedding"),
+        x => round(x.cast("double") * lit(127.0) / col("ma")).cast("int")))
+    val corpus = quantized(emb).select(col("vec_id"), col("ma"), col("q"))
+    val qs = quantized(emb.filter(col("vec_id") < 50))
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val pairs = qs.crossJoin(corpus)
+    (if (excludeSelf) pairs.filter(col("vec_id") =!= col("qid")) else pairs)
+      .withColumn("idot", aggregate(
+        zip_with(col("qq"), col("q"), (a, b) => (a * b).cast("long")),
+        lit(0L), _ + _))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy((col("idot").cast("double") * col("ma")).desc,
+          col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"), col("idot"), col("rk"))
+  }
+
+  private def int8IvfTopk(s: SparkSession, d: String,
+                          nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a1 = assign(embFrame(s, d), ivfCentroids(s, d), nprobe)
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", transform(col("v"),
+        x => round(x * lit(127.0) / col("ma")).cast("int")))
+    val corpus = a1.filter(col("rc") === 1)
+      .select(col("vec_id"), col("cell"), col("ma"), col("q"))
+    val qp = a1.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("cell"), col("q").as("qq"))
+    // corpus vector in exactly one cell, probed cells distinct → each
+    // (query, corpus) pair meets at most once (the ivfKmeansTopk rule)
+    corpus.join(qp, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("idot", aggregate(
+        zip_with(col("qq"), col("q"), (a, b) => (a * b).cast("long")),
+        lit(0L), _ + _))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy((col("idot").cast("double") * col("ma")).desc,
+          col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select("qid", "vec_id", "cell", "idot", "rk")
+  }
+
   // ---- product quantization (PQ) ----------------------------------
   // The memory-compression ANN path: each 64-dim vector becomes NSub=4
   // codes into 16-entry per-subspace codebooks (16 bytes → 4 codes),
@@ -168,6 +232,21 @@ object VectorQueries {
     VectorOps.pqSearchTopK(pqEncoded(s, d), dtab, "vec_id", 5)
   }
 
+  /** Materialize this family's shared frames up front — the Bench
+    * preamble (SparkEntry.preambles): refined IVF centroids, the PQ
+    * codebook, and the encoded PQ corpus all feed several queries
+    * each, and building them here puts the cost on one named warm
+    * row instead of the family's alphabetically-first consumer
+    * (r9 recorded ann_int8... / ann_ivf_kmeans_topk noise was this
+    * attribution).
+    */
+  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
+    ivfCentroids(s, d)
+    pqCodebook(s, d)
+    pqEncoded(s, d)
+    ()
+  }
+
   val queries: Map[String, Q] = Map(
     // Scalar int8 quantization of the embedding column — the storage
     // path for a 100 TB vector corpus (4x smaller than float32, 1.6x
@@ -203,26 +282,33 @@ object VectorQueries {
     // reaches the hash compare (the SCALE.md r9 determinism rule).
     // Shape matches the float brute-force baseline: 50 quantized
     // queries broadcast, corpus streams.
-    "ann_int8_topk" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val emb = Tables.embeddings(s, d)
-      def quantized(df: org.apache.spark.sql.DataFrame) = df
-        .withColumn("ma", array_max(transform(col("embedding"),
-          x => abs(x.cast("double")))))
-        .withColumn("q", transform(col("embedding"),
-          x => round(x.cast("double") * lit(127.0) / col("ma")).cast("int")))
-      val corpus = quantized(emb).select(col("vec_id"), col("ma"), col("q"))
-      val qs = quantized(emb.filter(col("vec_id") < 50))
-        .select(col("vec_id").as("qid"), col("q").as("qq"))
-      qs.crossJoin(corpus)
-        .withColumn("idot", aggregate(
-          zip_with(col("qq"), col("q"), (a, b) => (a * b).cast("long")),
-          lit(0L), _ + _))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
-          .orderBy((col("idot").cast("double") * col("ma")).desc,
-            col("vec_id"))))
-        .filter(col("rk") <= 5)
-        .select(col("qid"), col("vec_id"), col("idot"), col("rk"))
+    "ann_int8_topk" -> ((s, d) =>
+      int8ExhaustiveTopk(s, d).select("qid", "vec_id", "idot", "rk")),
+
+    // The int8 SERVING plan: quantized codes ranked by exact integer
+    // dot, but only within the query's nprobe=2 refined IVF cells —
+    // the composition that makes int8 usable at 100 TB (the
+    // exhaustive ann_int8_topk demo scans the whole corpus per
+    // query; this scans the probed fraction, via plain equi-joins).
+    "ann_int8_ivf_topk" -> ((s, d) => int8IvfTopk(s, d)),
+
+    // Recall@5 of the cell-probed int8 search against the exhaustive
+    // int8 ranking it approximates — isolates the probe loss (the
+    // quantization loss is ann_pq_recall's jurisdiction; here both
+    // sides rank with the same integer dots).
+    "ann_int8_ivf_recall" -> ((s, d) => {
+      val bf = int8ExhaustiveTopk(s, d, excludeSelf = true)
+        .select(col("qid"), col("vec_id"))
+      val iv = int8IvfTopk(s, d)
+        .select(col("qid").as("__q"), col("vec_id").as("__v"))
+      bf.join(iv, col("qid") === col("__q") && col("vec_id") === col("__v"),
+          "left_outer")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("n_expected"),
+          sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_queries"), col("n_expected"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_expected"), 6)
+            .as("recall"))
     }),
 
     // ANN baseline: 50 query vectors against the full corpus, top-5
@@ -461,6 +547,36 @@ object VectorQueries {
 
   private val ivfKmeansCtes = s"$ivfSharedCtes,\n ${ivfProbeCtes(2, "")}"
 
+  /** int8-over-IVF oracle: the shared refined-IVF CTEs (a1 = nprobe
+    * ranks, asgc = one-cell corpus) plus the int8 quantizer applied
+    * to the same double vectors, dot products exact in BIGINT.
+    */
+  private val int8IvfCtes =
+    s"""$ivfSharedCtes,
+       qz0 AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS ma
+               FROM e),
+       qz AS (SELECT vec_id, ma,
+                     list_transform(v,
+                       x -> CAST(round(x * 127.0 / ma, 0) AS INT)) AS q
+              FROM qz0),
+       i8c AS (SELECT a.vec_id, a.cell, z.ma, z.q
+               FROM asgc a JOIN qz z USING (vec_id)),
+       i8q AS (SELECT a1.vec_id AS qid, a1.cid AS cell, z.q AS qq
+               FROM a1 JOIN qz z ON a1.vec_id = z.vec_id
+               WHERE a1.rc <= 2 AND a1.vec_id < 50),
+       i8p AS (SELECT qid, c.vec_id, c.cell, c.ma,
+                      CAST(list_dot_product(CAST(qq AS DOUBLE[]),
+                                            CAST(c.q AS DOUBLE[])) AS BIGINT)
+                        AS idot
+               FROM i8q JOIN i8c c USING (cell)
+               WHERE c.vec_id <> qid),
+       i8rank AS (SELECT qid, vec_id, cell, idot,
+                         CAST(row_number() OVER (PARTITION BY qid
+                           ORDER BY CAST(idot AS DOUBLE) * ma DESC, vec_id)
+                           AS INT) AS rk
+                  FROM i8p)"""
+
   /** Shared PQ oracle CTEs, mirroring subFrame → pqDistances →
     * pqEncoded → pqTopk stage by stage. list_reduce is a left fold
     * over the same element order as the Spark zip_with/aggregate pair,
@@ -546,6 +662,31 @@ object VectorQueries {
                   AS rk
               FROM pairs)
           SELECT qid, vec_id, idot, rk FROM ranked WHERE rk <= 5""",
+    "ann_int8_ivf_topk" ->
+      s"""WITH $int8IvfCtes
+          SELECT qid, vec_id, cell, idot, rk FROM i8rank WHERE rk <= 5""",
+    "ann_int8_ivf_recall" ->
+      s"""WITH $int8IvfCtes,
+          i8iv AS (SELECT qid, vec_id FROM i8rank WHERE rk <= 5),
+          fp AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, b.ma AS ma,
+                        CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                              CAST(b.q AS DOUBLE[])) AS BIGINT)
+                          AS idot
+                 FROM qz a CROSS JOIN qz b
+                 WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id),
+          bf AS (SELECT qid, vec_id
+                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY CAST(idot AS DOUBLE) * ma DESC, vec_id) AS rk
+                       FROM fp)
+                 WHERE rk <= 5)
+          SELECT COUNT(DISTINCT bf.qid) AS n_queries,
+                 COUNT(*) AS n_expected,
+                 CAST(SUM(CASE WHEN i8iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hit,
+                 round(CAST(SUM(CASE WHEN i8iv.vec_id IS NOT NULL THEN 1 ELSE 0
+                                END) AS DOUBLE) / COUNT(*), 6) AS recall
+          FROM bf LEFT JOIN i8iv
+            ON bf.qid = i8iv.qid AND bf.vec_id = i8iv.vec_id""",
     "ann_pq_topk" ->
       s"WITH $pqCtes SELECT qid, vec_id, dist, rk FROM pq",
     "ann_pq_recall" ->

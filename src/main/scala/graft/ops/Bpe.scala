@@ -81,6 +81,11 @@ object Bpe {
         merges += Merge(merges.length, l, r, n)
         val next = segs.map(ws => ws.copy(syms = mergePair(ws.syms, l, r)))
           .localCheckpoint(true)
+        // the new checkpoint is materialized (eager) and no longer
+        // reads from the previous round's blocks — release them, or
+        // block-manager storage grows O(rounds x vocab) over a
+        // realistic 10k-50k-merge training run
+        segs.unpersist(blocking = false)
         segs = next
       }
       round += 1

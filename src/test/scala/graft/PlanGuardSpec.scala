@@ -13,44 +13,101 @@ package graft
   */
 class PlanGuardSpec extends SparkSpec {
 
-  /** BroadcastNestedLoopJoin is acceptable ONLY where the build side is
-    * deliberately tiny or single-row:
-    *  - ann_cosine_topk: the explicit brute-force recall baseline
-    *    (documented as the reference point the bucketed paths beat)
-    *  - ann_ivf_* / ann_lsh variants: IVF/kmeans centroid assignment —
-    *    the probe side crosses a <=64-row centroid table
-    *  - agg_having_regroup / sample_temperature / join_asof: a
-    *    single-row (or dimension-sized) census/threshold broadcast
-    *    crossed onto the scan; the build side cannot grow with data
-    *  - text_langid_ngram / _sampled: the learned trigram profile
-    *    (langs x 20 rows, collapsed to ONE row) broadcast onto the
-    *    scoring scan — profile size is fixed by construction
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+  import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+  /** BroadcastNestedLoopJoin is acceptable ONLY where the build side
+    * is deliberately tiny or single-row, and each allowlist entry
+    * DECLARES its build-side row bound, which the test enforces from
+    * the executed plan's broadcast metrics — a build side that grows
+    * with the data fails here instead of melting a cluster:
+    *  - ann_* search/recall queries: either a <=64-row centroid
+    *    assignment cross or the fixed 50-query brute-force ground
+    *    truth broadcast — bound 64;
+    *  - dedup_semantic: the <=8-row kmeans cell assignment — 64;
+    *  - join_asof / sample_mixture: a dimension-sized (<=25 nations /
+    *    source-weight rows) threshold broadcast — 32;
+    *  - the census singles (agg_having_regroup, sample_temperature,
+    *    sample_dsir, text_collocations, text_perplexity, text_tfidf,
+    *    text_langid_*): a one-row (or one-per-lang profile collapsed
+    *    to one row) aggregate broadcast onto the scan — bound 4.
     */
-  private val bnljAllowed = Set(
-    "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
-    "ann_ivf_recall", "ann_ivf_nprobe_recall", "ann_lsh_topk",
-    "ann_pq_recall", // exact-L2 ground truth: 50-query broadcast cross
-    "ann_int8_topk", // quantized brute force: 50-query broadcast cross
-    "dedup_semantic", // kmeans cell assignment: <=8-row centroid cross
+  private val bnljAllowed: Map[String, Long] = Map(
+    "ann_cosine_topk" -> 64L, "ann_ivf_topk" -> 64L,
+    "ann_ivf_kmeans_topk" -> 64L, "ann_ivf_recall" -> 64L,
+    "ann_ivf_nprobe_recall" -> 64L, "ann_lsh_topk" -> 64L,
+    "ann_pq_recall" -> 64L,
+    "ann_int8_topk" -> 64L,
+    "ann_int8_ivf_topk" -> 64L, // centroid assignment cross only
+    "ann_int8_ivf_recall" -> 64L, // + the 50-query exhaustive half
+    "dedup_semantic" -> 64L,
+    "agg_having_regroup" -> 4L, "sample_temperature" -> 4L,
+    "sample_mixture" -> 32L, "join_asof" -> 32L,
+    "text_langid_ngram" -> 4L, "text_langid_sampled" -> 4L,
+    "text_collocations" -> 4L,
+    "sample_dsir" -> 4L,
+    "text_perplexity" -> 4L,
+    "text_tfidf" -> 4L)
 
-    "agg_having_regroup", "sample_temperature", "sample_mixture",
-    "join_asof",
-    "text_langid_ngram", "text_langid_sampled",
-    "text_collocations", // single-row (NT, NB) census broadcast
-    "sample_dsir", // single-row (tot_s, tot_t, V) census broadcast
-    "text_perplexity", // single-row vocabulary-size census broadcast
-    "text_tfidf") // single-row corpus-count census broadcast
+  /** Collect BNLJ nodes, descending through the adaptive/stage leaf
+    * wrappers `TreeNode.collect` cannot see past.
+    */
+  private def collectBnlj(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] =
+    p match {
+      case a: AdaptiveSparkPlanExec => collectBnlj(a.executedPlan)
+      case s: QueryStageExec => collectBnlj(s.plan)
+      case b: BroadcastNestedLoopJoinExec =>
+        b +: b.children.flatMap(collectBnlj)
+      case other => other.children.flatMap(collectBnlj)
+    }
 
-  test("no registered query plans a CartesianProduct or un-allowlisted BroadcastNestedLoopJoin") {
+  /** The build side's materialized row count, read from the broadcast
+    * exchange's post-execution metrics (following stage/reuse
+    * wrappers to the owning exchange).
+    */
+  private def buildRows(b: BroadcastNestedLoopJoinExec): Long = {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case s: QueryStageExec => unwrap(s.plan)
+      case r: ReusedExchangeExec => unwrap(r.child)
+      case other => other
+    }
+    val side = unwrap(b.buildSide match {
+      case BuildLeft => b.left
+      case BuildRight => b.right
+    })
+    side.metrics.get("numOutputRows").map(_.value).getOrElse(
+      sys.error(s"no numOutputRows metric on build side ${side.nodeName}"))
+  }
+
+  test("no registered query plans a CartesianProduct or un-allowlisted BroadcastNestedLoopJoin; allowlisted build sides honor their declared row bound") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("stream_"))
       .foreach { case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val df = fn(spark, sf)
+        val plan = df.queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct"))
           failures += s"$name: CartesianProduct"
-        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
-          failures += s"$name: BroadcastNestedLoopJoin outside the allowlist"
+        if (plan.contains("BroadcastNestedLoopJoin")) {
+          bnljAllowed.get(name) match {
+            case None =>
+              failures += s"$name: BroadcastNestedLoopJoin outside the allowlist"
+            case Some(bound) =>
+              // execute, then read what each BNLJ build side actually
+              // materialized — the declared bound is enforced, not
+              // trusted from the comment
+              df.count()
+              collectBnlj(df.queryExecution.executedPlan).foreach { b =>
+                val rows = buildRows(b)
+                if (rows > bound)
+                  failures += s"$name: BNLJ build side materialized " +
+                    s"$rows rows > declared bound $bound"
+              }
+          }
+        }
       }
     assert(failures.isEmpty,
       s"scale-killer plan shapes:\n${failures.mkString("\n")}")
