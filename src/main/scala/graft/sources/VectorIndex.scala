@@ -84,6 +84,34 @@ object VectorIndex {
     cents.unpersist(blocking = false)
   }
 
+  /** O(batch) incremental ingest: assign a NEW vector batch to the
+    * existing centroids (no retrain — the IVF serving contract:
+    * centroids are versioned with the index build, appends ride the
+    * standing cell map), quantize, and append into the cell
+    * partitions. Nothing corpus-sized is touched: the only reads are
+    * the sidecar (nCells rows) and the batch itself, and the write
+    * appends files inside existing cell directories — the
+    * dedup_incremental posture for the vector store.
+    */
+  def append(spark: SparkSession, indexDir: String, emb: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val e = emb.select(col(idCol).as("vec_id"),
+        VectorOps.asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", VectorOps.norm(col("v")))
+    e.crossJoin(broadcast(cents))
+      .withColumn("simc", round(
+        VectorOps.dot(col("v"), col("cv")) / (col("nv") * col("cn")), 6))
+      .withColumn("rc", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("simc").desc, col("cid"))))
+      .filter(col("rc") === 1)
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", transform(col("v"),
+        x => round(x * lit(127.0) / col("ma")).cast("int")))
+      .select(col("vec_id"), col("ma"), col("q"), col("cid").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
   /** Probe-and-rank over the persisted layout. `queries` carries
     * (idCol, vecCol) float/double vectors; results are
     * (qid, vec_id, cell, idot, rk) with rk <= k, ranked by

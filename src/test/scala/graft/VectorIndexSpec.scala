@@ -52,6 +52,52 @@ class VectorIndexSpec extends SparkSpec {
       s"no partition IN-filter on the cells scan:\n${plan.take(2000)}")
   }
 
+  test("append assigns a new batch to the standing cells; search sees both generations") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecindex3-")
+      .toString
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val half = n / 2
+    VectorIndex.build(emb.filter(col("vec_id") < half),
+      "vec_id", "embedding", nCells = 8, outDir = dir)
+    VectorIndex.append(spark, dir, emb.filter(col("vec_id") >= half),
+      "vec_id", "embedding")
+
+    // every corpus vector is in the layout exactly once, in the cell
+    // the SIDE CAR routes it to (appends ride the standing cell map,
+    // they never retrain)
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    assert(cells.count() === n)
+    assert(cells.select(col("vec_id")).distinct().count() === n)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val expected = emb
+      .select(col("vec_id"), graft.ops.VectorOps.asDouble(col("embedding"))
+        .as("v"))
+      .withColumn("nv", graft.ops.VectorOps.norm(col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("simc", round(graft.ops.VectorOps.dot(col("v"), col("cv"))
+        / (col("nv") * col("cn")), 6))
+      .withColumn("rc", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("simc").desc, col("cid"))))
+      .filter(col("rc") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    assert(cells.join(expected, Seq("vec_id"))
+      .filter(cells("cell") =!= expected("cell")).count() === 0,
+      "an appended vector landed outside its sidecar-routed cell")
+
+    // search spans both generations: a first-half query must be able
+    // to surface second-half neighbors
+    val served = VectorIndex.search(spark, dir,
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      nprobe = 2, k = 5)
+    assert(served.count() === 20 * 5)
+    assert(served.filter(col("vec_id") >= half).count() > 0,
+      "no appended-generation vector ever ranked — append is invisible")
+  }
+
   test("a narrow probe reads strictly fewer partitions than the corpus holds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vecindex2-")
       .toString
