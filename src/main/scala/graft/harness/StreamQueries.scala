@@ -247,6 +247,48 @@ object StreamQueries {
           col("rank").as("rk"), col("key"), col("est").as("n"), col("err"))
     }),
 
+    // Streaming serving: QUERY VECTORS arrive as a file stream and are
+    // answered per micro-batch against the PERSISTED IVF-int8 index
+    // (sources/VectorIndex — cell-partitioned parquet + centroid
+    // sidecar) via foreachBatch. Per-query results are independent, so
+    // the drained union over any batch split equals the batch search —
+    // the oracle is textually THE SAME SQL as ann_int8_ivf_topk
+    // (VectorIndexSpec separately pins persisted == in-memory). This is
+    // the online half of the serving story: index built once
+    // (write-side), queries stream against it (read-side,
+    // partition-pruned probes only).
+    "stream_ann_search" -> ((s, d) => {
+      val sess = streamSession(s)
+      val ixDir = drainDir("graft-annix-") + "/index"
+      graft.sources.VectorIndex.build(graft.Tables.embeddings(s, d),
+        "vec_id", "embedding", nCells = 8, outDir = ixDir)
+      val outDir = drainDir("graft-annix-drain-")
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType)))
+      val qs = sess.readStream.schema(embSchema)
+        .parquet(graft.streaming.FileInbox.stage(d, "embeddings"))
+        .filter(col("vec_id") < 50)
+      val q = qs.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.sources.VectorIndex.search(batch.sparkSession, ixDir,
+                batch, "vec_id", "embedding", nprobe = 2, k = 5)
+              .write.mode("append").parquet(s"$outDir/data")
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sess.streams.resetTerminated()
+      s.read.parquet(s"$outDir/data")
+    }),
+
     // Custom stateful streaming: gap sessionization per user via
     // flatMapGroupsWithState over the events file stream, drained with
     // AvailableNow (30-minute gap; timestamps as exact micros).
@@ -328,6 +370,9 @@ object StreamQueries {
           SELECT DISTINCT a.doc_id AS dup_id, b2.rep AS rep_id
           FROM bands a JOIN b2 USING (bk) WHERE a.doc_id > b2.rep"""
     },
+    // textually the batch composition's oracle: the streamed search
+    // must equal it under any batch split (per-query independence)
+    "stream_ann_search" -> VectorQueries.oracle("ann_int8_ivf_topk"),
     "stream_topk" ->
       """WITH k AS (SELECT date_trunc('hour', ts) AS w,
                            CAST(user_id % 99 AS VARCHAR) AS key
