@@ -257,4 +257,25 @@ object Graft {
                  capacity: Int, topN: Int)
       : Dataset[graft.streaming.StreamTopK.TopKOut] =
     graft.streaming.StreamTopK.topkStream(events, capacity, topN)
+
+  /** Persisted IVF-int8 vector index (sources/VectorIndex): build a
+    * cell-partitioned code layout + centroid sidecar once, append
+    * O(batch), serve with partition-pruned integer-dot probes
+    * (VectorIndexSpec pins persisted == in-memory search).
+    */
+  def vectorIndexBuild(emb: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int, outDir: String): Unit =
+    graft.sources.VectorIndex.build(emb, idCol, vecCol, nCells, outDir)
+
+  def vectorIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, emb: DataFrame,
+                        idCol: String, vecCol: String): Unit =
+    graft.sources.VectorIndex.append(spark, indexDir, emb, idCol, vecCol)
+
+  def vectorIndexSearch(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, queries: DataFrame,
+                        idCol: String, vecCol: String,
+                        nprobe: Int, k: Int): DataFrame =
+    graft.sources.VectorIndex.search(spark, indexDir, queries, idCol,
+      vecCol, nprobe, k)
 }
