@@ -470,6 +470,36 @@ object VectorQueries {
             .as("recall"))
     }),
 
+    // Two-stage retrieval — the standard serving pattern a compressed
+    // index exists FOR: the PQ/ADC index generates a cheap top-25
+    // SHORTLIST per query (codes + lookup tables, no raw vectors),
+    // then ONLY the shortlist pairs fetch raw vectors for an exact-L2
+    // re-rank to top-5. The re-rank join broadcasts the 50x25-row
+    // shortlist onto the corpus scan, so raw vectors stream exactly
+    // once and only shortlisted rows compute the exact distance — at
+    // 100 TB this is candidate-generation + re-ranking, the shape
+    // every production retrieval stack runs.
+    "ann_pq_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dtab = VectorOps.pqAssign(
+          subFrame(s, d).filter(col("vec_id") < 50), pqCodebook(s, d))
+        .select(col("vec_id").as("qid"), col("m"), col("code"), col("d2"))
+      val shortlist = VectorOps
+        .pqSearchTopK(pqEncoded(s, d), dtab, "vec_id", 25)
+        .select(col("qid"), col("vec_id"))
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", VectorOps.asDouble(col("embedding")))
+        .select(col("vec_id"), col("v"))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      e.join(broadcast(shortlist.join(q, Seq("qid"))), Seq("vec_id"))
+        .withColumn("dd", round(VectorOps.l2sq(col("qv"), col("v")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dd"), col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"), col("dd"), col("rk"))
+    }),
+
     // Semantic dedup, SemDeDup-style (cluster, then within-cluster
     // cosine; Abbas et al. 2023, arXiv:2303.09540): every vector lands
     // in its refined k-means cell, and is DROPPED iff a lower-id
@@ -689,6 +719,23 @@ object VectorQueries {
             ON bf.qid = i8iv.qid AND bf.vec_id = i8iv.vec_id""",
     "ann_pq_topk" ->
       s"WITH $pqCtes SELECT qid, vec_id, dist, rk FROM pq",
+    "ann_pq_rerank" ->
+      s"""WITH $pqCtes,
+          short AS (SELECT qid, vec_id
+                    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                            ORDER BY dist, vec_id) AS rk FROM adc)
+                    WHERE rk <= 25),
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+          rr AS (SELECT short.qid, short.vec_id,
+                        round(list_reduce(list_transform(range(1, ${Dim + 1}),
+                          i -> (qv[i]-v[i])*(qv[i]-v[i])), (x,y) -> x+y), 6)
+                          AS dd
+                 FROM short JOIN q ON short.qid = q.qid
+                            JOIN e ON short.vec_id = e.vec_id)
+          SELECT qid, vec_id, dd,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY dd, vec_id) AS INT) AS rk
+          FROM rr QUALIFY rk <= 5""",
     "ann_pq_recall" ->
       s"""WITH $pqCtes,
           q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
