@@ -151,6 +151,30 @@ object MultimodalQueries {
           concat_ws(",", transform(col("band_sumsq"),
             x => x.cast("string"))).as("sumsq_csv"))),
 
+    // VAD-style audio activity segmentation — the silence-trim /
+    // speech-segment stage an audio training pipeline runs per clip:
+    // decode PCM (REAL JDK codec), window into fixed 100-sample
+    // energies (exact Long sum-of-squares, the audio family's float
+    // discipline), threshold activity at energy > 0 (the gated synth
+    // zeroes silent windows exactly), and condense consecutive active
+    // windows into segments with the islands trick. Per-row decode +
+    // one per-doc window pass; the only shuffle is the final per-doc
+    // segment group.
+    "multimodal_audio_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wins = Multimodal.decodeAudioWindows(
+        Multimodal.synthGatedWavBlobs(
+          Tables.documents(s, d).select(col("doc_id"))), 100)
+      wins.filter(col("sumsq") > 0)
+        .withColumn("grp", col("w") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("w"))))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("w")).as("seg_start"), max(col("w")).as("seg_end"),
+          count(lit(1)).as("n_windows"), sum(col("sumsq")).as("seg_sumsq"))
+        .select(col("doc_id"), col("seg_start"), col("seg_end"),
+          col("n_windows"), col("seg_sumsq"))
+    }),
+
     // F11: gzip codec roundtrip through the custom GzipCompress /
     // GzipDecompress expressions (reference gzips sequences/HMM blobs,
     // interpro/oracle/proteins.py:68). The compressed bytes are
@@ -251,6 +275,32 @@ object MultimodalQueries {
                             ORDER BY band) AS sumsq_csv
           FROM b JOIN p USING (doc_id)
           GROUP BY p.doc_id, n""",
+    // multimodal_audio_segments: regenerate the GATED sawtooth
+    // (window w of doc silent iff (doc_id*3 + w) % 5 < 2), recompute
+    // per-100-sample-window integer energies, and condense active
+    // runs with the same islands arithmetic the Spark side uses.
+    "multimodal_audio_segments" ->
+      """WITH p AS (SELECT doc_id, 800 + doc_id % 200 AS n,
+                           40 + doc_id % 50 AS step,
+                           (doc_id * 7) % 65536 AS phase
+                    FROM documents),
+          s AS (SELECT doc_id, u.i // 100 AS w,
+                       CASE WHEN (doc_id * 3 + u.i // 100) % 5 < 2 THEN 0
+                            ELSE ((phase + u.i * step) % 65536) - 32768
+                       END AS v
+                FROM p, UNNEST(range(0, n)) AS u(i)),
+          wsum AS (SELECT doc_id, w,
+                          CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq
+                   FROM s GROUP BY doc_id, w),
+          act AS (SELECT doc_id, w, sumsq FROM wsum WHERE sumsq > 0),
+          g AS (SELECT doc_id, w, sumsq,
+                       w - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY w) AS grp
+                FROM act)
+          SELECT doc_id, MIN(w) AS seg_start, MAX(w) AS seg_end,
+                 COUNT(*) AS n_windows,
+                 CAST(SUM(sumsq) AS BIGINT) AS seg_sumsq
+          FROM g GROUP BY doc_id, grp""",
     // NOTE: like multimodal_decode's oracle, this relies on the test
     // corpus being pure ASCII — the Spark kernel iterates UTF-8 BYTES
     // while the SQL below indexes CHARACTERS (substring + ascii); the

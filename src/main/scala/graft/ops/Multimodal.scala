@@ -216,6 +216,35 @@ object Multimodal {
     data
   }
 
+  /** Gated variant of [[synthWav]]: the same sawtooth, but samples in
+    * "silent" 100-sample windows are zeroed — window w of doc id is
+    * silent iff (id*3 + w) mod 5 < 2 (40% silence, pattern varies per
+    * doc). Pure integer math again, so the SQL oracle regenerates the
+    * exact waveform the JDK codec must decode; the silence windows
+    * give the VAD-style segmentation op something real to find.
+    */
+  private[ops] def synthGatedWav(id: Long): Array[Byte] = {
+    val wav = synthWav(id)
+    val n = (800 + id % 200).toInt
+    var i = 0
+    while (i < n) {
+      if ((id * 3 + i / 100) % 5 < 2) {
+        wav(44 + i * 2) = 0
+        wav(44 + i * 2 + 1) = 0
+      }
+      i += 1
+    }
+    wav
+  }
+
+  def synthGatedWavBlobs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthGatedWav(id))))
+      .toDF("doc_id", "blob")
+  }
+
   /** Synthesized WAV blob column for an id frame — per-row, no
     * shuffle; stands in for reading real audio files at scale.
     */
@@ -251,6 +280,74 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  case class AudioWindow(doc_id: Long, w: Long, n_samples: Long,
+                         sumsq: Long)
+
+  /** Per-WINDOW energy over the decoded PCM (the real JDK codec path
+    * of [[decodeAudio]], re-bucketed to fixed `win`-sample windows
+    * instead of 8 relative bands): one row per window with its exact
+    * Long sum-of-squares — the primitive a VAD/silence-trim stage
+    * thresholds. One decode pass, flatMap fan-out, no shuffle; the
+    * integer energies are what the hash oracle compares (the
+    * multimodal_audio float discipline).
+    */
+  def decodeAudioWindows(df: DataFrame, win: Int): DataFrame = {
+    val spark = df.sparkSession
+    implicit val enc = org.apache.spark.sql.Encoders.product[AudioWindow]
+    df.select("doc_id", "blob").as(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (id, blob) =>
+        val bytes = if (blob == null) Array.empty[Byte] else blob
+        decodeAudioPcm(bytes) match {
+          case None => Iterator.empty
+          case Some(pcm) =>
+            val nw = (pcm.length + win - 1) / win
+            Iterator.tabulate(nw) { w =>
+              var sq = 0L
+              var i = w * win
+              val end = math.min(i + win, pcm.length)
+              val cnt = end - i
+              while (i < end) { sq += pcm(i).toLong * pcm(i); i += 1 }
+              AudioWindow(id, w.toLong, cnt.toLong, sq)
+            }
+        }
+      }
+      .toDF()
+  }
+
+  /** First-channel 16-bit PCM samples through the JDK codec (shared
+    * decode core for the feature and window paths).
+    */
+  private def decodeAudioPcm(blob: Array[Byte]): Option[Array[Short]] = {
+    def sig(off: Int, s: String) =
+      blob.length >= off + s.length &&
+        s.zipWithIndex.forall { case (c, i) => blob(off + i) == c.toByte }
+    if (!(sig(0, "RIFF") && sig(8, "WAVE"))) return None
+    try {
+      val ais = getWavStream(new java.io.ByteArrayInputStream(blob))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
+        val frameSize = fmt.getFrameSize
+        val n = ais.getFrameLength
+        if (n <= 0) return None
+        val bytes = ais.readAllBytes()
+        if (bytes.length < n * frameSize) return None
+        val out = new Array[Short](n.toInt)
+        var i = 0
+        while (i < n) {
+          val off = i * frameSize
+          out(i) = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort
+          i += 1
+        }
+        Some(out)
+      } finally ais.close()
+    } catch { case _: Exception => None }
   }
 
   /** One sampled "frame" of a media blob: the video-style one-to-many
