@@ -19,6 +19,10 @@ object SinkQueries {
     */
   private def xmlEscape(c: Column): Column = graft.ops.TextOps.xmlEscape(c)
 
+  // shard count for sink_jsonl_shards — small enough the manifest is
+  // auditable, large enough to exercise the per-shard parallel write
+  private val JsonlShards = 8
+
   /** Synthetic raw InterProScan matches carrying the FULL default-
     * shape location fields the lookup formatters select from
     * (interpro/lookup.py:231-266): protein=order, member library from
@@ -91,6 +95,34 @@ object SinkQueries {
     // (interpro/ftp/flatfiles.py:88-122): one tab-joined line per
     // (protein, entry, signature, location), globally line-formatted
     // in executors; the sink is then a plain `.write.text`.
+    // The TRAINING-SHARD export — the handoff artifact a curation
+    // pipeline ends with (WebDataset/JSONL-shards shape): every doc
+    // lands in its hash-deterministic shuffle shard
+    // (CorpusOps.shuffleShards — no global sort), the sink writes one
+    // gzip JSONL directory per shard (partitionBy rides the shuffle;
+    // at 100 TB each shard is a parallel write, never a driver path),
+    // and the gated result is the MANIFEST computed from a READ-BACK
+    // of the written files — so the oracle row certifies the whole
+    // write→read round trip, not just the plan.
+    "sink_jsonl_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val outDir = StreamQueries.drainDir("graft-jsonl-shards-")
+      graft.ops.CorpusOps.shuffleShards(docs, "doc_id", JsonlShards)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .join(docs.select(col("doc_id"), col("text"), col("lang")),
+          Seq("doc_id"))
+        .write.mode("overwrite").partitionBy("shard")
+        .option("compression", "gzip").json(s"$outDir/data")
+      s.read.json(s"$outDir/data")
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          max(col("pos")).as("max_pos"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("max_pos"))
+    }),
+
     "sink_flatfile_tsv" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
@@ -361,6 +393,28 @@ object SinkQueries {
         || locj || '|' || $sf || '|' || ev || '|' || CAST(sc AS VARCHAR)"""
 
   val oracle: Map[String, String] = Map(
+    // mirrors CorpusOps.shuffleShards' md5('shuf:'||id) shard hash
+    // (the sample_shuffle_shards oracle) and recomputes the manifest
+    // straight from documents — equality certifies the gz-JSONL
+    // write→read round trip byte-for-byte on text
+    "sink_jsonl_shards" ->
+      s"""WITH h AS (SELECT doc_id, text,
+                            md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+                     FROM documents),
+          b AS (SELECT doc_id, text, h,
+                  CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+                        (instr('0123456789abcdef', substr(h, 2, 1)) - 1))
+                       % $JsonlShards AS INT) AS shard
+                FROM h),
+          p AS (SELECT doc_id, text, shard,
+                       CAST(row_number() OVER (PARTITION BY shard
+                              ORDER BY h, doc_id) AS BIGINT) AS pos
+                FROM b)
+          SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                 CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                 MAX(pos) AS max_pos
+          FROM p GROUP BY shard""",
     "fmt_cdd" ->
       s"""WITH ${rawLookupSql(0)},
           g AS (SELECT protein,

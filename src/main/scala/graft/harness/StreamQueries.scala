@@ -80,7 +80,7 @@ object StreamQueries {
     }))
   }
 
-  private def drainDir(prefix: String): String = {
+  private[harness] def drainDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     drainDirs.add(dir)
     dir.toString
