@@ -148,6 +148,20 @@ object CorpusPipeline {
     stages += "corpus_kv" ->
       spark.read.format("graftkv").load(s"$outDir/corpus_kv").count()
 
+    // 7. trainer handoff: the final corpus as gzip JSONL shard
+    //    directories (the sink_jsonl_shards surface) — each shard a
+    //    parallel write keyed by the stage-5b assignment; the count
+    //    comes from a READ-BACK of the written files, certifying the
+    //    round trip inside the envelope
+    spark.read.parquet(s"$outDir/corpus_shards")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .join(sampled.select(col("doc_id"), col("text"), col("lang")),
+        Seq("doc_id"))
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip").json(s"$outDir/corpus_jsonl")
+    stages += "corpus_jsonl" ->
+      spark.read.json(s"$outDir/corpus_jsonl").count()
+
     stages.result()
   }
 

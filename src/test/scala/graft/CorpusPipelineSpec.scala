@@ -27,6 +27,8 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(stages("corpus_sampled") > 0)
     // the kv log round-trips the final corpus row-for-row
     assert(stages("corpus_kv") === stages("corpus_sampled"))
+    assert(stages("corpus_jsonl") === stages("corpus_sampled"),
+      "gz-JSONL shard export must round-trip every final doc")
 
     val clean = spark.read.parquet(s"$out/corpus_clean")
     val contaminated = spark.read.parquet(s"$out/contaminated")
