@@ -15,6 +15,42 @@ object WindowQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Ordered-sequence funnel over the events table (the windowFunnel
+    // analytics primitive): per user, the earliest view, the earliest
+    // click AFTER that view, and the earliest purchase AFTER that
+    // click — both within 24h of the first view. Three same-key
+    // conditional-min aggregations chained by equi-joins on user_id
+    // (every exchange hashes the same key, so the cascade co-locates);
+    // timestamps compare as exact micros, render as strings (the
+    // events discipline). depth = how far down the funnel the user got.
+    "window_funnel" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = ev.join(t1, Seq("user_id"))
+        .filter(col("event_type") === "click" &&
+          col("us") > col("t1") && col("us") <= col("t1") + lit(dayUs))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val t3 = ev.join(t1, Seq("user_id")).join(t2, Seq("user_id"))
+        .filter(col("event_type") === "purchase" &&
+          col("us") > col("t2") && col("us") <= col("t1") + lit(dayUs))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      t1.join(t2, Seq("user_id"), "left_outer")
+        .join(t3, Seq("user_id"), "left_outer")
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("t1")), "yyyy-MM-dd HH:mm:ss")
+            .as("first_view"),
+          date_format(timestamp_micros(col("t2")), "yyyy-MM-dd HH:mm:ss")
+            .as("first_click"),
+          date_format(timestamp_micros(col("t3")), "yyyy-MM-dd HH:mm:ss")
+            .as("first_purchase"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
+            when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
+    }),
+
     // W1/A6: ROW_NUMBER dedup — latest order per customer (first AI name
     // / latest signature, interpro/oracle/entries.py:96-109).
     "window_rownum" -> ((s, d) => {
@@ -143,6 +179,31 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+          t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY user_id),
+          t2 AS (SELECT e.user_id, MIN(us) AS t2
+                 FROM e JOIN t1 USING (user_id)
+                 WHERE event_type = 'click' AND us > t1
+                   AND us <= t1 + 86400000000 GROUP BY e.user_id),
+          t3 AS (SELECT e.user_id, MIN(us) AS t3
+                 FROM e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+                 WHERE event_type = 'purchase' AND us > t2
+                   AND us <= t1 + 86400000000 GROUP BY e.user_id)
+          SELECT t1.user_id,
+                 strftime(make_timestamp(t1), '%Y-%m-%d %H:%M:%S')
+                   AS first_view,
+                 strftime(make_timestamp(t2), '%Y-%m-%d %H:%M:%S')
+                   AS first_click,
+                 strftime(make_timestamp(t3), '%Y-%m-%d %H:%M:%S')
+                   AS first_purchase,
+                 CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                        + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END
+                      AS INT) AS depth
+          FROM t1 LEFT JOIN t2 USING (user_id)
+                  LEFT JOIN t3 USING (user_id)""",
     "window_rownum" ->
       """SELECT o_custkey, o_orderkey AS latest_order,
                 strftime(o_orderdate, '%Y-%m-%d') AS latest_day
