@@ -51,6 +51,24 @@ object WindowQueries {
             when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
     }),
 
+    // Cohort retention — the second classic event-analytics rollup:
+    // users cohorted by first-activity day, counted distinct per
+    // (cohort, day-offset). One min-per-user agg, one co-keyed join,
+    // one (cohort, offset) distinct-count: the whole triangle is two
+    // shuffles on user_id plus the final rollup.
+    "window_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("day0"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"), col("day0"),
+          datediff(col("day"), col("day0")).as("offset"))
+        .groupBy(col("day0"), col("offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("day0"), "yyyy-MM-dd").as("cohort"),
+          col("offset"), col("n_users"))
+    }),
+
     // W1/A6: ROW_NUMBER dedup — latest order per customer (first AI name
     // / latest signature, interpro/oracle/entries.py:96-109).
     "window_rownum" -> ((s, d) => {
@@ -179,6 +197,14 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+          f AS (SELECT user_id, MIN(day) AS day0 FROM e GROUP BY user_id)
+          SELECT strftime(day0, '%Y-%m-%d') AS cohort,
+                 CAST(date_diff('day', day0, day) AS INT) AS offset,
+                 CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+          FROM e JOIN f USING (user_id)
+          GROUP BY day0, date_diff('day', day0, day)""",
     "window_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
                     FROM events),
