@@ -153,6 +153,29 @@ object SampleQueries {
       graft.ops.CorpusOps.shuffleShards(
         Tables.documents(s, d), "doc_id", ShuffleShards)),
 
+    // Epoch-weighted UPSAMPLING — the mixture lever sample_mixture's
+    // subsampling can't pull: a source with multiplier m > 1 repeats
+    // each doc floor(m) times and gains one more copy with
+    // probability frac(m), hash-gated per doc (deterministic across
+    // reruns and engines, the family rule). The per-source multiplier
+    // here derives from the source number ((n mod 7)/2 → 0..3 in half
+    // steps, including a dropped source); a production run passes its
+    // tuned weights. Per-row sequence explode — no shuffle, the
+    // output carries (doc, copy) so a trainer can interleave epochs.
+    "sample_epochs" -> ((s, d) => {
+      val srcnum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val k = srcnum % 7
+      val hv = TextOps.hexByteValue(
+        md5(concat(lit("epoch1:"), col("doc_id").cast("string"))))
+      val nCopies = (floor(k / 2).cast("int") +
+        when(k % 2 === 1 && hv < 128, 1).otherwise(0)).as("n_copies")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), nCopies)
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0), col("n_copies") - 1)).as("copy"))
+    }),
+
     // DSIR-style importance resampling (Xie et al. 2023,
     // arXiv:2302.03169): rank raw documents by how target-like their
     // unigram distribution is — score(doc) = Σ_t [ln p̂_target(t) −
@@ -206,6 +229,19 @@ object SampleQueries {
            substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"""
 
   val oracle: Map[String, String] = Map(
+    "sample_epochs" ->
+      s"""WITH b AS (SELECT doc_id, source,
+                            CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+                              % 7 AS k,
+                            ${hvSql("epoch1")} AS hv
+                     FROM documents),
+          n AS (SELECT doc_id, source,
+                       k // 2 + CASE WHEN k % 2 = 1 AND hv < 128
+                                     THEN 1 ELSE 0 END AS n_copies
+                FROM b)
+          SELECT doc_id, source, CAST(u.c AS INT) AS copy
+          FROM n, UNNEST(range(0, n_copies)) AS u(c)
+          WHERE n_copies > 0""",
     "sample_hash" ->
       s"""SELECT doc_id, lang, source, ${hvSql("split1")} AS hv
           FROM documents WHERE ${hvSql("split1")} < $SampleThresh""",
