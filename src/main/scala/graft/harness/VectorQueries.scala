@@ -133,9 +133,9 @@ object VectorQueries {
       .select(col("vec_id").as("qid"), col("q").as("qq"))
     val pairs = qs.crossJoin(corpus)
     (if (excludeSelf) pairs.filter(col("vec_id") =!= col("qid")) else pairs)
-      .withColumn("idot", aggregate(
-        zip_with(col("qq"), col("q"), (a, b) => (a * b).cast("long")),
-        lit(0L), _ + _))
+      // native fused integer dot (functions/ArrayDotInt) — bit-equal
+      // to the aggregate(zip_with(...)) fold, no per-pair array alloc
+      .withColumn("idot", call_function("array_dot_int", col("qq"), col("q")))
       .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy((col("idot").cast("double") * col("ma")).desc,
           col("vec_id"))))
@@ -158,9 +158,7 @@ object VectorQueries {
     // (query, corpus) pair meets at most once (the ivfKmeansTopk rule)
     corpus.join(qp, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("idot", aggregate(
-        zip_with(col("qq"), col("q"), (a, b) => (a * b).cast("long")),
-        lit(0L), _ + _))
+      .withColumn("idot", call_function("array_dot_int", col("qq"), col("q")))
       .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy((col("idot").cast("double") * col("ma")).desc,
           col("vec_id"))))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayDot, CharNgramsDistinct, GzipCodec, HammingBits, NfcNormalize, OrderedPairsGen, ShingleHash52}
+import graft.functions.{ArrayDot, ArrayDotInt, CharNgramsDistinct, GzipCodec, HammingBits, NfcNormalize, OrderedPairsGen, ShingleHash52}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session extensions for the engine's custom Catalyst surface —
@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ArrayDot.descriptor)
+    ext.injectFunction(ArrayDotInt.descriptor)
     ext.injectFunction(GzipCodec.compressDescriptor)
     ext.injectFunction(GzipCodec.decompressDescriptor)
     ext.injectFunction(HammingBits.descriptor)

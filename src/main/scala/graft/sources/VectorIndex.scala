@@ -145,9 +145,9 @@ object VectorIndex {
 
     cells.join(probed, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("idot", aggregate(
-        zip_with(col("qq"), col("q"), (a, b) => (a * b).cast("long")),
-        lit(0L), _ + _))
+      // native fused integer dot (functions/ArrayDotInt; sessions run
+      // with graft.plans.GraftExtensions)
+      .withColumn("idot", call_function("array_dot_int", col("qq"), col("q")))
       .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy((col("idot").cast("double") * col("ma")).desc,
           col("vec_id"))))

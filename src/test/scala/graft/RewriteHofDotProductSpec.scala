@@ -57,3 +57,48 @@ class RewriteHofDotProductSpec extends SparkSpec {
     assert(hof.collect()(0).isNullAt(0))
   }
 }
+
+/** The integer sibling (functions/ArrayDotInt): exact Long dots over
+  * int8-quantized codes, bit-equal to the HOF fold it replaces in the
+  * quantized-search family.
+  */
+class ArrayDotIntSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def hofIntDot(a: org.apache.spark.sql.Column,
+                        b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  test("native integer dot equals the HOF fold on quantized embeddings") {
+    val q = Tables.embeddings(spark, sf).limit(80)
+      .withColumn("ma", array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))))
+      .withColumn("q", transform(col("embedding"),
+        x => round(x.cast("double") * lit(127.0) / col("ma")).cast("int")))
+      .select(col("vec_id"), col("q"))
+    val a = q.select(col("vec_id").as("ia"), col("q").as("qa"))
+    val b = q.select(col("vec_id").as("ib"), col("q").as("qb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+    val viaHof = pairs.select(col("ia"), col("ib"),
+      hofIntDot(col("qa"), col("qb")).as("d"))
+    val viaNative = pairs.select(col("ia"), col("ib"),
+      call_function("array_dot_int", col("qa"), col("qb")).as("d"))
+    assert(viaHof.exceptAll(viaNative).count() === 0)
+    assert(viaNative.exceptAll(viaHof).count() === 0)
+  }
+
+  test("integer dot null semantics mirror the HOF") {
+    import spark.implicits._
+    val withNull = Seq((Seq(Option(1), None), Seq(Option(2), Option(3))))
+      .toDF("a", "b")
+      .select(call_function("array_dot_int", col("a"), col("b")).as("d"))
+    assert(withNull.collect()(0).isNullAt(0))
+    val mismatch = Seq((Seq(1, 2), Seq(1, 2, 3))).toDF("a", "b")
+      .select(call_function("array_dot_int", col("a"), col("b")).as("d"))
+    assert(mismatch.collect()(0).isNullAt(0))
+    val exact = Seq((Seq(100, -127, 7), Seq(127, 127, 1))).toDF("a", "b")
+      .select(call_function("array_dot_int", col("a"), col("b")).as("d"))
+    assert(exact.as[Long].head() === (100L * 127 - 127L * 127 + 7L))
+  }
+}
