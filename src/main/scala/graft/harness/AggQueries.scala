@@ -371,6 +371,37 @@ object AggQueries {
           (abs(col("__est") - col("n_exact")) <=
             col("n_exact") * lit(3 * 0.02)).as("hll_ok"))),
 
+    // Count-Min sketch (kernels/CountMin, Cormode-Muthukrishnan 2005):
+    // the point-queryable frequency summary that completes the sketch
+    // family — SpaceSaving keeps top identities but evicts, CMS
+    // answers est(ANY key) from fixed d x w memory, merge is
+    // elementwise addition (perfectly mergeable, map-side combined).
+    // Estimates are DETERMINISTIC given the public minhashParams hash
+    // family, so the oracle reproduces every counter and every
+    // estimate exactly: the query sketches the token stream, then
+    // point-queries the exact top-20 tokens against the one-row
+    // broadcast sketch and emits est + the over-estimate invariant.
+    "agg_countmin_est" -> ((s, d) => {
+      import s.implicits._
+      val D = 4; val W = 1024
+      val tok = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+      val cms = tok.select(TextOps.minhashX(col("t")).as("x")).as[Long]
+        .select(graft.kernels.CountMin.sketch(D, W).toColumn).toDF("cms")
+      val top = tok.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("t")).limit(20)
+      val ests = TextOps.minhashParams(D).zipWithIndex.map { case ((a, b), j) =>
+        element_at(col("cms"),
+          (((lit(a) * col("x") + lit(b)) % TextOps.MinhashP) % W).cast("int")
+            + lit(j * W) + 1)
+      }
+      top.crossJoin(broadcast(cms))
+        .withColumn("x", TextOps.minhashX(col("t")))
+        .select(col("t").as("token"), col("n_exact"),
+          least(ests: _*).as("est"))
+        .withColumn("cms_ok", col("est") >= col("n_exact"))
+    }),
+
     // A15: similarity coefficients over co-occurrence pair counts
     // (Jaccard + containment, interpro/xrefs/entries.py:103-134).
     // Dedupe + group happen in ONE shuffle (collect_set); the ordered
@@ -605,6 +636,34 @@ object AggQueries {
                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
                 TRUE AS hll_ok
          FROM lineitem GROUP BY 1""",
+    // rebuild every CMS counter from the exact per-token counts (the
+    // hash family is public minhashParams, so est is deterministic)
+    "agg_countmin_est" -> {
+      val D = 4; val W = 1024
+      val p = TextOps.MinhashP
+      val legs = TextOps.minhashParams(D).zipWithIndex.map { case ((a, b), j) =>
+        s"""SELECT $j AS j, (($a * x + $b) % $p) % $W AS cell,
+                   CAST(SUM(n) AS BIGINT) AS v
+            FROM cnt GROUP BY 2"""
+      }.mkString(" UNION ALL ")
+      val probes = TextOps.minhashParams(D).zipWithIndex.map { case ((a, b), j) =>
+        s"""SELECT t, n_exact, $j AS j, (($a * x + $b) % $p) % $W AS cell
+            FROM top"""
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+                       FROM documents),
+          h AS (SELECT t, ('0x' || substr(md5(t), 1, 13))::BIGINT AS x
+                FROM tok),
+          cnt AS (SELECT t, x, COUNT(*) AS n FROM h GROUP BY t, x),
+          top AS (SELECT t, x, CAST(n AS BIGINT) AS n_exact FROM cnt
+                  ORDER BY n DESC, t LIMIT 20),
+          cells AS ($legs),
+          pr AS ($probes),
+          e AS (SELECT pr.t, pr.n_exact, MIN(v) AS est
+                FROM pr JOIN cells ON pr.j = cells.j AND pr.cell = cells.cell
+                GROUP BY pr.t, pr.n_exact)
+          SELECT t AS token, n_exact, est, est >= n_exact AS cms_ok FROM e"""
+    },
     "agg_kmv_distinct" ->
       """WITH hashed AS (
            SELECT DISTINCT l_returnflag AS g,
