@@ -402,6 +402,45 @@ object AggQueries {
         .withColumn("cms_ok", col("est") >= col("n_exact"))
     }),
 
+    // Bloom membership (kernels/BloomFilter): the pre-filter sketch
+    // next to CMS — the build side's key set folds into one m-bit
+    // OR-mergeable array, probes answer "possibly present" from the
+    // one-row broadcast with zero false negatives. Keys here are a
+    // lineitem subset's partkeys; probes are the first 60 parts, so
+    // both outcomes occur. The bit set is deterministic given the
+    // public hash family, so the oracle replays every membership
+    // answer (and pins no-false-negatives as an invariant column).
+    "agg_bloom_filter" -> ((s, d) => {
+      import s.implicits._
+      val M = 4096; val K = 3
+      val keys = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_partkey")).distinct()
+      val bloom = keys
+        .select(TextOps.minhashX(col("l_partkey").cast("string")).as("x"))
+        .as[Long]
+        .select(graft.kernels.BloomFilter.sketch(M, K).toColumn).toDF("bf")
+      val probes = Tables.part(s, d).filter(col("p_partkey") <= 60)
+        .select(col("p_partkey"))
+        .join(keys.select(col("l_partkey").as("p_partkey"))
+          .withColumn("truly_present", lit(true)), Seq("p_partkey"),
+          "left_outer")
+        .withColumn("truly_present",
+          coalesce(col("truly_present"), lit(false)))
+      val inBloom = TextOps.minhashParams(K).map { case (a, b) =>
+        val bit = ((lit(a) * col("x") + lit(b)) % TextOps.MinhashP) % M
+        call_function("shiftright",
+          element_at(col("bf"), floor(bit / 64).cast("int") + 1),
+          (bit % 64).cast("int")).bitwiseAND(lit(1L)) === 1
+      }.reduce(_ && _)
+      probes.crossJoin(broadcast(bloom))
+        .withColumn("x", TextOps.minhashX(col("p_partkey").cast("string")))
+        .select(col("p_partkey"), col("truly_present"),
+          inBloom.as("in_bloom"))
+        .withColumn("no_false_negative",
+          !col("truly_present") || col("in_bloom"))
+    }),
+
     // A15: similarity coefficients over co-occurrence pair counts
     // (Jaccard + containment, interpro/xrefs/entries.py:103-134).
     // Dedupe + group happen in ONE shuffle (collect_set); the ordered
@@ -636,6 +675,42 @@ object AggQueries {
                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
                 TRUE AS hll_ok
          FROM lineitem GROUP BY 1""",
+    // replay every bloom bit from the key set (public hash family):
+    // a probe is in_bloom iff all K of its bits are set
+    "agg_bloom_filter" -> {
+      val M = 4096; val K = 3
+      val p = TextOps.MinhashP
+      // ONE shared bit array (classic bloom), not per-row partitioned:
+      // the distinct union over all K hash legs
+      val cellLegs = TextOps.minhashParams(K)
+        .map { case (a, b) =>
+          s"SELECT (($a * x + $b) % $p) % $M AS bit FROM kx"
+        }.mkString(" UNION ALL ")
+      val probeLegs = TextOps.minhashParams(K).zipWithIndex
+        .map { case ((a, b), j) =>
+          s"SELECT p_partkey, $j AS j, (($a * x + $b) % $p) % $M AS bit FROM px"
+        }.mkString(" UNION ALL ")
+      s"""WITH keys AS (SELECT DISTINCT l_partkey FROM lineitem
+                        WHERE l_orderkey % 10 = 0),
+          kx AS (SELECT l_partkey,
+                        ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT AS x
+                 FROM keys),
+          pr AS (SELECT p_partkey FROM part WHERE p_partkey <= 60),
+          px AS (SELECT p_partkey,
+                        ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 13))::BIGINT AS x
+                 FROM pr),
+          cells AS (SELECT DISTINCT bit FROM ($cellLegs)),
+          pb AS ($probeLegs),
+          hits AS (SELECT p_partkey, COUNT(*) AS c
+                   FROM pb JOIN cells USING (bit) GROUP BY p_partkey)
+          SELECT pr.p_partkey,
+                 (k.l_partkey IS NOT NULL) AS truly_present,
+                 (COALESCE(hits.c, 0) = $K) AS in_bloom,
+                 (k.l_partkey IS NULL OR COALESCE(hits.c, 0) = $K)
+                   AS no_false_negative
+          FROM pr LEFT JOIN keys k ON pr.p_partkey = k.l_partkey
+                  LEFT JOIN hits ON pr.p_partkey = hits.p_partkey"""
+    },
     // rebuild every CMS counter from the exact per-token counts (the
     // hash family is public minhashParams, so est is deterministic)
     "agg_countmin_est" -> {
