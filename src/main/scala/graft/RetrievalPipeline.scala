@@ -1,0 +1,116 @@
+package graft
+
+import graft.sources.VectorIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The embedding-serving build as one Spark application — the vector
+  * counterpart of [[CorpusPipeline]] (and the reference's
+  * lookup-store build posture, interpro/lookup.py:18-101: precompute
+  * a sharded store once, then serve point queries from the shards
+  * they route to):
+  *
+  *   1. index the FIRST GENERATION of the corpus (train coarse cells
+  *      + int8-quantize + write the cell-partitioned layout and
+  *      centroid sidecar — sources/VectorIndex.build);
+  *   2. APPEND the second generation O(batch) against the standing
+  *      sidecar (no retrain — VectorIndex.append);
+  *   3. SEARCH a query batch with partition-pruned probes;
+  *   4. measure RECALL@5 in-engine against the exhaustive int8
+  *      ranking over the same layout — the gauge that decides nprobe.
+  *
+  * Every stage count comes from reading the artifacts back, so the
+  * one-line JSON certifies the on-disk layout, not just the plan.
+  * Run: `graft.RetrievalPipeline <sfDir> <outDir>`.
+  */
+object RetrievalPipeline {
+
+  private val NCells = 8
+  private val NProbe = 2
+  private val TopK = 5
+  private val NQueries = 50
+
+  def build(spark: SparkSession, sfDir: String, outDir: String)
+      : Seq[(String, Long)] = {
+    val stages = Seq.newBuilder[(String, Long)]
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    stages += "embeddings_raw" -> n
+
+    // 1. first generation: build (train + assign + quantize + write)
+    val half = n / 2
+    VectorIndex.build(emb.filter(col("vec_id") < half),
+      "vec_id", "embedding", NCells, s"$outDir/index")
+    stages += "index_built" ->
+      spark.read.parquet(s"$outDir/index/cells").count()
+    stages += "index_cells" ->
+      spark.read.parquet(s"$outDir/index/centroids").count()
+
+    // 2. second generation: O(batch) append on the standing sidecar
+    VectorIndex.append(spark, s"$outDir/index",
+      emb.filter(col("vec_id") >= half), "vec_id", "embedding")
+    stages += "index_after_append" ->
+      spark.read.parquet(s"$outDir/index/cells").count()
+
+    // 3. serve a query batch (partition-pruned probes)
+    val queries = emb.filter(col("vec_id") < NQueries)
+    val served = VectorIndex.search(spark, s"$outDir/index", queries,
+      "vec_id", "embedding", NProbe, TopK)
+    served.write.mode("overwrite").parquet(s"$outDir/results")
+    val results = spark.read.parquet(s"$outDir/results")
+    stages += "search_results" -> results.count()
+
+    // 4. recall@5 vs the exhaustive int8 ranking over the SAME stored
+    //    codes (reads the layout back — no in-memory shortcut)
+    val cells = spark.read.parquet(s"$outDir/index/cells")
+      .select(col("vec_id"), col("ma"), col("q"))
+    val qq = cells.join(queries.select(col("vec_id")), Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val bf = cells.join(broadcast(qq), col("vec_id") =!= col("qid"))
+      .withColumn("idot", call_function("array_dot_int", col("qq"), col("q")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy((col("idot").cast("double") * col("ma")).desc,
+          col("vec_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("vec_id"))
+    val hit = bf.join(results
+        .select(col("qid").as("__q"), col("vec_id").as("__v")),
+      col("qid") === col("__q") && col("vec_id") === col("__v"),
+      "left_outer")
+    val expected = bf.count()
+    val hits = hit.filter(col("__v").isNotNull).count()
+    stages += "recall_expected" -> expected
+    stages += "recall_hits" -> hits
+    stages.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-retrieval"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        SparkLocal.initialShufflePartitions(sfDir,
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val stages = build(spark, sfDir, outDir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val m = stages.toMap
+    val recall =
+      if (m("recall_expected") == 0) 0.0
+      else m("recall_hits").toDouble / m("recall_expected")
+    val stageJson = stages.map { case (k, c) => s""""$k":$c""" }
+      .mkString("{", ",", "}")
+    println(s"""{"pipeline":"retrieval","sf":"$sfDir","sec":$secs,""" +
+      s""""recall_at_$TopK":$recall,"stages":$stageJson}""")
+    spark.stop()
+  }
+}
