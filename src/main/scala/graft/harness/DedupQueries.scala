@@ -153,6 +153,32 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     // Exact dedup on the normalized fingerprint: one hash-shuffle
     // groupBy — the canonical exact-dedup plan at any scale.
+    // Per-source dedup REPORT — the rollup a curation run publishes
+    // next to its corpus (how contaminated is each upstream source?):
+    // doc counts, members of exact-fingerprint clusters, and members
+    // of verified near-dup components, grouped by source. Reuses the
+    // family's cached frames (fingerprints are a scan; the components
+    // frame is the shared CC labeling), so the marginal cost is two
+    // keyed left joins and one rollup.
+    "dedup_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val f = docs.select(col("doc_id"), col("source"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val dupFp = f.groupBy(col("fp")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).select(col("fp"))
+      val ex = f.join(dupFp, Seq("fp")).select(col("doc_id"))
+        .withColumn("__ex", lit(1L))
+      val near = componentsFrame(s, d)
+        .select(col("node").as("doc_id")).withColumn("__nr", lit(1L))
+      docs.select(col("doc_id"), col("source"))
+        .join(ex, Seq("doc_id"), "left_outer")
+        .join(near, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__ex"), lit(0L))).as("n_exact_dup"),
+          sum(coalesce(col("__nr"), lit(0L))).as("n_near_dup"))
+    }),
+
     "dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -496,6 +522,28 @@ object DedupQueries {
   }.mkString(" || ")
 
   val oracle: Map[String, String] = Map(
+    "dedup_stats" ->
+      s"""WITH RECURSIVE $shCte,
+          $postingCandCte
+          pr AS (SELECT da, db, COUNT(*) AS nab FROM m GROUP BY da, db),
+          pairs AS (SELECT da, db FROM pr
+                    JOIN ns x ON da = x.doc_id JOIN ns y ON db = y.doc_id
+                    WHERE round(CAST(nab AS DOUBLE)/(x.n+y.n-nab), 6) >= $JACC),
+          nodes AS (SELECT DISTINCT doc_id FROM
+                      (SELECT da AS doc_id FROM pairs
+                       UNION ALL SELECT db AS doc_id FROM pairs)),
+          f AS (SELECT doc_id, source, $fpSql AS fp FROM documents),
+          dup AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) > 1),
+          ex AS (SELECT doc_id FROM f JOIN dup USING (fp))
+          SELECT d2.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_exact_dup,
+                 CAST(SUM(CASE WHEN nodes.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_near_dup
+          FROM documents d2
+          LEFT JOIN ex ON d2.doc_id = ex.doc_id
+          LEFT JOIN nodes ON d2.doc_id = nodes.doc_id
+          GROUP BY d2.source""",
     "dedup_exact" ->
       s"""SELECT fp, MIN(doc_id) AS rep, COUNT(*) AS n,
                  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids

@@ -123,6 +123,33 @@ object SinkQueries {
           col("n_chars"), col("max_pos"))
     }),
 
+    // The Z-ORDER layout under the oracle gate (ZOrderSpec pins the
+    // pruning geometry; this row certifies the data round trip): the
+    // lineitem facts are written as Morton-code cube partitions on
+    // two derived dimensions, read back through a 2-D range predicate
+    // — the multi-dimension range scan the layout exists for, where
+    // every cube file is one z-rectangle and parquet footer stats
+    // prune file-by-file — and aggregated against the raw-table
+    // oracle. Exact-decimal sum, the money discipline.
+    "sink_zorder_scan" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dir = StreamQueries.drainDir("graft-zorder-") + "/cubes"
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 1024).cast("long").as("px"),
+        (col("l_suppkey") % 1024).cast("long").as("sx"),
+        col("l_quantity"))
+      graft.sources.ZOrder.writeCubes(li, dir, files = 16, bits = 10,
+        col("px"), col("sx"))
+      s.read.parquet(dir)
+        .filter(col("px").between(100, 199) && col("sx").between(300, 399))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+    }),
+
     "sink_flatfile_tsv" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
@@ -415,6 +442,14 @@ object SinkQueries {
                  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
                  MAX(pos) AS max_pos
           FROM p GROUP BY shard""",
+    "sink_zorder_scan" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty,
+                MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+         FROM lineitem
+         WHERE (l_partkey % 1024) BETWEEN 100 AND 199
+           AND (l_suppkey % 1024) BETWEEN 300 AND 399""",
     "fmt_cdd" ->
       s"""WITH ${rawLookupSql(0)},
           g AS (SELECT protein,
