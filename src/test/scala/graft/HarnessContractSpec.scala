@@ -37,6 +37,17 @@ class HarnessContractSpec extends AnyFunSuite {
     }
   }
 
+  test("every bench preamble names a registered module and no warm row shadows a query") {
+    val moduleNames = modules.map(_._1).toSet
+    val unknown = SparkEntry.preambles.keySet.diff(moduleNames)
+    assert(unknown.isEmpty,
+      s"preambles for unregistered modules (their warm rows would never run): $unknown")
+    val warmNames = SparkEntry.preambles.keys.map(f => s"warm_${f}_frames").toSet
+    val shadowed = warmNames.intersect(SparkEntry.queries.keySet)
+    assert(shadowed.isEmpty,
+      s"warm-row names collide with real queries: $shadowed")
+  }
+
   test("no query name collides across modules") {
     val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }
     val dups = all.groupBy(_._1).filter(_._2.size > 1)
