@@ -49,9 +49,13 @@ object Bench {
       // family preamble: build the family's shared frames as a NAMED
       // warm row, so their cost lands on the owner instead of the
       // family's first query (honest per-query attribution; the warm
-      // row keeps the total honest)
+      // row keeps the total honest). In filtered `only` runs the
+      // preamble is skipped unless explicitly requested by its warm-row
+      // name — shared frames build lazily when a selected query needs
+      // them, so a single-query timing run carries only its own cost.
       val warmed = SparkEntry.preambles.get(fam)
-        .filter(_ => selected.nonEmpty).toSeq.map { warm =>
+        .filter(_ => (selected.nonEmpty && only.isEmpty) ||
+          only(s"warm_${fam}_frames")).toSeq.map { warm =>
         val name = s"warm_${fam}_frames"
         val t0 = System.nanoTime()
         val ok = try { warm(spark, sfDir); true }

@@ -252,6 +252,15 @@ object Graft {
     * flatMapGroupsWithState state — k counters per open window, never
     * the key universe (streaming/StreamTopK.scala; replay semantics
     * pinned by StreamTopKSpec).
+    *
+    * STATE-SCHEMA NOTE: the state row is `HeavyHitters.SsBuf(entries,
+    * lossy)`. The `lossy` field was added when the Stream-Summary
+    * kernel gained min-offset merges, which CHANGED the state schema —
+    * a streaming checkpoint written by a build without that field
+    * cannot be restored by this one. Restart such a query from a fresh
+    * checkpoint directory (the sink dedupes on max n_processed per
+    * (window, rank), so a replayed warm-up converges to the same
+    * answers).
     */
   def streamTopK(events: Dataset[graft.streaming.StreamTopK.KeyedEvent],
                  capacity: Int, topN: Int)

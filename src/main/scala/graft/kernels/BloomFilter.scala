@@ -26,6 +26,14 @@ object BloomFilter {
       override def zero: Array[Long] = new Array[Long](mBits / 64)
 
       override def reduce(b: Array[Long], x: Long): Array[Long] = {
+        // Enforce the 52-bit non-negative input domain (minhashX values):
+        // a <= 1022 so a*x+c stays under 2^63 only for x < 2^52, and the
+        // DuckDB oracle replays (a*x+c)%p with the same no-overflow math.
+        // A negative or wider key would silently produce a different (or
+        // negative) bit index — fail fast instead.
+        if ((x >>> 52) != 0L)
+          throw new IllegalArgumentException(
+            s"bloom sketch key out of the 52-bit non-negative domain: $x")
         var j = 0
         while (j < k) {
           val (a, c) = params(j)

@@ -35,6 +35,12 @@ object CountMin {
       override def zero: Array[Long] = new Array[Long](d * w)
 
       override def reduce(b: Array[Long], x: Long): Array[Long] = {
+        // Same 52-bit non-negative input contract as [[BloomFilter]]:
+        // keeps (a*x+c) overflow-free so the oracle's SQL replay matches,
+        // and turns a would-be negative cell index into a fast failure.
+        if ((x >>> 52) != 0L)
+          throw new IllegalArgumentException(
+            s"count-min sketch key out of the 52-bit non-negative domain: $x")
         var j = 0
         while (j < d) {
           val (a, c) = params(j)

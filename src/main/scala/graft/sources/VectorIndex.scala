@@ -34,10 +34,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object VectorIndex {
 
-  /** Train + assign + quantize + write. Seeds are the first `nCells`
-    * ids (the IVF family's deterministic seeding); one Lloyd round
-    * with DECIMAL(18,9) component sums keeps the centroid update
-    * order-independent.
+  /** Train + assign + quantize + write. Seeds are the `nCells`
+    * SMALLEST ids (the IVF family's deterministic seeding, robust to
+    * id ranges that don't start at 0 — a TakeOrderedAndProject top-k,
+    * never a full sort); one Lloyd round with DECIMAL(18,9) component
+    * sums keeps the centroid update order-independent. A batch with
+    * fewer than `nCells` vectors fails fast rather than writing a
+    * degenerate index.
     */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             nCells: Int, outDir: String): Unit = {
@@ -54,8 +57,11 @@ object VectorIndex {
         .filter(col("rc") === 1)
         .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cell"))
 
-    val seed = e.filter(col("vec_id") < nCells)
+    val seed = e.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("cn"))
+      .persist()
+    require(seed.count() == nCells,
+      s"vector index build needs >= $nCells vectors to seed $nCells cells")
     val refined = assignTo(seed)
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy(col("cell"), col("pos"))
@@ -82,6 +88,7 @@ object VectorIndex {
       .parquet(s"$outDir/cells")
     cents.write.mode("overwrite").parquet(s"$outDir/centroids")
     cents.unpersist(blocking = false)
+    seed.unpersist(blocking = false)
   }
 
   /** O(batch) incremental ingest: assign a NEW vector batch to the

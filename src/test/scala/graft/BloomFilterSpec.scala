@@ -49,4 +49,14 @@ class BloomFilterSpec extends SparkSpec {
     // allow generous slack for hash-family variance
     assert(fp < 0.10, s"false positive rate $fp implausibly high")
   }
+
+  test("keys outside the 52-bit non-negative domain fail fast") {
+    val agg = BloomFilter.sketch(64, 2)
+    val b = agg.zero
+    intercept[IllegalArgumentException](agg.reduce(b, -1L))
+    intercept[IllegalArgumentException](agg.reduce(b, 1L << 52))
+    intercept[IllegalArgumentException](agg.reduce(b, Long.MinValue))
+    agg.reduce(b, 0L)
+    agg.reduce(b, (1L << 52) - 1)
+  }
 }

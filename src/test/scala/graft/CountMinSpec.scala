@@ -51,4 +51,13 @@ class CountMinSpec extends SparkSpec {
       assert(est >= n, s"$t: est $est under-counts true $n")
     }
   }
+
+  test("keys outside the 52-bit non-negative domain fail fast") {
+    val agg = graft.kernels.CountMin.sketch(2, 16)
+    val b = agg.zero
+    intercept[IllegalArgumentException](agg.reduce(b, -7L))
+    intercept[IllegalArgumentException](agg.reduce(b, 1L << 52))
+    agg.reduce(b, 0L)
+    agg.reduce(b, (1L << 52) - 1)
+  }
 }
