@@ -37,6 +37,10 @@ object DedupQueries {
   private val SpanW = 10      // repeated-substring seed width (tokens)
   private val IncomingLo = 224 // hash byte >= 224 → the "incoming
                                // batch" of the incremental-dedup split
+  private val BloomM = 262144 // decontamination bloom bits (32 KiB —
+                              //   the broadcast footprint regardless
+                              //   of eval-set size)
+  private val BloomK = 3      // probes per shingle id
 
   /** Cross-query frames via [[SharedFrames]]: the shingle frame feeds
     * three separate harness queries (jaccard, minhash-LSH, components)
@@ -289,6 +293,50 @@ object DedupQueries {
         tagged.filter(col("hv") < TrainHi).select(col("doc_id"), col("s")),
         tagged.filter(col("hv") >= EvalLo).select(col("s")),
         "doc_id", "s")
+    }),
+
+    // Decontamination via a broadcast Bloom filter — the 100-TB plan
+    // when the eval shingle SET is too large to broadcast as a join
+    // side: the held-out split's shingle ids fold into ONE m-bit
+    // OR-mergeable array (kernels/BloomFilter — shingle ids are
+    // already the 52-bit domain the sketch requires), and the train
+    // scan probes it per shingle with pure column math. The corpus
+    // side sees a scan + a one-row broadcast + a map-side-combinable
+    // per-doc count — no shuffle of corpus shingles against the eval
+    // set, and the sketch is ~100x smaller than the shingle set it
+    // summarizes. Bits are deterministic given the public hash
+    // family, so the oracle replays every membership answer — false
+    // positives included. `superset_ok` pins the zero-false-negative
+    // contract against the exact broadcast join (affordable at test
+    // scale; at 100 TB you keep only the bloom columns).
+    "dedup_decontaminate_bloom" -> ((s, d) => {
+      import s.implicits._
+      val M = BloomM; val K3 = BloomK
+      val hv = TextOps.hexByteValue(
+        md5(concat(lit("split1:"), col("doc_id").cast("string"))))
+      val tagged = shingleFrame(s, d).withColumn("hv", hv)
+      val ev = tagged.filter(col("hv") >= EvalLo).select(col("s")).distinct()
+      val bloom = ev.as[Long]
+        .select(graft.kernels.BloomFilter.sketch(M, K3).toColumn).toDF("bf")
+      val inBloom = TextOps.minhashParams(K3).map { case (a, b) =>
+        val bit = ((lit(a) * col("s") + lit(b)) % TextOps.MinhashP) % M
+        call_function("shiftright",
+          element_at(col("bf"), floor(bit / 64).cast("int") + 1),
+          (bit % 64).cast("int")).bitwiseAND(lit(1L)) === 1
+      }.reduce(_ && _)
+      tagged.filter(col("hv") < TrainHi).select(col("doc_id"), col("s"))
+        .crossJoin(broadcast(bloom))
+        .withColumn("in_bloom", inBloom)
+        .join(broadcast(ev.withColumn("ev_hit", lit(true))), Seq("s"),
+          "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("in_bloom"), 1L).otherwise(0L)).as("n_bloom_hits"),
+          sum(when(col("ev_hit") && !col("in_bloom"), 1L).otherwise(0L))
+            .as("__fn"))
+        .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+          (col("n_bloom_hits") > 0).as("flagged"),
+          (col("__fn") === 0).as("superset_ok"))
     }),
 
     // Exact repeated-substring spans (the suffix-array dedup family,
@@ -637,6 +685,41 @@ object DedupQueries {
           SELECT doc_id, n_overlap, n_shingles,
                  round(CAST(n_overlap AS DOUBLE)/n_shingles, 6) AS contamination
           FROM hits JOIN nt USING (doc_id)""",
+    // replay the decontamination bloom bit-for-bit from the eval
+    // shingle set (public hash family): a train shingle is in_bloom
+    // iff all K of its probe bits are set; false positives fall out
+    // of the shared `cells` set exactly as the kernel produces them
+    "dedup_decontaminate_bloom" -> {
+      val p = TextOps.MinhashP
+      val cellLegs = TextOps.minhashParams(BloomK).map { case (a, b) =>
+        s"SELECT (($a * s + $b) % $p) % $BloomM AS bit FROM ev"
+      }.mkString(" UNION ALL ")
+      val probeLegs = TextOps.minhashParams(BloomK).zipWithIndex
+        .map { case ((a, b), j) =>
+          s"SELECT doc_id, s, $j AS j, (($a * s + $b) % $p) % $BloomM AS bit FROM tr"
+        }.mkString(" UNION ALL ")
+      s"""WITH $shCte,
+          tagged AS (SELECT doc_id, s, ${hvSql("split1")} AS hv FROM sh),
+          ev AS (SELECT DISTINCT s FROM tagged WHERE hv >= $EvalLo),
+          tr AS (SELECT doc_id, s FROM tagged WHERE hv < $TrainHi),
+          cells AS (SELECT DISTINCT bit FROM ($cellLegs)),
+          pb AS ($probeLegs),
+          ph AS (SELECT doc_id, s, COUNT(*) AS c
+                 FROM pb JOIN cells USING (bit) GROUP BY doc_id, s),
+          inb AS (SELECT tr.doc_id, tr.s,
+                         (COALESCE(ph.c, 0) = $BloomK) AS in_bloom,
+                         (ev.s IS NOT NULL) AS ev_hit
+                  FROM tr LEFT JOIN ph ON tr.doc_id = ph.doc_id
+                                      AND tr.s = ph.s
+                          LEFT JOIN ev ON tr.s = ev.s)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_hits,
+                 (SUM(CASE WHEN in_bloom THEN 1 ELSE 0 END) > 0) AS flagged,
+                 (SUM(CASE WHEN ev_hit AND NOT in_bloom THEN 1 ELSE 0 END) = 0)
+                   AS superset_ok
+          FROM inb GROUP BY doc_id"""
+    },
     "dedup_substring_spans" ->
       s"""WITH $spanCte
           SELECT doc_id, MIN(p) AS span_start, MAX(p) + ${SpanW - 1} AS span_end,

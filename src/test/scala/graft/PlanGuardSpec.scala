@@ -46,6 +46,7 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_semantic" -> 64L,
     "agg_countmin_est" -> 4L, // one-row CMS broadcast onto 20 probes
     "agg_bloom_filter" -> 4L, // one-row bloom broadcast onto 60 probes
+    "dedup_decontaminate_bloom" -> 4L, // one-row bloom onto the train scan
     "agg_having_regroup" -> 4L, "sample_temperature" -> 4L,
     "sample_mixture" -> 32L, "join_asof" -> 32L,
     "text_langid_ngram" -> 4L, "text_langid_sampled" -> 4L,
