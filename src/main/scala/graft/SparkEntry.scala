@@ -58,7 +58,8 @@ object SparkEntry {
       ("goa", GoaQueries.queries, GoaQueries.oracle),
       ("interaction", InteractionQueries.queries, InteractionQueries.oracle),
       ("matchexport", MatchExportQueries.queries, MatchExportQueries.oracle),
-      ("graph", GraphQueries.queries, GraphQueries.oracle))
+      ("graph", GraphQueries.queries, GraphQueries.oracle),
+      ("cdc", CdcQueries.queries, CdcQueries.oracle))
 
   /** Family preambles: materialize a family's SharedFrames BEFORE its
     * queries are timed. Bench runs the preamble as a named
