@@ -246,6 +246,17 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Raw second-moment (gram) matrix of the embedding corpus — the
+    // distributed half of PCA (ops/Pca.scala: Jacobi eigensolver +
+    // projection are driver-side on the d x d collect, PcaSpec).
+    // Upper-triangle products are generated PER ROW with nested array
+    // transforms (no self-join, no pair shuffle); the groupBy reduces
+    // map-side, so d(d+1)/2 rows per partition reach the exchange
+    // regardless of corpus size. 12dp-rounded terms summed as
+    // DECIMAL(38,12) make every cell bit-reproducible in DuckDB.
+    "embed_gram" -> ((s, d) =>
+      graft.ops.Pca.gram(Tables.embeddings(s, d), "embedding", Dim)),
+
     // Scalar int8 quantization of the embedding column — the storage
     // path for a 100 TB vector corpus (4x smaller than float32, 1.6x
     // smaller than PQ codes at these dims, and dot products stay
@@ -657,6 +668,19 @@ object VectorQueries {
               WHERE rk <= 5)"""
 
   val oracle: Map[String, String] = Map(
+    // replay the moment matrix exactly: same 12dp per-term rounding,
+    // same decimal accumulation
+    "embed_gram" ->
+      s"""WITH p AS (SELECT u.i AS i, w.j AS j,
+                 round(CAST(embedding[u.i + 1] AS DOUBLE) *
+                       CAST(embedding[w.j + 1] AS DOUBLE), 12) AS t
+          FROM embeddings,
+               UNNEST(range(0, $Dim)) AS u(i),
+               UNNEST(range(0, $Dim)) AS w(j)
+          WHERE w.j >= u.i)
+          SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                 CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS gram
+          FROM p GROUP BY i, j""",
     "vector_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
                 list_max(list_transform(embedding,
