@@ -247,6 +247,43 @@ object StreamQueries {
           col("rank").as("rk"), col("key"), col("est").as("n"), col("err"))
     }),
 
+    // Streaming funnel: the window_funnel cascade carried as
+    // per-user flatMapGroupsWithState state (streaming/Funnel.scala —
+    // running min view + the candidate clicks/purchases that could
+    // still qualify under any future t1; everything past t1+W is
+    // dropped, so state holds at most the pre-first-view prefix plus
+    // one window of events). Replay-exact under ANY batch split —
+    // the drained answer is oracle-gated against the same SQL as the
+    // batch funnel; FunnelReplaySpec pins split-independence.
+    "stream_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val name = "stream_funnel_mem"
+      val sess = streamSession(s)
+      import sess.implicits._
+      val dayUs = 86400000000L
+      val events = EventsStream.readStream(sess, d)
+        .select(col("user_id"), col("event_type").as("etype"),
+          unix_micros(col("ts")).as("us"))
+        .as[graft.streaming.Funnel.FunnelEvent]
+      val funnel = graft.streaming.Funnel.funnelStream(events, dayUs)
+      val q = funnel.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drained(s, sess, name)
+        .withColumn("mx", max(col("n_processed")).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("n_processed") === col("mx"))
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("t1")), "yyyy-MM-dd HH:mm:ss")
+            .as("first_view"),
+          date_format(timestamp_micros(col("t2")), "yyyy-MM-dd HH:mm:ss")
+            .as("first_click"),
+          date_format(timestamp_micros(col("t3")), "yyyy-MM-dd HH:mm:ss")
+            .as("first_purchase"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
+            when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
+    }),
+
     // Streaming serving: QUERY VECTORS arrive as a file stream and are
     // answered per micro-batch against the PERSISTED IVF-int8 index
     // (sources/VectorIndex — cell-partitioned parquet + centroid
@@ -385,6 +422,33 @@ object StreamQueries {
           SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, rk, key, n,
                  CAST(0 AS BIGINT) AS err
           FROM r WHERE rk <= 5""",
+    // the streaming funnel drains to the BATCH answer — textually the
+    // same oracle as window_funnel
+    "stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+          t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY user_id),
+          t2 AS (SELECT e.user_id, MIN(us) AS t2
+                 FROM e JOIN t1 USING (user_id)
+                 WHERE event_type = 'click' AND us > t1
+                   AND us <= t1 + 86400000000 GROUP BY e.user_id),
+          t3 AS (SELECT e.user_id, MIN(us) AS t3
+                 FROM e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+                 WHERE event_type = 'purchase' AND us > t2
+                   AND us <= t1 + 86400000000 GROUP BY e.user_id)
+          SELECT t1.user_id,
+                 strftime(make_timestamp(t1), '%Y-%m-%d %H:%M:%S')
+                   AS first_view,
+                 strftime(make_timestamp(t2), '%Y-%m-%d %H:%M:%S')
+                   AS first_click,
+                 strftime(make_timestamp(t3), '%Y-%m-%d %H:%M:%S')
+                   AS first_purchase,
+                 CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                        + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END
+                      AS INT) AS depth
+          FROM t1 LEFT JOIN t2 USING (user_id)
+                  LEFT JOIN t3 USING (user_id)""",
     "stream_sessionize" ->
       """WITH l AS (SELECT user_id, ts,
                            CASE WHEN lag(ts) OVER w IS NULL
