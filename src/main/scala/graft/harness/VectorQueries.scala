@@ -16,6 +16,8 @@ object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val Dim = 64
+  private val KmCells = 8  // embed_kmeans clusters (seed = smallest ids)
+  private val KmRounds = 3 // embed_kmeans Lloyd iterations
   private val Planes = 4
 
   // deterministic md5-derived hyperplanes, shared with dedup_embedding
@@ -256,6 +258,38 @@ object VectorQueries {
     // DECIMAL(38,12) make every cell bit-reproducible in DuckDB.
     "embed_gram" -> ((s, d) =>
       graft.ops.Pca.gram(Tables.embeddings(s, d), "embedding", Dim)),
+
+    // First-class k-means over the embedding corpus: KmRounds Lloyd
+    // iterations (the IVF family runs one refinement; SemDeDup blocks
+    // on these cells — clustering itself is a curation deliverable:
+    // topic buckets, diversity sampling strata). Each round is one
+    // broadcast assignment cross (centroids are metadata-sized) + one
+    // DECIMAL-exact component mean, so the whole trajectory is
+    // bit-reproducible and the DuckDB oracle replays all rounds
+    // UNROLLED, pinning every intermediate centroid through the final
+    // assignment hash. Per-round centroids localCheckpoint (8 rows)
+    // so Catalyst re-plans a flat cross join per round, not a growing
+    // lineage.
+    "embed_kmeans" -> ((s, d) => {
+      val emb = embFrame(s, d)
+      var cents = emb.filter(col("vec_id") < KmCells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nv").as("cn"))
+      for (_ <- 1 to KmRounds) {
+        val comp = assign(emb, cents, 1)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("val").cast(DecimalType(18, 9))).cast("double") /
+            count(lit(1))).as("m"))
+        cents = comp.groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x("m")).as("cv"))
+          .select(col("cell").as("cid"), col("cv"),
+            VectorOps.norm(col("cv")).as("cn"))
+          .localCheckpoint()
+      }
+      assign(emb, cents, 1).select(col("vec_id"), col("cell"))
+    }),
 
     // Scalar int8 quantization of the embedding column — the storage
     // path for a 100 TB vector corpus (4x smaller than float32, 1.6x
@@ -681,6 +715,34 @@ object VectorQueries {
           SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
                  CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS gram
           FROM p GROUP BY i, j""",
+    // replay ALL Lloyd rounds unrolled: every intermediate centroid is
+    // decimal-exact, so the final assignment hash pins the trajectory
+    "embed_kmeans" -> {
+      def roundCtes(t: Int) =
+        s"""a$t AS (SELECT vec_id, v, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+                            cid) AS rc
+               FROM e CROSS JOIN c${t - 1}),
+          asg$t AS (SELECT vec_id, v, cid AS cell FROM a$t WHERE rc = 1),
+          comp$t AS (SELECT cell, pos,
+                   CAST(SUM(CAST(v[pos] AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*) AS m
+                 FROM asg$t, UNNEST(range(1, len(v) + 1)) AS u(pos)
+                 GROUP BY cell, pos),
+          c$t AS (SELECT cell AS cid, list(m ORDER BY pos) AS cv
+                FROM comp$t GROUP BY cell)"""
+      val rounds = (1 to KmRounds).map(roundCtes).mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KmCells),
+          $rounds,
+          fin AS (SELECT vec_id, cid AS cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+                            cid) AS rc
+               FROM e CROSS JOIN c$KmRounds)
+          SELECT vec_id, cell FROM fin WHERE rc = 1"""
+    },
     "vector_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
                 list_max(list_transform(embedding,
