@@ -26,6 +26,9 @@ object GraphQueries {
   // backbone edge budget for triangle enumeration (top edges by
   // support; keeps the post-census stages corpus-size-independent)
   private val TriEdges = 5000
+  // BFS: seed nodes (suppliers below this id) and unrolled hop count
+  private val BfsSeeds = 4L
+  private val BfsHops = 4
 
   /** The undirected supplier <-> part-bucket graph: suppliers link to
     * the buckets of the parts they shipped (lineitem projected to
@@ -128,6 +131,36 @@ object GraphQueries {
         .select(col("a"), col("b"), col("c"))
       tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // Multi-source BFS hop depths from the seed suppliers: frontier
+    // expansion, one keyed join + anti-join per level, frontier-sized
+    // work (the join probes only the PREVIOUS level's nodes, never the
+    // full label set). Levels are unrolled to BfsHops — the diameter
+    // of the supplier<->bucket graph is tiny by construction, and a
+    // drained frontier makes further levels no-ops — so the DuckDB
+    // oracle replays the same fixed unrolling. Per-level
+    // localCheckpoint keeps Catalyst's plan flat, the edge frame is
+    // persisted once across levels.
+    "graph_bfs_depth" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel
+      val sym = bipartite(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      sym.count()
+      var labels = sym.select(col("src").as("node")).distinct()
+        .filter(col("node") < BfsSeeds)
+        .withColumn("depth", lit(0))
+        .localCheckpoint()
+      for (i <- 1 to BfsHops) {
+        val frontier = labels.filter(col("depth") === i - 1)
+          .select(col("node").as("fn"))
+        val next = sym.join(frontier, sym("src") === col("fn"))
+          .select(col("dst").as("node")).distinct()
+          .join(labels.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("depth", lit(i))
+        labels = labels.unionByName(next).localCheckpoint()
+      }
+      sym.unpersist(blocking = false)
+      labels
     })
   )
 
@@ -173,6 +206,26 @@ object GraphQueries {
                           JOIN p ac ON ab.a = ac.a AND bc.b = ac.b)
           SELECT node, COUNT(*) AS n_triangles
           FROM (SELECT unnest([a, b, c]) AS node FROM t)
-          GROUP BY node"""
+          GROUP BY node""",
+    "graph_bfs_depth" -> {
+      val levels = (1 to BfsHops).map { i =>
+        s"""f$i AS (SELECT DISTINCT e.dst AS node
+                 FROM e JOIN l${i - 1} l ON e.src = l.node
+                 WHERE l.depth = ${i - 1}),
+            l$i AS (SELECT node, depth FROM l${i - 1}
+                 UNION ALL
+                 SELECT node, $i FROM f$i
+                 WHERE node NOT IN (SELECT node FROM l${i - 1}))"""
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                             1000000 + l_partkey % $Buckets AS dst
+                      FROM lineitem),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst, src FROM e0),
+          l0 AS (SELECT DISTINCT src AS node, 0 AS depth FROM e
+                 WHERE src < $BfsSeeds),
+          $levels
+          SELECT node, CAST(depth AS INT) AS depth FROM l$BfsHops"""
+    }
   )
 }

@@ -69,6 +69,28 @@ object WindowQueries {
           col("offset"), col("n_users"))
     }),
 
+    // Rolling 7-day distinct actives (the WAU primitive). Distinct
+    // aggregates can't ride a window frame in either engine, so the
+    // scale-correct plan is the contribution expansion: each distinct
+    // (user, day) activity posts itself to the 7 trailing target days
+    // it keeps alive, then one countDistinct per target day. The
+    // expansion is a flat 7x of the (user, day) DISTINCT set (already
+    // tiny next to raw events), the final agg dedupes map-side — no
+    // per-day self-joins, no window over an unbounded user set.
+    "window_rolling_distinct" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select(col("day").as("target")).distinct()
+      ud.select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("o"))
+        .select(col("user_id"), date_add(col("day"), col("o")).as("target"))
+        .join(days, Seq("target"))
+        .groupBy(col("target"))
+        .agg(countDistinct(col("user_id")).as("wau_7d"))
+        .select(date_format(col("target"), "yyyy-MM-dd").as("day"),
+          col("wau_7d"))
+    }),
+
     // W1/A6: ROW_NUMBER dedup — latest order per customer (first AI name
     // / latest signature, interpro/oracle/entries.py:96-109).
     "window_rownum" -> ((s, d) => {
@@ -205,6 +227,16 @@ object WindowQueries {
                  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
           FROM e JOIN f USING (user_id)
           GROUP BY day0, date_diff('day', day0, day)""",
+    "window_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+          days AS (SELECT DISTINCT day AS target FROM ud),
+          c AS (SELECT user_id, day + CAST(o AS INT) AS target
+                FROM ud, UNNEST(range(0, 7)) AS u(o))
+          SELECT strftime(c.target, '%Y-%m-%d') AS day,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_7d
+          FROM c JOIN days ON c.target = days.target
+          GROUP BY c.target""",
     "window_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
                     FROM events),
