@@ -287,4 +287,16 @@ object Graft {
                         nprobe: Int, k: Int): DataFrame =
     graft.sources.VectorIndex.search(spark, indexDir, queries, idCol,
       vecCol, nprobe, k)
+
+  /** Distributed PCA (ops/Pca): decimal-exact moment accumulation on
+    * the cluster (d(d+1)/2 rows per partition at the exchange),
+    * deterministic cyclic-Jacobi eigendecomposition on the collected
+    * d x d, shuffle-free per-row projection (PcaSpec).
+    */
+  def pcaFit(emb: DataFrame, vecCol: String, d: Int): graft.ops.Pca.Model =
+    graft.ops.Pca.fit(emb, vecCol, d)
+
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+                 model: graft.ops.Pca.Model, k: Int): DataFrame =
+    graft.ops.Pca.project(emb, idCol, vecCol, model, k)
 }

@@ -37,10 +37,11 @@ object DedupQueries {
   private val SpanW = 10      // repeated-substring seed width (tokens)
   private val IncomingLo = 224 // hash byte >= 224 → the "incoming
                                // batch" of the incremental-dedup split
-  private val BloomM = 262144 // decontamination bloom bits (32 KiB —
-                              //   the broadcast footprint regardless
-                              //   of eval-set size)
-  private val BloomK = 3      // probes per shingle id
+  private val BloomM = 4194304 // decontamination bloom bits (512 KiB
+                               //   broadcast regardless of eval size;
+                               //   sized for the 30x eval shingle set
+                               //   ~730k keys -> ~7% fp, sf1 ~0.4%)
+  private val BloomK = 3       // probes per shingle id
 
   /** Cross-query frames via [[SharedFrames]]: the shingle frame feeds
     * three separate harness queries (jaccard, minhash-LSH, components)
@@ -299,7 +300,8 @@ object DedupQueries {
     // when the eval shingle SET is too large to broadcast as a join
     // side: the held-out split's shingle ids fold into ONE m-bit
     // OR-mergeable array (kernels/BloomFilter — shingle ids are
-    // already the 52-bit domain the sketch requires), and the train
+    // already the 52-bit domain the sketch requires; m is sized for
+    // the 30x eval load, see BloomM), and the train
     // scan probes it per shingle with pure column math. The corpus
     // side sees a scan + a one-row broadcast + a map-side-combinable
     // per-doc count — no shuffle of corpus shingles against the eval
