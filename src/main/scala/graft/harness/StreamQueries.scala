@@ -284,6 +284,38 @@ object StreamQueries {
             when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
     }),
 
+    // Streaming cohort retention: per-user active-day sets as
+    // flatMapGroupsWithState state (streaming/Retention.scala — state
+    // is bounded by DISTINCT active days, and each batch re-emits the
+    // user's full cohort row, so a late earlier day re-bases day0
+    // exactly like the funnel's t1). Drain = max-n_processed dedup per
+    // user, offset explode, then the same (cohort, offset) distinct-
+    // user rollup as the batch query — oracle-gated against the
+    // window_retention SQL.
+    "stream_retention" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val name = "stream_retention_mem"
+      val sess = streamSession(s)
+      import sess.implicits._
+      val events = EventsStream.readStream(sess, d)
+        .select(col("user_id"), unix_date(to_date(col("ts"))).as("epoch_day"))
+        .as[graft.streaming.Retention.DayEvent]
+      val ret = graft.streaming.Retention.retentionStream(events)
+      val q = ret.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drained(s, sess, name)
+        .withColumn("mx", max(col("n_processed")).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("n_processed") === col("mx"))
+        .select(col("user_id"), col("day0"),
+          explode(col("offsets")).as("offset"))
+        .groupBy(col("day0"), col("offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(date_from_unix_date(col("day0")), "yyyy-MM-dd")
+          .as("cohort"), col("offset"), col("n_users"))
+    }),
+
     // Streaming serving: QUERY VECTORS arrive as a file stream and are
     // answered per micro-batch against the PERSISTED IVF-int8 index
     // (sources/VectorIndex — cell-partitioned parquet + centroid
@@ -422,6 +454,16 @@ object StreamQueries {
           SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, rk, key, n,
                  CAST(0 AS BIGINT) AS err
           FROM r WHERE rk <= 5""",
+    // the streaming retention drains to the BATCH answer — textually
+    // the same oracle as window_retention
+    "stream_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+          f AS (SELECT user_id, MIN(day) AS day0 FROM e GROUP BY user_id)
+          SELECT strftime(day0, '%Y-%m-%d') AS cohort,
+                 CAST(date_diff('day', day0, day) AS INT) AS offset,
+                 CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+          FROM e JOIN f USING (user_id)
+          GROUP BY day0, date_diff('day', day0, day)""",
     // the streaming funnel drains to the BATCH answer — textually the
     // same oracle as window_funnel
     "stream_funnel" ->

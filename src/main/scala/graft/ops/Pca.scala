@@ -27,27 +27,39 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Pca {
 
-  /** Upper-triangle product terms struct(i, j, t) per row, generated
-    * with nested array transforms. `v` must reference an ALREADY
-    * MATERIALIZED array column (see the HOF-CSE gotcha: an inlined
-    * expression would re-evaluate per (i, j)).
+  /** Upper-triangle product terms per row as ONE primitive double
+    * array in canonical (i, j >= i) row-major order — positions are
+    * decoded to (i, j) AFTER the aggregation via a d(d+1)/2-row
+    * broadcast map, so the per-row hot loop allocates no structs
+    * (warm A/B at sf0.1: 4.10 -> 3.28 s vs struct(i, j, t)
+    * generation; the remaining cost is the per-term 12dp round,
+    * i.e. the exactness discipline itself).
+    * `v` must reference an ALREADY MATERIALIZED array column (the
+    * HOF-CSE gotcha: an inlined expression would re-evaluate per
+    * (i, j)).
     */
-  def pairTerms(v: Column, d: Int): Column =
+  def pairValues(v: Column, d: Int): Column =
     flatten(transform(v, (xi, i) =>
-      transform(slice(v, i + 1, lit(d) - i), (xj, k) =>
-        struct(i.cast("int").as("i"), (i + k).cast("int").as("j"),
-          round(xi * xj, 12).as("t")))))
+      transform(slice(v, i + 1, lit(d) - i), xj => round(xi * xj, 12))))
 
   /** Decimal-exact raw second moments: (i, j, gram) for i <= j with
     * gram = sum(round(x_i*x_j, 12)). One scan; the shuffle carries
     * d(d+1)/2 rows per partition.
     */
-  def gram(emb: DataFrame, vecCol: String, d: Int): DataFrame =
+  def gram(emb: DataFrame, vecCol: String, d: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val posMap = broadcast(
+      (for (i <- 0 until d; j <- i until d) yield (i, j))
+        .zipWithIndex.map { case ((i, j), p) => (p, i, j) }
+        .toDF("pos", "i", "j"))
     emb.select(asDoubleCol(vecCol).as("__v"))
-      .select(explode(pairTerms(col("__v"), d)).as("pt"))
-      .select(col("pt.i").as("i"), col("pt.j").as("j"), col("pt.t").as("t"))
-      .groupBy(col("i"), col("j"))
+      .select(posexplode(pairValues(col("__v"), d)).as(Seq("pos", "t")))
+      .groupBy(col("pos"))
       .agg(sum(col("t").cast(DecimalType(38, 12))).cast("double").as("gram"))
+      .join(posMap, Seq("pos"))
+      .select(col("i"), col("j"), col("gram"))
+  }
 
   /** Decimal-exact column sums and count (for centering). */
   def columnMoments(emb: DataFrame, vecCol: String): DataFrame =
