@@ -267,6 +267,23 @@ object AggQueries {
       Tables.orders(s, d).groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))),
 
+    // Grouped mode (most frequent value, ties to the smallest value —
+    // the deterministic form; engine mode()/any_value() tie behavior
+    // is not portable): one count agg + one row_number window, both
+    // clustered on the group key.
+    "agg_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("c_nationkey"))
+            .orderBy(col("n").desc, col("c_mktsegment"))))
+        .filter(col("rk") === 1)
+        .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"),
+          col("n").as("n_mode"))
+    }),
+
     // Exact per-group quantiles by explicit rank selection: the p-th
     // quantile is the value at rank ceil(p·n), computed as one sorted
     // window per group — no interpolation and no sketch, so both
@@ -641,6 +658,13 @@ object AggQueries {
          FROM lineitem""",
     "agg_histogram" ->
       "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+    "agg_mode" ->
+      """SELECT c_nationkey, c_mktsegment AS mode_segment, n AS n_mode
+         FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+                      row_number() OVER (PARTITION BY c_nationkey
+                        ORDER BY COUNT(*) DESC, c_mktsegment) AS rk
+               FROM customer GROUP BY c_nationkey, c_mktsegment)
+         WHERE rk = 1""",
     "agg_approx_quantiles" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
                 TRUE AS p50_ok, TRUE AS p90_ok
