@@ -150,6 +150,34 @@ object SinkQueries {
           max(col("l_orderkey")).as("max_ok"))
     }),
 
+    // Small-file compaction round trip under the oracle gate (the
+    // sink_zorder_scan pattern): scatter a deterministic lineitem
+    // subset across 32 tiny files, Compact.compact them (read-side
+    // file-split packing, zero shuffle — CompactSpec pins the plan),
+    // read the compacted layout back and aggregate. `compacted_ok`
+    // certifies in-row that files genuinely consolidated and no row
+    // was lost; the content aggregate hashes against DuckDB straight
+    // off the base table.
+    "sink_compact_scan" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val root = StreamQueries.drainDir("graft-compact-")
+      val small = s"$root/small"; val out = s"$root/compacted"
+      Tables.lineitem(s, d).filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .repartition(32).write.mode("overwrite").parquet(small)
+      val stats = graft.sources.Compact.compact(s, small, out,
+        64L * 1024 * 1024)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .withColumn("compacted_ok",
+          lit(stats.filesAfter < stats.filesBefore &&
+            stats.rowsAfter == stats.rowsBefore))
+    }),
+
     "sink_flatfile_tsv" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
@@ -450,6 +478,13 @@ object SinkQueries {
          FROM lineitem
          WHERE (l_partkey % 1024) BETWEEN 100 AND 199
            AND (l_suppkey % 1024) BETWEEN 300 AND 399""",
+    "sink_compact_scan" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty,
+                MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+                TRUE AS compacted_ok
+         FROM lineitem WHERE l_orderkey % 4 = 0""",
     "fmt_cdd" ->
       s"""WITH ${rawLookupSql(0)},
           g AS (SELECT protein,

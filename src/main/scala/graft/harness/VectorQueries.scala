@@ -702,18 +702,21 @@ object VectorQueries {
               WHERE rk <= 5)"""
 
   val oracle: Map[String, String] = Map(
-    // replay the moment matrix exactly: same 12dp per-term rounding,
-    // same decimal accumulation
+    // replay the moment matrix exactly: the per-term round is pure
+    // IEEE (floor(x*1e12 + 0.5) — the same three FP ops Spark runs;
+    // engine-native round() diverges by 1 ulp on rare terms), the
+    // scaled integers sum exactly, one double division at the end
     "embed_gram" ->
       s"""WITH p AS (SELECT u.i AS i, w.j AS j,
-                 round(CAST(embedding[u.i + 1] AS DOUBLE) *
-                       CAST(embedding[w.j + 1] AS DOUBLE), 12) AS t
+                 CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) *
+                            CAST(embedding[w.j + 1] AS DOUBLE) * 1e12
+                            + 0.5) AS BIGINT) AS t12
           FROM embeddings,
                UNNEST(range(0, $Dim)) AS u(i),
                UNNEST(range(0, $Dim)) AS w(j)
           WHERE w.j >= u.i)
           SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-                 CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS gram
+                 CAST(SUM(t12) AS DOUBLE) / 1e12 AS gram
           FROM p GROUP BY i, j""",
     // replay ALL Lloyd rounds unrolled: every intermediate centroid is
     // decimal-exact, so the final assignment hash pins the trajectory

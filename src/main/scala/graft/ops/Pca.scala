@@ -40,11 +40,17 @@ object Pca {
     */
   def pairValues(v: Column, d: Int): Column =
     flatten(transform(v, (xi, i) =>
-      transform(slice(v, i + 1, lit(d) - i), xj => round(xi * xj, 12))))
+      transform(slice(v, i + 1, lit(d) - i),
+        xj => floor(xi * xj * lit(1e12) + lit(0.5)))))
 
-  /** Decimal-exact raw second moments: (i, j, gram) for i <= j with
-    * gram = sum(round(x_i*x_j, 12)). One scan; the shuffle carries
-    * d(d+1)/2 rows per partition.
+  /** Exact raw second moments: (i, j, gram) for i <= j with gram =
+    * sum(round12(x_i*x_j)). The per-term rounding is PURE IEEE —
+    * floor(x*1e12 + 0.5) on the exact float-product double, the same
+    * three FP ops in both engines (a decimal HALF_UP round here
+    * diverged from DuckDB's FP round by 1 ulp on ~1e-7 of terms,
+    * caught by the sf1 gate at 83M terms) — and the scaled integers
+    * sum exactly, with ONE deterministic double division at the end.
+    * One scan; the shuffle carries d(d+1)/2 rows per partition.
     */
   def gram(emb: DataFrame, vecCol: String, d: Int): DataFrame = {
     val spark = emb.sparkSession
@@ -54,20 +60,24 @@ object Pca {
         .zipWithIndex.map { case ((i, j), p) => (p, i, j) }
         .toDF("pos", "i", "j"))
     emb.select(asDoubleCol(vecCol).as("__v"))
-      .select(posexplode(pairValues(col("__v"), d)).as(Seq("pos", "t")))
+      .select(posexplode(pairValues(col("__v"), d)).as(Seq("pos", "t12")))
       .groupBy(col("pos"))
-      .agg(sum(col("t").cast(DecimalType(38, 12))).cast("double").as("gram"))
+      .agg((sum(col("t12").cast(DecimalType(18, 0))).cast("double") /
+        lit(1e12)).as("gram"))
       .join(posMap, Seq("pos"))
       .select(col("i"), col("j"), col("gram"))
   }
 
-  /** Decimal-exact column sums and count (for centering). */
+  /** Exact column sums and count (for centering) — same pure-IEEE
+    * 1e12 scaling as [[gram]].
+    */
   def columnMoments(emb: DataFrame, vecCol: String): DataFrame =
     emb.select(asDoubleCol(vecCol).as("__v"))
       .select(posexplode(col("__v")).as(Seq("i", "x")))
       .groupBy(col("i"))
-      .agg(sum(round(col("x"), 12).cast(DecimalType(38, 12)))
-        .cast("double").as("sx"), count(lit(1)).as("n"))
+      .agg((sum(floor(col("x") * lit(1e12) + lit(0.5))
+        .cast(DecimalType(18, 0))).cast("double") / lit(1e12)).as("sx"),
+        count(lit(1)).as("n"))
 
   private def asDoubleCol(vecCol: String): Column =
     transform(col(vecCol), _.cast("double"))
