@@ -259,6 +259,35 @@ object VectorQueries {
     "embed_gram" -> ((s, d) =>
       graft.ops.Pca.gram(Tables.embeddings(s, d), "embedding", Dim)),
 
+    // Pearson correlation matrix of the embedding dimensions — the
+    // feature-redundancy report a curation pipeline prints next to
+    // PCA. Assembled ENTIRELY from the exact scaled sums (Pca.gram +
+    // columnMoments): every input to the corr formula is a
+    // deterministic double, the formula is the same IEEE op sequence
+    // in both engines, and the final 6dp round is the pure-IEEE
+    // floor(x*1e6+0.5)/1e6. The joins are broadcasts of d- and
+    // d(d+1)/2-row frames — metadata-sized at any corpus scale.
+    "embed_corr" -> ((s, d) => {
+      val g = graft.ops.Pca.gram(Tables.embeddings(s, d), "embedding", Dim)
+      val m = graft.ops.Pca.columnMoments(Tables.embeddings(s, d),
+        "embedding")
+      val diag = g.filter(col("i") === col("j"))
+        .select(col("i").as("k"), col("gram").as("gkk"))
+      g.join(broadcast(m.select(col("i"), col("sx").as("si"), col("n"))),
+          Seq("i"))
+        .join(broadcast(m.select(col("i").as("j"), col("sx").as("sj"))),
+          Seq("j"))
+        .join(broadcast(diag.select(col("k").as("i"), col("gkk").as("gii"))),
+          Seq("i"))
+        .join(broadcast(diag.select(col("k").as("j"), col("gkk").as("gjj"))),
+          Seq("j"))
+        .select(col("i"), col("j"),
+          (floor(((col("n") * col("gram") - col("si") * col("sj")) /
+            sqrt((col("n") * col("gii") - col("si") * col("si")) *
+              (col("n") * col("gjj") - col("sj") * col("sj")))) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("corr"))
+    }),
+
     // First-class k-means over the embedding corpus: KmRounds Lloyd
     // iterations (the IVF family runs one refinement; SemDeDup blocks
     // on these cells — clustering itself is a curation deliverable:
@@ -718,6 +747,37 @@ object VectorQueries {
           SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
                  CAST(SUM(t12) AS DOUBLE) / 1e12 AS gram
           FROM p GROUP BY i, j""",
+    // the corr formula runs the SAME IEEE op sequence on the same
+    // exact-sum doubles as the Spark side; 6dp round is floor-based
+    "embed_corr" ->
+      s"""WITH p AS (SELECT u.i AS i, w.j AS j,
+                 CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) *
+                            CAST(embedding[w.j + 1] AS DOUBLE) * 1e12
+                            + 0.5) AS BIGINT) AS t12
+          FROM embeddings,
+               UNNEST(range(0, $Dim)) AS u(i),
+               UNNEST(range(0, $Dim)) AS w(j)
+          WHERE w.j >= u.i),
+          g AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                       CAST(SUM(t12) AS DOUBLE) / 1e12 AS gram
+                FROM p GROUP BY i, j),
+          m AS (SELECT CAST(u.i AS INT) AS i,
+                       CAST(SUM(CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE)
+                                           * 1e12 + 0.5) AS BIGINT))
+                            AS DOUBLE) / 1e12 AS sx,
+                       COUNT(*) AS n
+                FROM embeddings, UNNEST(range(0, $Dim)) AS u(i)
+                GROUP BY u.i),
+          dg AS (SELECT i AS k, gram AS gkk FROM g WHERE i = j)
+          SELECT g.i, g.j,
+                 floor(((si.n * g.gram - si.sx * sj.sx) /
+                        sqrt((si.n * di.gkk - si.sx * si.sx) *
+                             (si.n * dj.gkk - sj.sx * sj.sx))) * 1e6
+                       + 0.5) / 1e6 AS corr
+          FROM g JOIN m si ON g.i = si.i
+                 JOIN m sj ON g.j = sj.i
+                 JOIN dg di ON g.i = di.k
+                 JOIN dg dj ON g.j = dj.k""",
     // replay ALL Lloyd rounds unrolled: every intermediate centroid is
     // decimal-exact, so the final assignment hash pins the trajectory
     "embed_kmeans" -> {
