@@ -606,6 +606,57 @@ object TextQueries {
       val p = round(lit(1.0) / (lit(1.0) + exp(-z(w))), 6)
       feats.select(col("doc_id"), col("y"), p.as("p"),
         (p >= 0.5).as("pred"))
+    }),
+
+    // BM25 ranked retrieval for a fixed query — the lexical serving
+    // baseline that sits next to the ANN family (hybrid search fuses
+    // the two in ann_hybrid_rrf). Everything reaching the hash gate
+    // is cross-engine exact: idf = ln rounded to 6dp as DECIMAL (the
+    // proven tfidf regime), the tf-saturation term is a fixed
+    // left-assoc chain of IEEE double ops (bit-identical in any IEEE
+    // engine), and each per-term contribution is scaled to integer
+    // micros via floor(x*1e6 + 0.5) BEFORE the order-insensitive
+    // BIGINT sum. Shape: the token explode feeds tf and df only for
+    // the 4 query terms (everything else prunes at the scan filter),
+    // idf is a 4-row broadcast, avgdl a one-row census broadcast, and
+    // the global top-10 is TakeOrdered — no full-sort, no wide window.
+    "text_bm25" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val docs = widened(Tables.documents(s, d))
+      val toks = TextOps.tokens(col("text"))
+      val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+      val census = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+      val hits = docs
+        .select(col("doc_id"), explode(toks).as("t"))
+        .filter(col("t").isin(Bm25Terms: _*))
+      val idf = hits.select(col("doc_id"), col("t")).distinct()
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(census))
+        .select(col("t"),
+          round(log(lit(1.0) +
+            (col("nd").cast("double") - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5))), 6)
+            .cast(DecimalType(12, 6)).as("idf"))
+      val tfp = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") /
+              (col("sdl").cast("double") / col("nd").cast("double")))))
+      val scored = hits.groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+        .join(broadcast(idf), Seq("t"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(census))
+        .withColumn("c_micro",
+          floor(col("idf").cast("double") * tfp * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("c_micro")).as("score_micro"))
+      scored.orderBy(col("score_micro").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))))
+        .select(col("doc_id"), col("n_terms"), col("score_micro"), col("rk"))
     })
   )
 
@@ -622,6 +673,11 @@ object TextQueries {
   // quality-classifier training: full-batch GD iterations / step size
   private val ClfIters = 5
   private val ClfEta = 1.0
+
+  // BM25: fixed query terms (present in the synthetic vocab) + the
+  // standard k1=1.2 / b=0.75 folded into the tfp expression as
+  // literals (2.2 = k1+1, 0.25 = 1-b, 0.75 = b)
+  private val Bm25Terms = Seq("scan", "merge", "hash", "batch")
 
   private val sqlToks = "string_split(text, ' ')"
 
@@ -1000,6 +1056,38 @@ object TextQueries {
           scored AS (SELECT doc_id, y, round($sig, 6) AS p
                      FROM f, ${prev(ClfIters, "pwf")})
           SELECT doc_id, y, p, p >= 0.5 AS pred FROM scored"""
-    }
+    },
+    "text_bm25" ->
+      s"""WITH terms(t) AS (VALUES ('scan'), ('merge'), ('hash'), ('batch')),
+          dl AS (SELECT doc_id, len($sqlToks) AS dl FROM documents),
+          census AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS sdl
+                     FROM dl),
+          hits AS (SELECT doc_id, u.t
+                   FROM documents, UNNEST($sqlToks) AS u(t)
+                   WHERE u.t IN (SELECT t FROM terms)),
+          dfc AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY t),
+          idf AS (SELECT t,
+                    CAST(round(ln(1.0 +
+                      (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                        (CAST(df AS DOUBLE) + 0.5)), 6) AS DECIMAL(12,6)) AS idf
+                  FROM dfc CROSS JOIN census),
+          tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM hits GROUP BY doc_id, t),
+          sc AS (SELECT tf.doc_id,
+                   CAST(floor(CAST(idf AS DOUBLE) *
+                     ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+                      (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                       (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                        (CAST(dl AS DOUBLE) /
+                         (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE)))))) *
+                     1e6 + 0.5) AS BIGINT) AS c_micro
+                 FROM tf JOIN idf USING (t) JOIN dl USING (doc_id)
+                 CROSS JOIN census),
+          agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                         CAST(SUM(c_micro) AS BIGINT) AS score_micro
+                  FROM sc GROUP BY doc_id)
+          SELECT doc_id, n_terms, score_micro, rk
+          FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                  AS rk FROM agg)
+          WHERE rk <= 10"""
   )
 }

@@ -54,7 +54,8 @@ class PlanGuardSpec extends SparkSpec {
     "text_collocations" -> 4L,
     "sample_dsir" -> 4L,
     "text_perplexity" -> 4L,
-    "text_tfidf" -> 4L)
+    "text_tfidf" -> 4L,
+    "text_bm25" -> 4L) // one-row census broadcast onto tf/idf frames
 
   /** Collect BNLJ nodes, descending through the adaptive/stage leaf
     * wrappers `TreeNode.collect` cannot see past.
