@@ -601,6 +601,66 @@ object VectorQueries {
       a.join(flagged, col("vec_id") === col("dup"), "left_outer")
         .select(col("vec_id"), col("cell"),
           col("witness").isNull.as("keep"), col("witness"), col("max_sim"))
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion — the serving-stack
+    // composition the lexical (text_bm25/text_tfidf) and vector (ann_*)
+    // families exist for: each leg produces a per-query top-50, RRF
+    // fuses them. The lexical score is PURE int64 — idf quantized to
+    // millis (ln(N/df) at 3dp × 1000), contribution tf_q·tf_d·idf_m²
+    // ≤ ~1e11 per term so the BIGINT sum is exact in any engine, no
+    // doubles anywhere in the leg. The vector leg is the proven
+    // brute-force cosine ranking. RRF_k=60 contributions are
+    // floor(1e12/(60+rank)) — one IEEE divide + floor, bit-identical
+    // cross-engine — summed as BIGINT, absent legs contributing 0.
+    // Shape: the lexical leg is one posting join against a broadcast
+    // (5-query tokens × idf) frame; the vector leg a 5-row broadcast
+    // cross; fusion a (qid, doc)-keyed full-outer of two 250-row
+    // frames. At 100 TB each leg swaps in its scale path (BM25 over
+    // the inverted index / IVF cells) — the fusion stays rank-only,
+    // so it never touches corpus-sized data.
+    "ann_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val census = docs.agg(count(lit(1)).as("nd"))
+      val idf = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(census))
+        .select(col("t"),
+          (round(log(col("nd") / col("df")), 3).cast(DecimalType(12, 3)) *
+            lit(1000)).cast("long").as("idf_m"))
+      val qtf = tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("t"), col("tf").as("qtf"))
+      val lexTop = tf
+        .join(broadcast(qtf.join(idf, Seq("t"))), Seq("t"))
+        .filter(col("qid") =!= col("doc_id"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("tf") * col("qtf") * col("idf_m") * col("idf_m"))
+          .as("s_lex"))
+        .withColumn("r_lex", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("s_lex").desc, col("doc_id"))))
+        .filter(col("r_lex") <= 50)
+        .select(col("qid"), col("doc_id"), col("r_lex"))
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val vecTop = VectorOps
+        .bruteForceTopK(q, emb, "qid", "vec_id", "qe", "embedding", 50)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rk").as("r_vec"))
+      def contrib(r: Column) = when(r.isNotNull,
+        floor(lit(1e12) / (lit(60) + r)).cast("long")).otherwise(lit(0L))
+      lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf", contrib(col("r_lex")) + contrib(col("r_vec")))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("doc_id"),
+          coalesce(col("r_lex"), lit(-1)).as("r_lex"),
+          coalesce(col("r_vec"), lit(-1)).as("r_vec"),
+          col("rrf"), col("rk"))
     })
   )
 
@@ -1002,6 +1062,54 @@ object VectorQueries {
                  FROM prs WHERE sim >= $SemTau GROUP BY dup)
           SELECT asgc.vec_id, asgc.cell, fl.witness IS NULL AS keep,
                  fl.witness, fl.max_sim
-          FROM asgc LEFT JOIN fl ON asgc.vec_id = fl.dup"""
+          FROM asgc LEFT JOIN fl ON asgc.vec_id = fl.dup""",
+    "ann_hybrid_rrf" ->
+      """WITH tf AS (SELECT doc_id, u.t, COUNT(*) AS tf
+                     FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+                     GROUP BY doc_id, u.t),
+          census AS (SELECT COUNT(*) AS nd FROM documents),
+          idf AS (SELECT t,
+                    CAST(CAST(round(ln(CAST(nd AS DOUBLE) / df), 3)
+                           AS DECIMAL(12,3)) * 1000 AS BIGINT) AS idf_m
+                  FROM (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+                  CROSS JOIN census),
+          qtf AS (SELECT doc_id AS qid, t, tf AS qtf FROM tf
+                  WHERE doc_id < 5),
+          lex AS (SELECT qid, tf.doc_id,
+                         CAST(SUM(tf.tf * qtf * idf_m * idf_m) AS BIGINT)
+                           AS s_lex
+                  FROM tf JOIN qtf USING (t) JOIN idf USING (t)
+                  WHERE tf.doc_id <> qid GROUP BY qid, tf.doc_id),
+          lt AS (SELECT qid, doc_id, r_lex
+                 FROM (SELECT qid, doc_id, row_number() OVER (
+                         PARTITION BY qid ORDER BY s_lex DESC, doc_id)
+                         AS r_lex FROM lex)
+                 WHERE r_lex <= 50),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+          vs AS (SELECT qid, vec_id AS doc_id,
+                        round(list_cosine_similarity(qv, v), 6) AS sim
+                 FROM qv, e WHERE vec_id <> qid),
+          vt AS (SELECT qid, doc_id, r_vec
+                 FROM (SELECT qid, doc_id, row_number() OVER (
+                         PARTITION BY qid ORDER BY sim DESC, doc_id)
+                         AS r_vec FROM vs)
+                 WHERE r_vec <= 50),
+          f AS (SELECT COALESCE(lt.qid, vt.qid) AS qid,
+                       COALESCE(lt.doc_id, vt.doc_id) AS doc_id,
+                       r_lex, r_vec,
+                       (CASE WHEN r_lex IS NOT NULL
+                             THEN CAST(floor(1e12 / (60 + r_lex)) AS BIGINT)
+                             ELSE 0 END +
+                        CASE WHEN r_vec IS NOT NULL
+                             THEN CAST(floor(1e12 / (60 + r_vec)) AS BIGINT)
+                             ELSE 0 END) AS rrf
+                FROM lt FULL OUTER JOIN vt
+                  ON lt.qid = vt.qid AND lt.doc_id = vt.doc_id)
+          SELECT qid, doc_id, COALESCE(r_lex, -1) AS r_lex,
+                 COALESCE(r_vec, -1) AS r_vec, rrf, rk
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY rrf DESC, doc_id) AS rk FROM f)
+          WHERE rk <= 5"""
   )
 }
