@@ -497,8 +497,46 @@ object AggQueries {
           round(col("nab").cast("double") / (col("na") + col("nb") - col("nab")), 6))
         .filter(col("nab").cast("double") / (col("na") + col("nb") - col("nab")) >= 0.01)
         .select("pa", "pb", "nab", "na", "nb", "jaccard")
-    })
+    }),
+
+    // Distribution-shape statistics — exact skewness / excess kurtosis
+    // per group from integer power sums: ONE map-side-combinable agg
+    // produces Σq..Σq⁴ as BIGINT (quantities are small integers, so
+    // even Σq⁴ stays far under 2⁶³ at any tested SF; the 100-TB path
+    // swaps the sums to DECIMAL(38,0), same shape), then the standard
+    // central-moment formulas run as ONE shared SQL string evaluated
+    // by both engines — identical text → identical IEEE op sequence,
+    // sqrt included (correctly rounded per IEEE 754) — and the result
+    // is pinned to integer micros before the hash gate.
+    "agg_moments" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"),
+          sum(col("q") * col("q") * col("q")).as("s3"),
+          sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+        .withColumn("skew_micro", expr(SkewMicro))
+        .withColumn("kurt_micro", expr(KurtMicro))
+        .select(col("flag"), col("n"), col("s1"), col("s2"), col("s3"),
+          col("s4"), col("skew_micro"), col("kurt_micro")))
   )
+
+  // moment formulas shared VERBATIM between the Spark expr() and the
+  // DuckDB oracle: one string, two parsers, the same left-associative
+  // IEEE double chain in both engines
+  private val A1 = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val A2 = "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val A3 = "(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val A4 = "(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val M2 = s"($A2 - $A1*$A1)"
+  private val M3 = s"($A3 - 3*$A1*$A2 + 2*$A1*$A1*$A1)"
+  private val M4 = s"($A4 - 4*$A1*$A3 + 6*$A1*$A1*$A2 - 3*$A1*$A1*$A1*$A1)"
+  private val SkewMicro =
+    s"CAST(floor($M3 / ($M2 * sqrt($M2)) * 1e6 + 0.5) AS BIGINT)"
+  private val KurtMicro =
+    s"CAST(floor(($M4 / ($M2 * $M2) - 3) * 1e6 + 0.5) AS BIGINT)"
 
   /** Static-join oracle for agg_tree_ranks: the same 8-slot uid chain
     * and bottom-up JSON assembly, written against the KNOWN 3-level
@@ -845,6 +883,18 @@ object AggQueries {
                 round(CAST(nab AS DOUBLE) / (ca.np + cb.np - nab), 6) AS jaccard
          FROM pair JOIN cnt ca ON pa = ca.l_partkey
                    JOIN cnt cb ON pb = cb.l_partkey
-         WHERE CAST(nab AS DOUBLE) / (ca.np + cb.np - nab) >= 0.01"""
+         WHERE CAST(nab AS DOUBLE) / (ca.np + cb.np - nab) >= 0.01""",
+    "agg_moments" ->
+      s"""WITH b AS (SELECT l_returnflag AS flag,
+                            CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+          g AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(q) AS BIGINT) AS s1,
+                       CAST(SUM(q*q) AS BIGINT) AS s2,
+                       CAST(SUM(q*q*q) AS BIGINT) AS s3,
+                       CAST(SUM(q*q*q*q) AS BIGINT) AS s4
+                FROM b GROUP BY flag)
+          SELECT flag, n, s1, s2, s3, s4,
+                 $SkewMicro AS skew_micro, $KurtMicro AS kurt_micro
+          FROM g"""
   )
 }
