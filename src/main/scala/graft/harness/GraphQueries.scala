@@ -29,6 +29,9 @@ object GraphQueries {
   // BFS: seed nodes (suppliers below this id) and unrolled hop count
   private val BfsSeeds = 4L
   private val BfsHops = 4
+  // label propagation: synchronous rounds (fixed budget, no
+  // convergence test — deterministic by construction)
+  private val LpIters = 3
 
   /** The undirected supplier <-> part-bucket graph: suppliers link to
     * the buckets of the parts they shipped (lineitem projected to
@@ -161,6 +164,39 @@ object GraphQueries {
       }
       sym.unpersist(blocking = false)
       labels
+    }),
+
+    // Community detection by synchronous label propagation (Raghavan
+    // et al. 2007): every node starts as its own community; each round
+    // every node adopts the most frequent label among its neighbours
+    // (tie → smallest label), all reads from the PREVIOUS round, so
+    // the trajectory is deterministic and the oracle replays it as
+    // unrolled CTEs — a fixed LpIters rounds, no convergence test
+    // (sync LP can oscillate on bipartite graphs; a fixed budget is
+    // the honest deterministic form). Per round: ONE join of labels
+    // onto the persisted edge frame + two map-side-combinable aggs
+    // (neighbour-label counts, then argmax as a struct max — no
+    // window, no per-node sort). Label frames are node-sized,
+    // edge-sized work is one equi-join per round — the same
+    // frontier-bound posture as BFS, held at 30x by the persisted
+    // loop-input rule from SCALE.md.
+    "graph_labelprop" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel
+      val sym = bipartite(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      sym.count()
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint()
+      for (_ <- 1 to LpIters) {
+        labels = sym.join(labels, sym("src") === labels("node"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("b"))
+          .select(col("dst").as("node"), (-col("b.nl")).as("label"))
+          .localCheckpoint()
+      }
+      sym.unpersist(blocking = false)
+      labels
     })
   )
 
@@ -226,6 +262,26 @@ object GraphQueries {
                  WHERE src < $BfsSeeds),
           $levels
           SELECT node, CAST(depth AS INT) AS depth FROM l$BfsHops"""
+    },
+    "graph_labelprop" -> {
+      val rounds = (1 to LpIters).map { i =>
+        s"""c$i AS (SELECT e.dst, l.label, COUNT(*) AS cnt
+                 FROM e JOIN l${i - 1} l ON e.src = l.node
+                 GROUP BY e.dst, l.label),
+            l$i AS (SELECT dst AS node, label
+                 FROM (SELECT dst, label, row_number() OVER (
+                         PARTITION BY dst ORDER BY cnt DESC, label) AS rk
+                       FROM c$i)
+                 WHERE rk = 1)"""
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                             1000000 + l_partkey % $Buckets AS dst
+                      FROM lineitem),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst, src FROM e0),
+          l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+          $rounds
+          SELECT node, label FROM l$LpIters"""
     }
   )
 }
