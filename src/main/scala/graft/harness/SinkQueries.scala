@@ -178,6 +178,33 @@ object SinkQueries {
             stats.rowsAfter == stats.rowsBefore))
     }),
 
+    // Zone-map data skipping under the oracle gate (ZoneMapSpec pins
+    // the pruning mechanics): lineitem is range-clustered on a
+    // derived key into 16 files with a per-file [min,max] sidecar,
+    // then a narrow range predicate reads back through
+    // ZoneMap.prunedRead — the sidecar admits only overlapping
+    // zones, so most files are never LISTED for the scan, the skip
+    // layer table formats keep in their transaction log. `pruned_ok`
+    // certifies in-row that skipping genuinely fired (scanned <
+    // total); the content aggregate hashes against DuckDB straight
+    // off the base table.
+    "sink_zonemap_scan" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val root = StreamQueries.drainDir("graft-zonemap-")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), (col("l_orderkey") % 4096).as("k"),
+        col("l_quantity"))
+      graft.sources.ZoneMap.write(li, root, files = 16, key = "k",
+        statCols = Seq("k"))
+      val pr = graft.sources.ZoneMap.prunedRead(s, root, "k", 1000L, 1199L)
+      pr.df.agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .withColumn("pruned_ok", lit(pr.filesScanned < pr.filesTotal))
+    }),
+
     "sink_flatfile_tsv" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
@@ -485,6 +512,13 @@ object SinkQueries {
                 MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
                 TRUE AS compacted_ok
          FROM lineitem WHERE l_orderkey % 4 = 0""",
+    "sink_zonemap_scan" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty,
+                MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+                TRUE AS pruned_ok
+         FROM lineitem WHERE (l_orderkey % 4096) BETWEEN 1000 AND 1199""",
     "fmt_cdd" ->
       s"""WITH ${rawLookupSql(0)},
           g AS (SELECT protein,
