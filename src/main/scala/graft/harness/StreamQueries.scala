@@ -316,6 +316,40 @@ object StreamQueries {
           .as("cohort"), col("offset"), col("n_users"))
     }),
 
+    // Streaming CDC apply — the online MERGE: the events changelog
+    // streams in as keyed upsert/delete ops ('error' = tombstone),
+    // per-key O(1) state keeps the winning op under the
+    // (ts, event_id) total order (streaming/CdcApply.scala), and the
+    // drain is the live final table — exactly what a batch
+    // latest-wins MERGE over the full changelog produces, which is
+    // the oracle. Replay-exact under any batch split/arrival order:
+    // the winner is a max over a total order (associative,
+    // commutative, idempotent), re-emitted whole each batch.
+    "stream_cdc_apply" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val name = "stream_cdc_apply_mem"
+      val sess = streamSession(s)
+      import sess.implicits._
+      val ops = EventsStream.readStream(sess, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"),
+          (col("event_type") === "error").as("delete"))
+        .as[graft.streaming.CdcApply.CdcOp]
+      val applied = graft.streaming.CdcApply.applyStream(ops)
+      val q = applied.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drained(s, sess, name)
+        .withColumn("mx", max(col("n_processed")).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("n_processed") === col("mx"))
+        .filter(!col("deleted"))
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("us")), "yyyy-MM-dd HH:mm:ss")
+            .as("last_ts"),
+          col("event_id").as("last_event_id"), col("value"))
+    }),
+
     // Streaming serving: QUERY VECTORS arrive as a file stream and are
     // answered per micro-batch against the PERSISTED IVF-int8 index
     // (sources/VectorIndex — cell-partitioned parquet + centroid
@@ -464,6 +498,15 @@ object StreamQueries {
                  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
           FROM e JOIN f USING (user_id)
           GROUP BY day0, date_diff('day', day0, day)""",
+    // the streaming CDC apply drains to the batch latest-wins MERGE
+    "stream_cdc_apply" ->
+      """WITH r AS (SELECT user_id, ts, event_id, value, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rk
+                    FROM events)
+          SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+                 event_id AS last_event_id, value
+          FROM r WHERE rk = 1 AND event_type <> 'error'""",
     // the streaming funnel drains to the BATCH answer — textually the
     // same oracle as window_funnel
     "stream_funnel" ->
