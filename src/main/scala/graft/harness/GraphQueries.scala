@@ -64,12 +64,20 @@ object GraphQueries {
       // materialize the edge set and the (node, deg) dimension ONCE —
       // a lazy edge frame would re-run the corpus-wide distinct every
       // iteration (measured 5x the loop cost at 30x). Edges persist
-      // pre-partitioned on src, so each iteration's rank join either
-      // broadcasts (AQE, small node set — the case here) or shuffles
-      // only the rank side against the standing edge partitioning;
-      // the one corpus-scaled exchange per round is the inflow
-      // groupBy.
-      val edges = bipartite(s, d).repartition(col("src"))
+      // pre-partitioned on DST — the inflow groupBy's key — and the
+      // node-sized rank frame broadcasts into the join, so each
+      // iteration's plan is scan-cached-edges → BroadcastHashJoin →
+      // partial/final agg with ZERO exchange: HashPartitioning(dst)
+      // already satisfies the groupBy(dst) distribution, and the
+      // broadcast join preserves the streamed side's partitioning.
+      // (The previous src-partitioned layout paid one edge-sized
+      // decimal-contribution shuffle per round; with the integer-pico
+      // contribution sum below, warm A/B at sf0.1: 4.6 -> 2.9 s.)
+      // The broadcast is right while the node set is dimension-sized
+      // (suppliers × buckets here); a web-scale node set swaps back
+      // to the shuffled rank join against this same standing edge
+      // partitioning — the layout choice, not the loop, changes.
+      val edges = bipartite(s, d).repartition(col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -82,13 +90,20 @@ object GraphQueries {
       var ranks = nodes.select(col("node"), col("deg"),
         round(lit(1.0) / n, 9).as("rank"))
       for (_ <- 1 to PrIters) {
+        // per-edge contribution in integer picos: floor(x·1e12 + 0.5)
+        // is the same three IEEE ops in both engines (the embed_gram
+        // regime), total rank mass ≤ 1 bounds every inflow sum under
+        // 2^41, and the LONG sum codegens to a primitive add — the
+        // DECIMAL(28,12) form it replaces ran the BigDecimal slow
+        // path per edge (precision > 18 leaves Spark's long-backed
+        // decimal fast path)
         val contrib = edges
-          .join(ranks, edges("src") === ranks("node"))
+          .join(broadcast(ranks), edges("src") === ranks("node"))
           .select(col("dst"),
-            round(col("rank") / col("deg"), 12)
-              .cast(DecimalType(28, 12)).as("c"))
+            floor(col("rank") / col("deg") * lit(1e12) + lit(0.5))
+              .cast("long").as("c"))
           .groupBy(col("dst"))
-          .agg(sum(col("c")).cast("double").as("inflow"))
+          .agg((sum(col("c")).cast("double") / lit(1e12)).as("inflow"))
         ranks = nodes
           .join(contrib, nodes("node") === contrib("dst"), "left_outer")
           .select(nodes("node"), nodes("deg"),
@@ -147,7 +162,13 @@ object GraphQueries {
     // persisted once across levels.
     "graph_bfs_depth" -> ((s, d) => {
       import org.apache.spark.storage.StorageLevel
-      val sym = bipartite(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      // edges persist pre-partitioned on dst: each level is then
+      // broadcast(frontier) ⋈ edges → dst-distinct with NO exchange
+      // (the alias-aware partitioning survives the rename to `node`),
+      // and the visited-set anti-join broadcasts the label side —
+      // zero shuffles per level after the one-time layout
+      val sym = bipartite(s, d).repartition(col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       sym.count()
       var labels = sym.select(col("src").as("node")).distinct()
         .filter(col("node") < BfsSeeds)
@@ -156,9 +177,10 @@ object GraphQueries {
       for (i <- 1 to BfsHops) {
         val frontier = labels.filter(col("depth") === i - 1)
           .select(col("node").as("fn"))
-        val next = sym.join(frontier, sym("src") === col("fn"))
+        val next = sym.join(broadcast(frontier), sym("src") === col("fn"))
           .select(col("dst").as("node")).distinct()
-          .join(labels.select(col("node")), Seq("node"), "left_anti")
+          .join(broadcast(labels.select(col("node"))), Seq("node"),
+            "left_anti")
           .withColumn("depth", lit(i))
         labels = labels.unionByName(next).localCheckpoint()
       }
@@ -182,13 +204,18 @@ object GraphQueries {
     // loop-input rule from SCALE.md.
     "graph_labelprop" -> ((s, d) => {
       import org.apache.spark.storage.StorageLevel
-      val sym = bipartite(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      // same zero-exchange loop layout as pagerank/BFS: edges
+      // dst-partitioned once, node-sized label frame broadcast in,
+      // and both aggs run on the standing partitioning
+      // (HashPartitioning(dst) satisfies the (dst, label) clustering)
+      val sym = bipartite(s, d).repartition(col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       sym.count()
       var labels = sym.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
         .localCheckpoint()
       for (_ <- 1 to LpIters) {
-        labels = sym.join(labels, sym("src") === labels("node"))
+        labels = sym.join(broadcast(labels), sym("src") === labels("node"))
           .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("dst"))
           .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("b"))
@@ -214,8 +241,8 @@ object GraphQueries {
                    FROM deg, nn)"""
       val iters = (1 to PrIters).map { i =>
         s"""c$i AS (SELECT e.dst,
-                           CAST(SUM(CAST(round(r.rank / deg.deg, 12)
-                                         AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+                           CAST(SUM(CAST(floor(r.rank / deg.deg * 1e12 + 0.5)
+                                         AS BIGINT)) AS DOUBLE) / 1e12 AS inflow
                     FROM e JOIN r${i - 1} r ON e.src = r.node
                            JOIN deg ON e.src = deg.node
                     GROUP BY e.dst),
