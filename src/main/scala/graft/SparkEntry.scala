@@ -73,7 +73,8 @@ object SparkEntry {
     "agg" -> ((s, d) => { harness.SharedFrames.taxaLineage(s, d); () }),
     "kernel" -> ((s, d) => { harness.SharedFrames.taxaLineage(s, d); () }),
     "dedup" -> ((s, d) => harness.DedupQueries.warmShared(s, d)),
-    "vector" -> ((s, d) => harness.VectorQueries.warmShared(s, d)))
+    "vector" -> ((s, d) => harness.VectorQueries.warmShared(s, d)),
+    "stream" -> ((s, d) => { harness.StreamQueries.annIndexDir(s, d); () }))
 
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * LLM-pipeline north-star ops (dedup / similarity / text / media). */
