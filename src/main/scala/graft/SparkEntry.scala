@@ -74,7 +74,8 @@ object SparkEntry {
     "kernel" -> ((s, d) => { harness.SharedFrames.taxaLineage(s, d); () }),
     "dedup" -> ((s, d) => harness.DedupQueries.warmShared(s, d)),
     "vector" -> ((s, d) => harness.VectorQueries.warmShared(s, d)),
-    "stream" -> ((s, d) => { harness.StreamQueries.annIndexDir(s, d); () }))
+    "stream" -> ((s, d) => { harness.StreamQueries.annIndexDir(s, d); () }),
+    "taxamart" -> ((s, d) => harness.TaxaMartQueries.warmShared(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * LLM-pipeline north-star ops (dedup / similarity / text / media). */

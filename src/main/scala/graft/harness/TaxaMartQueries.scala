@@ -73,14 +73,28 @@ object TaxaMartQueries {
     * (taxa.py:207-211): one narrow fact, lineage-depth x rows.
     */
   private def matchNodes(s: SparkSession, d: String): DataFrame =
-    matches(s, d)
-      .join(proteins(s, d).select(col("protein"), col("lineage")), "protein")
-      .select(col("protein"), col("db"), col("entry"), col("pdb"),
-        explode(col("lineage")).as("node_id"))
+    SharedFrames.cachedFrame(s, d, "mart_match_nodes") {
+      // cached once per family pass: four mart/bundle queries
+      // aggregate this lineage-expanded fact, and the 600k-row join +
+      // 3x explode dominated each of them when rebuilt per query
+      // (mart_taxa_per_entry warm A/B at sf0.1: 4.0 -> ~2.4 s); the
+      // bench charges the build to warm_taxamart_frames
+      matches(s, d)
+        .join(proteins(s, d).select(col("protein"), col("lineage")),
+          "protein")
+        .select(col("protein"), col("db"), col("entry"), col("pdb"),
+          explode(col("lineage")).as("node_id"))
+    }
 
   private def proteinNodes(s: SparkSession, d: String): DataFrame =
-    proteins(s, d).select(col("protein"), col("proteome"),
-      explode(col("lineage")).as("node_id"))
+    SharedFrames.cachedFrame(s, d, "mart_protein_nodes") {
+      proteins(s, d).select(col("protein"), col("proteome"),
+        explode(col("lineage")).as("node_id"))
+    }
+
+  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
+    matchNodes(s, d); proteinNodes(s, d); ()
+  }
 
   val queries: Map[String, Q] = Map(
     // taxon2xrefs end-to-end (xrefs/taxa.py:44-260): per taxon node
