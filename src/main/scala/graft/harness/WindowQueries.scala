@@ -215,8 +215,44 @@ object WindowQueries {
       Tables.orders(s, d)
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .select("o_orderkey", "o_totalprice")
-        .limit(10))
+        .limit(10)),
+
+    // Rolling z-score anomaly flag per user over the trailing 5-event
+    // frame — the metric-monitoring shape (rolling mean/std, flag
+    // |z| > 2). Exactness discipline: values pin to integer micros at
+    // the scan, the frame sums n/Σv/Σv² are BIGINT (order-fixed by
+    // the (ts, event_id) frame, exact in any engine), and the z
+    // formula is ONE shared SQL string (the agg_moments pattern) with
+    // a var<=0 guard, pinned to integer micros before the gate. One
+    // user-keyed window pass, no self-joins.
+    "window_anomaly" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vu"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("vu")).over(w))
+        .withColumn("s2", sum(col("vu") * col("vu")).over(w))
+        .withColumn("z_micro", expr(AnomalyZ))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("vu"), col("n"), col("z_micro"),
+          (abs(col("z_micro")) > 2000000L).as("anomaly"))
+    })
   )
+
+  // z-score formula shared VERBATIM with the DuckDB oracle (the
+  // agg_moments discipline): one string, two parsers, identical IEEE
+  // chain over the exact integer frame sums
+  private val AnomalyZ = {
+    val m = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val v = s"((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - $m*$m)"
+    s"CASE WHEN $v <= 0 THEN 0 ELSE " +
+      s"CAST(floor((CAST(vu AS DOUBLE) - $m) / sqrt($v) * 1e6 + 0.5) " +
+      "AS BIGINT) END"
+  }
 
   val oracle: Map[String, String] = Map(
     "window_retention" ->
@@ -340,6 +376,24 @@ object WindowQueries {
          WHERE rk <= 3""",
     "topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "window_anomaly" ->
+      s"""WITH b AS (SELECT user_id, event_id, ts,
+                            CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vu
+                     FROM events),
+          w AS (SELECT user_id, event_id, ts, vu,
+                       CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+                       CAST(SUM(vu) OVER fr AS BIGINT) AS s1,
+                       CAST(SUM(vu*vu) OVER fr AS BIGINT) AS s2
+                FROM b WINDOW fr AS (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+          z AS (SELECT user_id, event_id,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                       vu, n, $AnomalyZ AS z_micro
+                FROM w)
+          SELECT user_id, event_id, ts_s, vu, n, z_micro,
+                 abs(z_micro) > 2000000 AS anomaly
+          FROM z"""
   )
 }
