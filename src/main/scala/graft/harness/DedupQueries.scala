@@ -465,6 +465,33 @@ object DedupQueries {
         .select(split(col("__bk"), "/").getItem(1).cast("int").as("label"),
           col("ida"), col("idb"), col("sim"))
         .distinct()
+    }),
+
+    // URL dedup — the cheapest dedup layer every crawl pipeline runs
+    // BEFORE any content hashing: canonicalize (strip tracking
+    // params, sort the query string — the text_url_normalize canon,
+    // shared construction) and keep the lowest doc_id per canonical
+    // URL. One URL-keyed window pass; at crawl scale this is a single
+    // hash shuffle on the canon key, and the canon itself is pure
+    // column math on the scan.
+    "dedup_url" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val canonQ = array_join(array_sort(filter(
+        split(parse_url(col("url"), lit("QUERY")), "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("ref=")))), "&")
+      val w = Window.partitionBy(col("canon_url"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextQueries.plantedUrl.as("url"))
+        .withColumn("canon_url",
+          concat(lit("https://"), parse_url(col("url"), lit("HOST")),
+            parse_url(col("url"), lit("PATH")),
+            when(length(canonQ) > 0, concat(lit("?"), canonQ))
+              .otherwise(lit(""))))
+        .withColumn("witness", min(col("doc_id")).over(w))
+        .withColumn("n_group", count(lit(1)).over(w))
+        .select(col("doc_id"), col("canon_url"),
+          (col("doc_id") === col("witness")).as("keep"),
+          col("witness"), col("n_group"))
     })
   )
 
@@ -793,6 +820,16 @@ object DedupQueries {
                  round(list_cosine_similarity(a.v, b2.v), 6) AS sim
           FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id
           WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.4"""
-    }
+    },
+    "dedup_url" ->
+      s"""WITH ${TextQueries.plantedParsedSql},
+          g AS (SELECT doc_id, canon_url,
+                       MIN(doc_id) OVER (PARTITION BY canon_url) AS witness,
+                       CAST(COUNT(*) OVER (PARTITION BY canon_url)
+                            AS BIGINT) AS n_group
+                FROM canon)
+          SELECT doc_id, canon_url, doc_id = witness AS keep,
+                 witness, n_group
+          FROM g"""
   )
 }

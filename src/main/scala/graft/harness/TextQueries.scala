@@ -392,20 +392,11 @@ object TextQueries {
     // PII-query pattern); the oracle re-parses with RE2 regexes and
     // list ops. Purely per-row — the projection rides the scan.
     "text_url_normalize" -> ((s, d) => {
-      val url = concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
-        lit(".example.com/p/"), (col("doc_id") % 100).cast("string"),
-        lit("?id="), (col("doc_id") % 50).cast("string"),
-        when(col("doc_id") % 2 === 0, lit("&utm_source=feed&utm_campaign=x"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 3 === 0, lit("&ref=partner")).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          concat(lit("&page="), (col("doc_id") % 9).cast("string")))
-          .otherwise(lit("")))
       val canonQ = array_join(array_sort(filter(
         split(parse_url(col("url"), lit("QUERY")), "&"),
         p => !(p.startsWith("utm_") || p.startsWith("ref=")))), "&")
       Tables.documents(s, d)
-        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), plantedUrl.as("url"))
         .select(col("doc_id"),
           parse_url(col("url"), lit("HOST")).as("host"),
           parse_url(col("url"), lit("PATH")).as("path"),
@@ -679,6 +670,45 @@ object TextQueries {
   // literals (2.2 = k1+1, 0.25 = 1-b, 0.75 = b)
   private val Bm25Terms = Seq("scan", "merge", "hash", "batch")
 
+  // planted per-doc URL with tracking-parameter noise — shared by
+  // text_url_normalize and dedup_url (both sides: Column + SQL CTEs)
+  private[harness] def plantedUrl: org.apache.spark.sql.Column =
+    concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/p/"), (col("doc_id") % 100).cast("string"),
+      lit("?id="), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("&utm_source=feed&utm_campaign=x"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("&ref=partner")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("&page="), (col("doc_id") % 9).cast("string")))
+        .otherwise(lit("")))
+
+  private[harness] val plantedParsedSql =
+    """planted AS (SELECT doc_id,
+              'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+              '?id=' || CAST(doc_id % 50 AS VARCHAR) ||
+              CASE WHEN doc_id % 2 = 0
+                   THEN '&utm_source=feed&utm_campaign=x' ELSE '' END ||
+              CASE WHEN doc_id % 3 = 0 THEN '&ref=partner' ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0
+                   THEN '&page=' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
+              AS url
+            FROM documents),
+          parsed AS (SELECT doc_id,
+              regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+              regexp_extract(url, 'https?://[^/]+([^?]*)', 1) AS path,
+              array_to_string(list_sort(list_filter(
+                string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+                p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))), '&')
+                AS canon_query
+            FROM planted),
+          canon AS (SELECT doc_id, host, path, canon_query,
+                 'https://' || host || path ||
+                 CASE WHEN length(canon_query) > 0
+                      THEN '?' || canon_query ELSE '' END AS canon_url
+          FROM parsed)"""
+
   private val sqlToks = "string_split(text, ' ')"
 
   val oracle: Map[String, String] = Map(
@@ -930,30 +960,8 @@ object TextQueries {
                    < CAST(0.005 AS DOUBLE) AS keep
           FROM counted""",
     "text_url_normalize" ->
-      """WITH planted AS (SELECT doc_id,
-              'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
-              '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) ||
-              '?id=' || CAST(doc_id % 50 AS VARCHAR) ||
-              CASE WHEN doc_id % 2 = 0
-                   THEN '&utm_source=feed&utm_campaign=x' ELSE '' END ||
-              CASE WHEN doc_id % 3 = 0 THEN '&ref=partner' ELSE '' END ||
-              CASE WHEN doc_id % 5 = 0
-                   THEN '&page=' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
-              AS url
-            FROM documents),
-          parsed AS (SELECT doc_id,
-              regexp_extract(url, 'https?://([^/]+)', 1) AS host,
-              regexp_extract(url, 'https?://[^/]+([^?]*)', 1) AS path,
-              array_to_string(list_sort(list_filter(
-                string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
-                p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))), '&')
-                AS canon_query
-            FROM planted)
-          SELECT doc_id, host, path, canon_query,
-                 'https://' || host || path ||
-                 CASE WHEN length(canon_query) > 0
-                      THEN '?' || canon_query ELSE '' END AS canon_url
-          FROM parsed""",
+      s"""WITH $plantedParsedSql
+          SELECT doc_id, host, path, canon_query, canon_url FROM canon""",
     "text_inverted_index" ->
       s"""WITH t AS (SELECT DISTINCT u.t AS token, doc_id
                      FROM documents, UNNEST($sqlToks) AS u(t))
