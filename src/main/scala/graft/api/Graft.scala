@@ -299,4 +299,26 @@ object Graft {
   def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
                  model: graft.ops.Pca.Model, k: Int): DataFrame =
     graft.ops.Pca.project(emb, idCol, vecCol, model, k)
+
+  /** Zone-map clustered write: `files` range-clustered parquet files
+    * plus a per-file [min,max] sidecar under `path/_zonemap`.
+    */
+  def zoneMapWrite(df: DataFrame, path: String, files: Int, key: String,
+                   statCols: Seq[String]): Unit =
+    graft.sources.ZoneMap.write(df, path, files, key, statCols)
+
+  /** Range read that prunes data files by sidecar zones before the
+    * scan; returns the frame plus (total, scanned) file counts.
+    */
+  def zoneMapRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                  c: String, lo: Long, hi: Long): graft.sources.ZoneMap.Pruned =
+    graft.sources.ZoneMap.prunedRead(spark, path, c, lo, hi)
+
+  /** Streaming CDC apply: latest-wins keyed upsert/delete state under
+    * the (ts, event_id) total order; emits the key's current row per
+    * batch with a monotone n_processed (drain: keep max per key).
+    */
+  def cdcApplyStream(ops: Dataset[graft.streaming.CdcApply.CdcOp])
+      : Dataset[graft.streaming.CdcApply.CdcRow] =
+    graft.streaming.CdcApply.applyStream(ops)
 }
