@@ -44,7 +44,8 @@ object VectorQueries {
       .withColumn("rc", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("simc").desc, col("cid"))))
       .filter(col("rc") <= nprobe)
-      .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cell"), col("rc"))
+      .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cell"),
+        col("rc"), col("simc"))
   }
 
   /** The REFINED centroids (8 rows) after the Lloyd round — computed
@@ -661,6 +662,28 @@ object VectorQueries {
           coalesce(col("r_lex"), lit(-1)).as("r_lex"),
           coalesce(col("r_vec"), lit(-1)).as("r_vec"),
           col("rrf"), col("rk"))
+    }),
+
+    // Embedding-quality outlier flag — the data-cleaning pass that
+    // drops mis-embedded vectors before training: every vector's
+    // cosine to its refined k-means cell centroid, pinned to integer
+    // micros, and a vector is an outlier iff it sits strictly below
+    // its CELL's bottom-decile similarity (exact rank selection via
+    // CorpusOps.rankQuantiles — no interpolation, no sketch, so the
+    // threshold is bit-identical cross-engine). Per-cell thresholds,
+    // not a global one: a tight cluster's outliers would hide under a
+    // loose cluster's spread. The threshold table is cell-count-sized
+    // (broadcast); the corpus side is one assign pass + one keyed agg.
+    "embed_outliers" -> ((s, d) => {
+      val a = assign(embFrame(s, d), ivfCentroids(s, d), 1)
+        .select(col("vec_id"), col("cell"),
+          floor(col("simc") * lit(1e6) + lit(0.5)).cast("long").as("sim_u"))
+      val thr = graft.ops.CorpusOps.rankQuantiles(
+          a, "cell", "sim_u", Seq(("p10", 1, 10)))
+        .select(col("cell"), col("p10"))
+      a.join(broadcast(thr), Seq("cell"))
+        .select(col("vec_id"), col("cell"), col("sim_u"), col("p10"),
+          (col("sim_u") < col("p10")).as("is_outlier"))
     })
   )
 
@@ -1110,6 +1133,22 @@ object VectorQueries {
                  COALESCE(r_vec, -1) AS r_vec, rrf, rk
           FROM (SELECT *, row_number() OVER (PARTITION BY qid
                   ORDER BY rrf DESC, doc_id) AS rk FROM f)
-          WHERE rk <= 5"""
+          WHERE rk <= 5""",
+    "embed_outliers" ->
+      s"""WITH $ivfSharedCtes,
+          sims AS (SELECT asgc.vec_id, asgc.cell,
+                     CAST(floor(round(list_cosine_similarity(asgc.v, c1.cv),
+                       6) * 1e6 + 0.5) AS BIGINT) AS sim_u
+                   FROM asgc JOIN c1 ON asgc.cell = c1.cid),
+          r AS (SELECT cell, sim_u,
+                       row_number() OVER (PARTITION BY cell
+                         ORDER BY sim_u) AS rn,
+                       COUNT(*) OVER (PARTITION BY cell) AS n
+                FROM sims),
+          p AS (SELECT cell, MAX(CASE WHEN rn = (n + 9) // 10
+                                      THEN sim_u END) AS p10
+                FROM r GROUP BY cell)
+          SELECT vec_id, sims.cell, sim_u, p10, sim_u < p10 AS is_outlier
+          FROM sims JOIN p ON sims.cell = p.cell"""
   )
 }
