@@ -153,6 +153,56 @@ object SampleQueries {
       graft.ops.CorpusOps.shuffleShards(
         Tables.documents(s, d), "doc_id", ShuffleShards)),
 
+    // Curriculum schedule — the "easy examples first" training order
+    // (Bengio et al., ICML 2009) as a deterministic layout: docs rank
+    // globally by a difficulty proxy (n_chars, short = easy), the
+    // rank folds to a decile, and epoch e ∈ {1,2,3} trains on deciles
+    // ≤ 1+3e (4 → 7 → all 10) so the mix widens as training
+    // progresses. The global rank is NEVER one giant window: a
+    // distinct-length census (bounded domain) carries cumulative
+    // offsets, broadcast back onto the scan, and each doc adds a
+    // row_number partitioned by its own length — the shuffleShards
+    // prefix-sum layout. Within an epoch the read order is a salted
+    // hash: shard = hash byte mod 8, pos = offset census + per
+    // -sub-bucket row_number, so no reducer sorts a whole shard and
+    // reruns/engines agree exactly.
+    "sample_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val census = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cn"))
+        .withColumn("cum0", coalesce(sum(col("cn")).over(
+          Window.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("total", sum(col("cn")).over(
+          Window.partitionBy(lit(1))))
+        .select(col("n_chars"), col("cum0"), col("total"))
+      val ranked = docs.join(broadcast(census), Seq("n_chars"))
+        .withColumn("rnk", col("cum0") + row_number().over(
+          Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))))
+        .withColumn("decile",
+          (lit(1L) + expr("((rnk - 1) * 10) DIV total")).cast("int"))
+      val epochs = ranked
+        .select(col("doc_id"), col("decile"),
+          explode(array(lit(1), lit(2), lit(3))).as("epoch"))
+        .filter(col("decile") <= lit(1) + lit(3) * col("epoch"))
+        .withColumn("hh", md5(concat(lit("cur:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+        .withColumn("hb", TextOps.hexByteValue(col("hh")))
+        .withColumn("shard", (col("hb") % 8).cast("int"))
+      val posCensus = epochs.groupBy(col("epoch"), col("shard"), col("hb"))
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("boff", coalesce(sum(col("bn")).over(
+          Window.partitionBy(col("epoch"), col("shard")).orderBy(col("hb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("epoch"), col("shard"), col("hb"), col("boff"))
+      epochs.join(broadcast(posCensus), Seq("epoch", "shard", "hb"))
+        .withColumn("pos", col("boff") + row_number().over(
+          Window.partitionBy(col("epoch"), col("shard"), col("hb"))
+            .orderBy(col("hh"), col("doc_id"))))
+        .select(col("epoch"), col("doc_id"), col("decile"), col("shard"),
+          col("pos"))
+    }),
+
     // Epoch-weighted UPSAMPLING — the mixture lever sample_mixture's
     // subsampling can't pull: a source with multiplier m > 1 repeats
     // each doc floor(m) times and gains one more copy with
@@ -229,6 +279,32 @@ object SampleQueries {
            substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"""
 
   val oracle: Map[String, String] = Map(
+    "sample_curriculum" ->
+      """WITH r AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY n_chars, doc_id)
+                             AS rnk,
+                           COUNT(*) OVER () AS total
+                    FROM documents),
+          dd AS (SELECT doc_id,
+                        CAST(1 + ((rnk - 1) * 10) // total AS INT) AS decile
+                 FROM r),
+          e AS (SELECT doc_id, decile, CAST(u.e AS INT) AS epoch
+                FROM dd, UNNEST([1, 2, 3]) AS u(e)
+                WHERE decile <= 1 + 3 * u.e),
+          h AS (SELECT epoch, doc_id, decile,
+                       md5('cur:' || CAST(epoch AS VARCHAR) || ':' ||
+                           CAST(doc_id AS VARCHAR)) AS hh
+                FROM e),
+          sh AS (SELECT epoch, doc_id, decile, hh,
+                        CAST(((instr('0123456789abcdef', substr(hh, 1, 1))
+                                 - 1) * 16 +
+                              (instr('0123456789abcdef', substr(hh, 2, 1))
+                                 - 1)) % 8 AS INT) AS shard
+                 FROM h)
+          SELECT epoch, doc_id, decile, shard,
+                 row_number() OVER (PARTITION BY epoch, shard
+                                    ORDER BY hh, doc_id) AS pos
+          FROM sh""",
     "sample_epochs" ->
       s"""WITH b AS (SELECT doc_id, source,
                             CAST(regexp_extract(source, '(\\d+)', 1) AS INT)

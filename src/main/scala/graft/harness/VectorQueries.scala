@@ -684,8 +684,42 @@ object VectorQueries {
       a.join(broadcast(thr), Seq("cell"))
         .select(col("vec_id"), col("cell"), col("sim_u"), col("p10"),
           (col("sim_u") < col("p10")).as("is_outlier"))
+    }),
+
+    // Hard-negative mining for contrastive / reranker training: for
+    // each query, the most-similar corpus vectors that are NOT
+    // near-duplicates — candidates come from the query's own refined
+    // IVF cell (the serving index, shared with the whole ann family),
+    // a similarity ceiling (0.95) cuts the positives/near-dups, and
+    // the top-3 below it are the "hard" negatives (similar enough to
+    // be confusing, distinct enough to be wrong). One broadcast
+    // centroid assignment + one cell-keyed equi-join — candidate
+    // volume is corpus/cells per query, never the full corpus, so the
+    // plan scales with the index like every IVF search here.
+    "ann_hard_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val asg = assign(embFrame(s, d), ivfCentroids(s, d), 1)
+        .select(col("vec_id"), col("v"), col("nv"), col("cell"))
+      val q = asg.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nv").as("qn"), col("cell"))
+      asg.join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim_u",
+          floor(round(VectorOps.dot(col("qv"), col("v")) /
+            (col("qn") * col("nv")), 6) * lit(1e6) + lit(0.5)).cast("long"))
+        .filter(col("sim_u") < lit(HardNegCeil))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("sim_u").desc, col("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"), col("cell"), col("sim_u"),
+          col("rk"))
     })
   )
+
+  /** Near-dup ceiling for hard-negative mining, integer micros. */
+  private val HardNegCeil = 950000L
 
   /** Shared oracle CTEs for the k-means-refined IVF (mirrors
     * ivfKmeansTopk stage by stage; DECIMAL sums keep the centroid
@@ -1149,6 +1183,20 @@ object VectorQueries {
                                       THEN sim_u END) AS p10
                 FROM r GROUP BY cell)
           SELECT vec_id, sims.cell, sim_u, p10, sim_u < p10 AS is_outlier
-          FROM sims JOIN p ON sims.cell = p.cell"""
+          FROM sims JOIN p ON sims.cell = p.cell""",
+    "ann_hard_negatives" ->
+      s"""WITH $ivfSharedCtes,
+          qs AS (SELECT vec_id AS qid, v AS qv, cell
+                 FROM asgc WHERE vec_id < 50),
+          cand AS (SELECT qid, b.vec_id, b.cell,
+                          CAST(floor(round(list_cosine_similarity(qv, b.v),
+                            6) * 1e6 + 0.5) AS BIGINT) AS sim_u
+                   FROM qs q JOIN asgc b USING (cell)
+                   WHERE b.vec_id <> qid),
+          r AS (SELECT qid, vec_id, cell, sim_u,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY sim_u DESC, vec_id) AS rk
+                FROM cand WHERE sim_u < 950000)
+          SELECT qid, vec_id, cell, sim_u, rk FROM r WHERE rk <= 3"""
   )
 }

@@ -240,6 +240,38 @@ object WindowQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col("vu"), col("n"), col("z_micro"),
           (abs(col("z_micro")) > 2000000L).as("anomaly"))
+    }),
+
+    // Truncated exponential moving average per user: ema_t =
+    // Σ_{k=0..7} 2^(7−k)·v_{t−k} / (2^8 − 2^(8−n)) over the last
+    // n ≤ 8 events — the geometric-decay smoother monitoring
+    // pipelines run, truncated at 8 lags so the weighted sum is
+    // EXACT in 64-bit integers (no recursive float state to drift
+    // cross-engine). Ships num/den as exact BIGINTs (micro values ×
+    // power-of-two weights), dev = vu·den − num is the exact signed
+    // deviation of the current value from the EMA scaled by den, and
+    // the spike gate |dev| > den·500000 (half a value unit) is an
+    // integer comparison — zero IEEE terms anywhere. One user-keyed
+    // window pass (the 7 lags share one sort), no self-joins: at
+    // 100 TB this is a single hash-partitioned sort per key.
+    "window_ema" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val num = (0 to 7).map(k =>
+        coalesce(lag(col("vu"), k).over(w), lit(0L)) * lit(1L << (7 - k)))
+        .reduce(_ + _)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vu"))
+        .withColumn("n", count(lit(1)).over(w.rowsBetween(-7, 0)))
+        .withColumn("num", num)
+        .withColumn("den", lit(256L) -
+          call_function("shiftleft", lit(1L), (lit(8) - col("n")).cast("int")))
+        .withColumn("dev", col("vu") * col("den") - col("num"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("vu"), col("n"), col("num"), col("den"), col("dev"),
+          (abs(col("dev")) > col("den") * lit(500000L)).as("spike"))
     })
   )
 
@@ -394,6 +426,30 @@ object WindowQueries {
                 FROM w)
           SELECT user_id, event_id, ts_s, vu, n, z_micro,
                  abs(z_micro) > 2000000 AS anomaly
-          FROM z"""
+          FROM z""",
+    "window_ema" -> {
+      val lags = (0 to 7).map(k =>
+        s"COALESCE(lag(vu, $k) OVER o, 0) * ${1L << (7 - k)}").mkString(" +\n  ")
+      s"""WITH b AS (SELECT user_id, event_id, ts,
+                            CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vu
+                     FROM events),
+          w AS (SELECT user_id, event_id, ts, vu,
+                       CAST(COUNT(*) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS n,
+                       $lags AS num
+                FROM b WINDOW o AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+          g AS (SELECT user_id, event_id,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                       vu, n, num,
+                       256 - (1 << CAST(8 - n AS INT)) AS den
+                FROM w)
+          SELECT user_id, event_id, ts_s, vu, n, num, den,
+                 vu * den - num AS dev,
+                 abs(vu * den - num) > den * 500000 AS spike
+          FROM g"""
+    }
   )
 }
