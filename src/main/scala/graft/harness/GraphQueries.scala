@@ -151,6 +151,37 @@ object GraphQueries {
         .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // Neighbor-set Jaccard similarity (the classic link-prediction /
+    // related-items score): for supplier pairs sharing a part bucket,
+    // J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| over backbone neighbor
+    // sets. The same top-edge backbone as graph_triangles bounds the
+    // quadratic co-occurrence blow-up (pairs generate only inside
+    // backbone buckets, never corpus×corpus); intersection counts are
+    // one bucket-keyed self-join + keyed agg, degrees a tiny census
+    // joined back, and the score ships as exact integer ppm
+    // (inter·10⁶ DIV union) — no IEEE division to drift cross-engine.
+    "graph_jaccard" -> ((s, d) => {
+      val bb = Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("sp"),
+          (col("l_partkey") % Buckets).as("bk"))
+        .groupBy(col("sp"), col("bk")).agg(count(lit(1)).as("w"))
+        .orderBy(col("w").desc, col("sp"), col("bk"))
+        .limit(TriEdges)
+        .select(col("sp"), col("bk"))
+      val deg = bb.groupBy(col("sp")).agg(count(lit(1)).as("dg"))
+      val pairs = bb
+        .join(bb.select(col("sp").as("sp2"), col("bk")), Seq("bk"))
+        .filter(col("sp") < col("sp2"))
+        .groupBy(col("sp"), col("sp2")).agg(count(lit(1)).as("inter"))
+      pairs.join(deg, Seq("sp"))
+        .join(deg.select(col("sp").as("sp2"), col("dg").as("dg2")),
+          Seq("sp2"))
+        .withColumn("jac_ppm",
+          expr("(inter * 1000000) DIV (dg + dg2 - inter)"))
+        .select(col("sp").as("a"), col("sp2").as("b"), col("inter"),
+          col("dg").as("da"), col("dg2").as("db"), col("jac_ppm"))
+    }),
+
     // Multi-source BFS hop depths from the seed suppliers: frontier
     // expansion, one keyed join + anti-join per level, frontier-sized
     // work (the join probes only the PREVIOUS level's nodes, never the
@@ -270,6 +301,19 @@ object GraphQueries {
           SELECT node, COUNT(*) AS n_triangles
           FROM (SELECT unnest([a, b, c]) AS node FROM t)
           GROUP BY node""",
+    "graph_jaccard" ->
+      s"""WITH w AS (SELECT CAST(l_suppkey AS BIGINT) AS sp,
+                            l_partkey % $Buckets AS bk, COUNT(*) AS w
+                     FROM lineitem GROUP BY 1, 2),
+          bb AS (SELECT sp, bk FROM w ORDER BY w DESC, sp, bk
+                 LIMIT $TriEdges),
+          deg AS (SELECT sp, COUNT(*) AS dg FROM bb GROUP BY sp),
+          p AS (SELECT a.sp AS a, b.sp AS b, COUNT(*) AS inter
+                FROM bb a JOIN bb b ON a.bk = b.bk AND a.sp < b.sp
+                GROUP BY 1, 2)
+          SELECT a, b, inter, da.dg AS da, db.dg AS db,
+                 (inter * 1000000) // (da.dg + db.dg - inter) AS jac_ppm
+          FROM p JOIN deg da ON p.a = da.sp JOIN deg db ON p.b = db.sp""",
     "graph_bfs_depth" -> {
       val levels = (1 to BfsHops).map { i =>
         s"""f$i AS (SELECT DISTINCT e.dst AS node
