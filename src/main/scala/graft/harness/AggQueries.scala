@@ -520,7 +520,34 @@ object AggQueries {
         .withColumn("skew_micro", expr(SkewMicro))
         .withColumn("kurt_micro", expr(KurtMicro))
         .select(col("flag"), col("n"), col("s1"), col("s2"), col("s3"),
-          col("s4"), col("skew_micro"), col("kurt_micro")))
+          col("s4"), col("skew_micro"), col("kurt_micro"))),
+
+    // Corpus mixture balance — the data-governance dial every
+    // pretraining run reports: Gini concentration and Shannon entropy
+    // of the per-source document distribution. The census is
+    // source-count-sized (tiny), so the rank window and the 1-row
+    // totals broadcast are census-local; Gini's rank form
+    // Σ(2i−S−1)·nᵢ / (S·N) stays in exact BIGINTs (ships as ppm via
+    // integer division), entropy terms −pᵢ·ln pᵢ round to 6dp and sum
+    // as DECIMAL (the dsir/moments discipline) so both engines agree.
+    "agg_source_balance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val census = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val t = census.agg(count(lit(1)).as("ns"),
+        sum(col("n")).as("nd"))
+      census
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("n"), col("source"))))
+        .crossJoin(broadcast(t))
+        .agg(max(col("ns")).as("ns"), max(col("nd")).as("nd"),
+          sum((lit(2) * col("i") - col("ns") - 1) * col("n")).as("gnum"),
+          sum(round(-(col("n") / col("nd")) * log(col("n") / col("nd")), 6)
+            .cast(DecimalType(18, 6))).as("ent"))
+        .select(col("ns"), col("nd"),
+          expr("(gnum * 1000000) DIV (ns * nd)").as("gini_ppm"),
+          col("ent").cast("double").as("entropy"))
+    })
   )
 
   // moment formulas shared VERBATIM between the Spark expr() and the
@@ -895,6 +922,20 @@ object AggQueries {
                 FROM b GROUP BY flag)
           SELECT flag, n, s1, s2, s3, s4,
                  $SkewMicro AS skew_micro, $KurtMicro AS kurt_micro
-          FROM g"""
+          FROM g""",
+    "agg_source_balance" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM documents GROUP BY source),
+          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns,
+                       CAST(SUM(n) AS BIGINT) AS nd FROM c),
+          r AS (SELECT source, n,
+                       row_number() OVER (ORDER BY n, source) AS i
+                FROM c)
+          SELECT ns, nd,
+                 (CAST(SUM((2*i - ns - 1) * n) AS BIGINT) * 1000000)
+                   // (ns * nd) AS gini_ppm,
+                 CAST(SUM(CAST(round(-(n/nd) * ln(n/nd), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+          FROM r, t GROUP BY ns, nd"""
   )
 }
