@@ -1,7 +1,7 @@
 package graft.harness
 
 import graft.Tables
-import graft.ops.VectorOps
+import graft.ops.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -686,6 +686,30 @@ object VectorQueries {
           (col("sim_u") < col("p10")).as("is_outlier"))
     }),
 
+    // Diversity-aware subset selection: a coverage-maximizing sample
+    // that takes up to K vectors per refined IVF cell instead of
+    // hash-sampling the corpus blind — dense regions can't crowd out
+    // sparse ones, the cheap stand-in for k-center coresets that
+    // stays fully distributed (greedy k-center is sequential).
+    // Within a cell the picks follow a salted content hash (the
+    // sampling family's determinism rule), so reruns and engines
+    // agree and growing the corpus never evicts an already-picked
+    // vector from an unaffected cell. Per-cell top-K is a keyed
+    // window here; a cluster-scale run swaps in the TopKPerGroup
+    // native operator (adaptive partial top-K, no full sort).
+    "sample_diverse" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      assign(embFrame(s, d), ivfCentroids(s, d), 1)
+        .select(col("vec_id"), col("cell"))
+        .withColumn("hb", TextOps.hexByteValue(
+          md5(concat(lit("div:"), col("vec_id").cast("string")))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cell"))
+            .orderBy(col("hb"), col("vec_id"))))
+        .filter(col("rk") <= DiverseK)
+        .select(col("vec_id"), col("cell"), col("hb"), col("rk"))
+    }),
+
     // Hard-negative mining for contrastive / reranker training: for
     // each query, the most-similar corpus vectors that are NOT
     // near-duplicates — candidates come from the query's own refined
@@ -720,6 +744,9 @@ object VectorQueries {
 
   /** Near-dup ceiling for hard-negative mining, integer micros. */
   private val HardNegCeil = 950000L
+
+  /** Per-cell keep budget for diversity sampling. */
+  private val DiverseK = 16
 
   /** Shared oracle CTEs for the k-means-refined IVF (mirrors
     * ivfKmeansTopk stage by stage; DECIMAL sums keep the centroid
@@ -1197,6 +1224,22 @@ object VectorQueries {
                        row_number() OVER (PARTITION BY qid
                          ORDER BY sim_u DESC, vec_id) AS rk
                 FROM cand WHERE sim_u < 950000)
-          SELECT qid, vec_id, cell, sim_u, rk FROM r WHERE rk <= 3"""
+          SELECT qid, vec_id, cell, sim_u, rk FROM r WHERE rk <= 3""",
+    "sample_diverse" ->
+      s"""WITH $ivfSharedCtes,
+          h AS (SELECT vec_id, cell,
+                       md5('div:' || CAST(vec_id AS VARCHAR)) AS hh
+                FROM asgc),
+          hb AS (SELECT vec_id, cell,
+                        CAST((instr('0123456789abcdef', substr(hh, 1, 1))
+                                - 1) * 16 +
+                             (instr('0123456789abcdef', substr(hh, 2, 1))
+                                - 1) AS INT) AS hb
+                 FROM h),
+          r AS (SELECT vec_id, cell, hb,
+                       row_number() OVER (PARTITION BY cell
+                         ORDER BY hb, vec_id) AS rk
+                FROM hb)
+          SELECT vec_id, cell, hb, rk FROM r WHERE rk <= 16"""
   )
 }

@@ -47,6 +47,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_hybrid_rrf" -> 64L, // 1-row census + 5-query brute-force cross
     "embed_outliers" -> 64L, // <=8-row centroid assignment cross
     "ann_hard_negatives" -> 64L, // <=8-row centroid assignment cross
+    "sample_diverse" -> 64L, // <=8-row centroid assignment cross
     "embed_kmeans" -> 64L, // <=8-row centroid assignment cross per round
     "agg_countmin_est" -> 4L, // one-row CMS broadcast onto 20 probes
     "agg_bloom_filter" -> 4L, // one-row bloom broadcast onto 60 probes
