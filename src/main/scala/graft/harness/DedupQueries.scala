@@ -222,6 +222,33 @@ object DedupQueries {
         graft.ops.CorpusOps.lshCandidates(sig, "doc_id", BANDS, K / BANDS))
     }),
 
+    // LSH quality gauge — the band-tuning dial (the ann_ivf_recall
+    // posture applied to minhash): how much of the df-capped exact
+    // -Jaccard truth set do the 8x2 bands surface (recall), and what
+    // fraction of surfaced candidates survive verification
+    // (precision, = wasted verify work when low). Both pair sets are
+    // the family's SHARED frames (shingles + signatures, built once
+    // per pass); the comparison is one semi-join on (da, db) and
+    // three 1-row counts — rates ship as exact integer ppm. At 100 TB
+    // this is the query you run on a sample before committing a
+    // band/row config to the full corpus.
+    "dedup_lsh_eval" -> ((s, d) => {
+      val sh = shingleFrame(s, d)
+      val truth = jaccardPairs(sh, postingCandidates(sh))
+        .select(col("da"), col("db"))
+      val cand = graft.ops.CorpusOps
+        .lshCandidates(minhashFrame(s, d), "doc_id", BANDS, K / BANDS)
+      val tp = truth.join(cand, Seq("da", "db"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+        .select(col("n_truth"), col("n_cand"), col("n_tp"),
+          expr("CASE WHEN n_truth = 0 THEN 0 " +
+            "ELSE (n_tp * 1000000) DIV n_truth END").as("recall_ppm"),
+          expr("CASE WHEN n_cand = 0 THEN 0 " +
+            "ELSE (n_tp * 1000000) DIV n_cand END").as("precision_ppm"))
+    }),
+
     // SimHash: 16-bit signature from md5-digit parities; exact-signature
     // clusters (hamming-radius neighbors: dedup_simhash_hamming).
     "dedup_simhash" -> ((s, d) =>
@@ -627,6 +654,40 @@ object DedupQueries {
           FROM (SELECT doc_id, $fpSql AS fp FROM documents)
           GROUP BY fp HAVING COUNT(*) > 1""",
     "dedup_ngram_jaccard" -> verifySql(postingCandCte, "m"),
+    "dedup_lsh_eval" ->
+      s"""WITH $shCte,
+          rare AS (SELECT sh.doc_id, sh.s FROM sh
+                   JOIN (SELECT s FROM sh GROUP BY s
+                         HAVING COUNT(*) <= $DfCap) h USING (s)),
+          pc AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM rare a JOIN rare b
+                   ON a.s = b.s AND a.doc_id < b.doc_id),
+          pm AS (SELECT c.da, c.db FROM pc c
+                 JOIN sh a ON a.doc_id = c.da
+                 JOIN sh b ON b.doc_id = c.db AND b.s = a.s),
+          pr AS (SELECT da, db, COUNT(*) AS nab FROM pm GROUP BY da, db),
+          truth AS (SELECT da, db FROM pr
+                    JOIN ns x ON da = x.doc_id JOIN ns y ON db = y.doc_id
+                    WHERE round(CAST(nab AS DOUBLE)/(x.n+y.n-nab), 6)
+                          >= $JACC),
+          sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+          bands AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
+          lcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                    FROM bands a JOIN bands b
+                      ON a.bk = b.bk AND a.doc_id < b.doc_id),
+          tp AS (SELECT t.da FROM truth t
+                 JOIN lcand c ON t.da = c.da AND t.db = c.db),
+          k AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+                         AS n_truth,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM lcand)
+                         AS n_cand,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_tp)
+          SELECT n_truth, n_cand, n_tp,
+                 CASE WHEN n_truth = 0 THEN 0
+                      ELSE (n_tp * 1000000) // n_truth END AS recall_ppm,
+                 CASE WHEN n_cand = 0 THEN 0
+                      ELSE (n_tp * 1000000) // n_cand END AS precision_ppm
+          FROM k""",
     "dedup_containment" ->
       s"""WITH $shCte, $postingCandCte
           pr AS (SELECT da, db, COUNT(*) AS nab FROM m GROUP BY da, db)
