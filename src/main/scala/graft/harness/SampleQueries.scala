@@ -153,6 +153,36 @@ object SampleQueries {
       graft.ops.CorpusOps.shuffleShards(
         Tables.documents(s, d), "doc_id", ShuffleShards)),
 
+    // Length-matched pair packing — the padding-waste reducer for
+    // fixed-length training batches: rank docs by token count
+    // descending and bin rank i with rank N+1−i, so the longest doc
+    // shares a bin with the shortest and bin totals equalize (the
+    // 2-per-bin zig-zag form of best-fit-decreasing, which is
+    // inherently sequential; this pairing is fully distributed). The
+    // global rank is the census prefix sum again — token counts have
+    // a bounded domain, so no reducer sorts the corpus — and the bin
+    // id is pure rank arithmetic, deterministic across engines.
+    "sample_pack_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tok"))
+      val census = t.groupBy(col("n_tok")).agg(count(lit(1)).as("cn"))
+        .withColumn("cum0", coalesce(sum(col("cn")).over(
+          Window.orderBy(col("n_tok").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("nn", sum(col("cn")).over(Window.partitionBy(lit(1))))
+        .select(col("n_tok"), col("cum0"), col("nn"))
+      t.join(broadcast(census), Seq("n_tok"))
+        .withColumn("rnk", col("cum0") + row_number().over(
+          Window.partitionBy(col("n_tok")).orderBy(col("doc_id"))))
+        .withColumn("bin", least(col("rnk"), col("nn") + 1 - col("rnk")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",", array_sort(collect_list(col("doc_id"))))
+            .as("ids"),
+          sum(col("n_tok")).as("bin_tok"))
+    }),
+
     // Curriculum schedule — the "easy examples first" training order
     // (Bengio et al., ICML 2009) as a deterministic layout: docs rank
     // globally by a difficulty proxy (n_chars, short = easy), the
@@ -279,6 +309,21 @@ object SampleQueries {
            substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"""
 
   val oracle: Map[String, String] = Map(
+    "sample_pack_pairs" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+                    FROM documents),
+          r AS (SELECT doc_id, n_tok,
+                       row_number() OVER (ORDER BY n_tok DESC, doc_id)
+                         AS rnk,
+                       COUNT(*) OVER () AS nn
+                FROM t),
+          b AS (SELECT doc_id, n_tok,
+                       least(rnk, nn + 1 - rnk) AS bin FROM r)
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 string_agg(CAST(doc_id AS VARCHAR), ','
+                            ORDER BY doc_id) AS ids,
+                 CAST(SUM(n_tok) AS BIGINT) AS bin_tok
+          FROM b GROUP BY bin""",
     "sample_curriculum" ->
       """WITH r AS (SELECT doc_id,
                            row_number() OVER (ORDER BY n_chars, doc_id)
