@@ -101,6 +101,20 @@ object DedupQueries {
   private def jaccardPairs(sh: DataFrame, cand: DataFrame): DataFrame =
     graft.ops.CorpusOps.jaccardVerify(sh, cand, "doc_id", JACC)
 
+  /** The verified near-dup pair set (da, db, nab, na, nb, jaccard) —
+    * the df-capped exact-Jaccard ground truth, computed once per
+    * (session, sf) and shared: `dedup_ngram_jaccard` reports it,
+    * `dedup_components`/`keep_representatives` label over it, and
+    * `dedup_lsh_eval` scores the bands against it. The frame is
+    * pair-count-sized (tiny) while its build is the family's most
+    * expensive verify join — exactly what SharedFrames is for.
+    */
+  private def pairsFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "verified_pairs") {
+      val sh = shingleFrame(s, d)
+      jaccardPairs(sh, postingCandidates(sh))
+    }
+
   /** (node, component) over the verified near-dup pair graph, computed
     * once per (session, sf): `dedup_components` reports it and
     * `dedup_keep_representatives` anti-joins the corpus against it —
@@ -108,8 +122,7 @@ object DedupQueries {
     */
   private def componentsFrame(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "dedup_components") {
-      val sh = shingleFrame(s, d)
-      val pairs = jaccardPairs(sh, postingCandidates(sh)).select(col("da"), col("db"))
+      val pairs = pairsFrame(s, d).select(col("da"), col("db"))
       graft.ops.Graphs.connectedComponents(pairs, "da", "db")
     }
 
@@ -134,6 +147,7 @@ object DedupQueries {
     shingleFrame(s, d)
     minhashFrame(s, d)
     simhashFrame(s, d)
+    pairsFrame(s, d)
     componentsFrame(s, d)
     ()
   }
@@ -195,10 +209,7 @@ object DedupQueries {
 
     // N-gram Jaccard near-dup: df-capped shingle inverted-index
     // self-join for candidates, exact verification over full sets.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingleFrame(s, d)
-      jaccardPairs(sh, postingCandidates(sh))
-    }),
+    "dedup_ngram_jaccard" -> ((s, d) => pairsFrame(s, d)),
 
     // Asymmetric containment over the same df-capped candidates:
     // |A∩B| / min(|A|,|B|) flags a short document embedded in a long
@@ -233,15 +244,20 @@ object DedupQueries {
     // this is the query you run on a sample before committing a
     // band/row config to the full corpus.
     "dedup_lsh_eval" -> ((s, d) => {
-      val sh = shingleFrame(s, d)
-      val truth = jaccardPairs(sh, postingCandidates(sh))
-        .select(col("da"), col("db"))
+      // ONE full-outer join of the two (tiny) pair sets + one agg:
+      // the truth side is the family's cached verified_pairs frame —
+      // never recomputed here — and the three counts fall out of one
+      // pass (sum of flags), so the plan has no crossJoin and touches
+      // the expensive verify pipeline zero times when warm.
+      val truth = pairsFrame(s, d).select(col("da"), col("db"))
+        .withColumn("t", lit(1L))
       val cand = graft.ops.CorpusOps
         .lshCandidates(minhashFrame(s, d), "doc_id", BANDS, K / BANDS)
-      val tp = truth.join(cand, Seq("da", "db"), "left_semi")
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-        .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+        .withColumn("c", lit(1L))
+      truth.join(cand, Seq("da", "db"), "full_outer")
+        .agg(coalesce(sum(col("t")), lit(0L)).as("n_truth"),
+          coalesce(sum(col("c")), lit(0L)).as("n_cand"),
+          coalesce(sum(col("t") * col("c")), lit(0L)).as("n_tp"))
         .select(col("n_truth"), col("n_cand"), col("n_tp"),
           expr("CASE WHEN n_truth = 0 THEN 0 " +
             "ELSE (n_tp * 1000000) DIV n_truth END").as("recall_ppm"),

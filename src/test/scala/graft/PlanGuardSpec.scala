@@ -54,7 +54,6 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_decontaminate_bloom" -> 4L, // one-row bloom onto the train scan
     "agg_having_regroup" -> 4L, "sample_temperature" -> 4L,
     "agg_source_balance" -> 4L, // one-row totals onto the source census
-    "dedup_lsh_eval" -> 4L, // three 1-row counts crossed into the report
     "sample_mixture" -> 32L, "join_asof" -> 32L,
     "text_langid_ngram" -> 4L, "text_langid_sampled" -> 4L,
     "text_collocations" -> 4L,
