@@ -34,24 +34,36 @@ object Compact {
     // and cap bins at maxPartitionBytes/4MiB files — pack by real
     // bytes plus a nominal footer-read cost instead
     sess.conf.set("spark.sql.files.openCostInBytes", "16384")
+    // split size is min(maxPartitionBytes, max(openCost,
+    // totalBytes/minPartitionNum)) and minPartitionNum defaults to
+    // the core count — on a wide executor a small input would pack
+    // one-file-per-split and compact NOTHING. Pin it to 1 so bins
+    // are sized by targetBytes alone, independent of parallelism.
+    sess.conf.set("spark.sql.files.minPartitionNum", "1")
     sess.read.parquet(dir)
   }
 
-  private def listParquet(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(walk).sum
-      else if (f.getName.endsWith(".parquet")) 1L else 0L
-    walk(new java.io.File(dir))
+  private def listParquet(spark: SparkSession, dir: String): Long = {
+    // Hadoop FileSystem, not java.io.File: the census must work on
+    // any supported URI scheme (hdfs://, s3a://), not just local disk.
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var n = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1L
+    }
+    n
   }
 
   /** Rewrite `dir` into `outDir` as ~targetBytes files. */
   def compact(spark: SparkSession, dir: String, outDir: String,
               targetBytes: Long): Stats = {
-    val before = listParquet(dir)
+    val before = listParquet(spark, dir)
     val df = packedFrame(spark, dir, targetBytes)
     val rowsBefore = df.count()
     df.write.mode("overwrite").parquet(outDir)
     val out = spark.read.parquet(outDir)
-    Stats(before, listParquet(outDir), rowsBefore, out.count())
+    Stats(before, listParquet(spark, outDir), rowsBefore, out.count())
   }
 }
