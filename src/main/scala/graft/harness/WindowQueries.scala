@@ -220,10 +220,13 @@ object WindowQueries {
     // Rolling z-score anomaly flag per user over the trailing 5-event
     // frame — the metric-monitoring shape (rolling mean/std, flag
     // |z| > 2). Exactness discipline: values pin to integer micros at
-    // the scan, the frame sums n/Σv/Σv² are BIGINT (order-fixed by
-    // the (ts, event_id) frame, exact in any engine), and the z
-    // formula is ONE shared SQL string (the agg_moments pattern) with
-    // a var<=0 guard, pinned to integer micros before the gate. One
+    // the scan; n/Σv are BIGINT but Σv² multiplies THROUGH DECIMAL —
+    // a bare BIGINT vu*vu wraps silently at |value| >= ~1360 in
+    // non-ANSI Spark while DuckDB promotes to HUGEINT, so both
+    // engines keep the squared sum exact in a wide integer type
+    // instead of trusting the value domain. The z formula is ONE
+    // shared SQL string (the agg_moments pattern) with a var<=0
+    // guard, pinned to integer micros before the gate. One
     // user-keyed window pass, no self-joins.
     "window_anomaly" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -234,7 +237,8 @@ object WindowQueries {
           floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vu"))
         .withColumn("n", count(lit(1)).over(w))
         .withColumn("s1", sum(col("vu")).over(w))
-        .withColumn("s2", sum(col("vu") * col("vu")).over(w))
+        .withColumn("s2",
+          sum(col("vu").cast(DecimalType(19, 0)) * col("vu")).over(w))
         .withColumn("z_micro", expr(AnomalyZ))
         .select(col("user_id"), col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
@@ -416,7 +420,7 @@ object WindowQueries {
           w AS (SELECT user_id, event_id, ts, vu,
                        CAST(COUNT(*) OVER fr AS BIGINT) AS n,
                        CAST(SUM(vu) OVER fr AS BIGINT) AS s1,
-                       CAST(SUM(vu*vu) OVER fr AS BIGINT) AS s2
+                       SUM(vu*vu) OVER fr AS s2
                 FROM b WINDOW fr AS (PARTITION BY user_id
                   ORDER BY ts, event_id
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),

@@ -13,9 +13,11 @@ import org.apache.spark.sql.types.DecimalType
   * per-row with higher-order functions — no self-join, no explode
   * shuffle), and the groupBy reduces them map-side, so exactly
   * d(d+1)/2 rows per partition ever reach the exchange regardless of
-  * corpus size. Per-row terms are rounded to 12dp and summed as
-  * DECIMAL(38,12) — the repo's cross-engine exactness discipline — so
-  * the moment matrix is bit-reproducible (and DuckDB-replayable, see
+  * corpus size. Per-row terms are floor-scaled to 1e12 integers and
+  * summed as DECIMAL(18,0) (Spark widens the sum to DECIMAL(28,0)) —
+  * exact under the embedding domain bound |x_i*x_j| <= ~1e6, i.e.
+  * per-term magnitude <= ~1e18 and a sum ceiling of 1e28 — so the
+  * moment matrix is bit-reproducible (and DuckDB-replayable, see
   * the `embed_gram` oracle).
   *
   * The driver-side part is metadata-sized: the d x d covariance

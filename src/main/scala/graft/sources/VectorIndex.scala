@@ -60,8 +60,15 @@ object VectorIndex {
     val seed = e.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("cn"))
       .persist()
-    require(seed.count() == nCells,
-      s"vector index build needs >= $nCells vectors to seed $nCells cells")
+    val seeded = seed.count()
+    if (seeded != nCells) {
+      // release the just-persisted frame on the failure path too —
+      // a bare require would leak the cached blocks
+      seed.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"vector index build needs >= $nCells vectors to seed $nCells " +
+          s"cells, found $seeded")
+    }
     val refined = assignTo(seed)
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy(col("cell"), col("pos"))

@@ -55,10 +55,23 @@ object ZoneMap {
     */
   def prunedRead(s: SparkSession, path: String, c: String,
                  lo: Long, hi: Long): Pruned = {
+    // zone stats come back in whatever integral width the stat column
+    // was written as (int ids, long keys, short codes) — read through
+    // Number rather than hardcoding getLong, and fail with a named
+    // error instead of a ClassCastException far from the mismatch.
+    // Only integral range predicates are supported; decimal/date stat
+    // columns need a widened sidecar schema first.
+    def statLong(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i) match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"zone-map stat column '$c' must be integral, found " +
+            s"${other.getClass.getName} in $path/_zonemap")
+      }
     val zm = s.read.parquet(s"$path/_zonemap")
       .select(col("file"), col(s"min_$c"), col(s"max_$c")).collect()
     val keep = zm.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
-        r.getLong(2) >= lo && r.getLong(1) <= hi)
+        statLong(r, 2) >= lo && statLong(r, 1) <= hi)
       .map(_.getString(0))
     val base =
       if (keep.isEmpty) s.read.parquet(s"$path/data").filter(lit(false))
