@@ -149,8 +149,28 @@ object DedupQueries {
     simhashFrame(s, d)
     pairsFrame(s, d)
     componentsFrame(s, d)
+    spansFrame(s, d)
     ()
   }
+
+  /** Tokenized documents for the repeated-substring family (spans +
+    * rewrite) — kept out of SharedFrames (one narrow scan, cheaper to
+    * recompute than to cache at corpus scale).
+    */
+  private def spanDocs(s: SparkSession, d: String): DataFrame =
+    Tables.widened(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+
+  /** Maximal repeated-substring spans, computed once per (session, sf)
+    * and shared by `dedup_substring_spans` and
+    * `dedup_substring_rewrite` — the span census is the dedup family's
+    * single heaviest pass (every W-token window shuffles once).
+    */
+  private def spansFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "substring_spans") {
+      graft.ops.CorpusOps.substringSpans(spanDocs(s, d), "doc_id", "toks",
+        SpanW)
+    }
 
   /** (doc_id, sig) — SimBits-wide SimHash signature per document,
     * shared by the exact-cluster and hamming-radius queries.
@@ -393,11 +413,7 @@ object DedupQueries {
     // census is one keyed agg, the hit probe one keyed join, the
     // condensation one per-doc window — nothing is pairwise, so the
     // shape is flat at corpus scale where true suffix arrays are not.
-    "dedup_substring_spans" -> ((s, d) =>
-      graft.ops.CorpusOps.substringSpans(
-        Tables.widened(Tables.documents(s, d))
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
-        "doc_id", "toks", SpanW)),
+    "dedup_substring_spans" -> ((s, d) => spansFrame(s, d)),
 
     // Incremental dedup: a continual-ingest pipeline dedupes the
     // INCOMING batch against the existing corpus index, never
@@ -439,12 +455,9 @@ object DedupQueries {
     // one keyed collect_list and the cut is a per-row higher-order
     // filter over token positions — the corpus is never shuffled a
     // second time.
-    "dedup_substring_rewrite" -> ((s, d) => {
-      val docs = Tables.widened(Tables.documents(s, d))
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      graft.ops.CorpusOps.removeSpans(docs, "doc_id", "toks",
-        graft.ops.CorpusOps.substringSpans(docs, "doc_id", "toks", SpanW))
-    }),
+    "dedup_substring_rewrite" -> ((s, d) =>
+      graft.ops.CorpusOps.removeSpans(spanDocs(s, d), "doc_id", "toks",
+        spansFrame(s, d))),
 
     // Edit-distance near-dup over document heads: first-token blocking
     // (a typo'd copy almost always keeps the first word) with a

@@ -56,13 +56,19 @@ object CorpusOps {
     * `(idCol, span_start, span_end, n_seeds)` with 1-based inclusive
     * token positions.
     *
-    * Duplication is decided in two passes so the global census only
-    * ever shuffles 8-byte ints: pass 1 finds 52-bit-hash collisions
-    * (a superset of the true duplicates — at corpus scale the birthday
-    * bound makes false hash collisions certain), pass 2 re-groups just
-    * that candidate subset by the FULL window string, so a hash
-    * collision between two genuinely unique windows never cuts text.
-    * removeSpans consumes this output, so the exactness matters.
+    * Duplication is decided in two passes: pass 1 finds 52-bit-hash
+    * collisions (a superset of the true duplicates — at corpus scale
+    * the birthday bound makes false hash collisions certain), pass 2
+    * re-checks just that candidate subset by the FULL window string,
+    * so a hash collision between two genuinely unique windows never
+    * cuts text. removeSpans consumes this output, so the exactness
+    * matters. Both passes are count-over-partition WINDOWS, not
+    * census-aggregate + join-back: Spark never dedupes common
+    * subplans, so the join-back shape re-tokenized the corpus once
+    * per consumer (4 scans total); the window shape tokenizes ONCE
+    * and pays the same one full shuffle (hash-partitioned on the
+    * seed hash) the join's probe side paid anyway, with pass 2's
+    * shuffle bounded by the tiny candidate subset.
     */
   def substringSpans(docs: DataFrame, idCol: String, toksCol: String,
                      w: Int): DataFrame = {
@@ -73,18 +79,17 @@ object CorpusOps {
         .as(Seq("__pos", "__g")))
       .select(id, (col("__pos") + 1).cast("long").as("__p"),
         TextOps.minhashX(col("__g")).as("__s"), col("__g"))
-    // pass 1: hash census — column pruning keeps this shuffle at the
-    // 8-byte hash, never the window strings
-    val dupHash = seeds.groupBy(col("__s"))
-      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select(col("__s"))
-    // pass 2: only candidate windows (true dups + hash collisions, a
-    // tiny fraction of the corpus) carry their string into an exact
-    // gram census; equal strings always share a hash, so no true
-    // duplicate is lost in pass 1
-    val cand = seeds.join(dupHash, Seq("__s"))
-    val dupGram = cand.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__c2")).filter(col("__c2") > 1).select(col("__g"))
-    val hits = cand.join(dupGram, Seq("__g")).select(id, col("__p"))
+    // pass 1: candidates = windows whose 52-bit hash occurs > once
+    val cand = seeds
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__s"))))
+      .filter(col("__c") > 1)
+    // pass 2: exact string count within the candidate subset — equal
+    // strings always share a hash, so no true duplicate was lost in
+    // pass 1, and a false collision between unique windows dies here
+    val hits = cand
+      .withColumn("__c2", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__c2") > 1)
+      .select(id, col("__p"))
     val win = Window.partitionBy(id).orderBy(col("__p"))
     val prevEnd = max(col("__p") + (w - 1))
       .over(win.rowsBetween(Window.unboundedPreceding, -1))
