@@ -32,6 +32,8 @@ object GraphQueries {
   // label propagation: synchronous rounds (fixed budget, no
   // convergence test — deterministic by construction)
   private val LpIters = 3
+  // k-core: synchronous peel rounds (fixed budget, same discipline)
+  private val KcoreRounds = 4
 
   /** The undirected supplier <-> part-bucket graph: suppliers link to
     * the buckets of the parts they shipped (lineitem projected to
@@ -255,6 +257,48 @@ object GraphQueries {
       }
       sym.unpersist(blocking = false)
       labels
+    }),
+
+    // k-core by synchronous peeling with a fixed round budget: each
+    // round drops every node whose degree in the SURVIVING subgraph
+    // is below k, with k = floor(avg degree / 2) + 1 derived from the
+    // edge census (half the mean splits the bipartite degree modes here;
+    // a constant k is degenerate at one SF and vacuous at another).
+    // Exact k-core is a data-dependent
+    // fixpoint; the fixed budget keeps the trajectory deterministic
+    // and the oracle unrollable (the labelprop discipline). Loop
+    // layout mirrors pagerank: edges persisted src-partitioned once,
+    // the node-sized alive set broadcasts into both endpoint
+    // semi-joins, and the degree agg runs on the standing
+    // partitioning — ZERO exchange per round; the census numbers (|E|,
+    // |V|, k) are the only driver-side state. floor() over the double
+    // ratio is the same IEEE op in both engines.
+    "graph_kcore" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel
+      val sym = bipartite(s, d).repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val eCount = sym.count()
+      val v = sym.select(col("src")).distinct().count()
+      val k = (eCount.toDouble / v / 2).floor.toLong + 1L
+      def survivors(edges: DataFrame): DataFrame = edges
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+      def peel(alive: DataFrame): DataFrame = sym
+        .join(broadcast(alive.select(col("node").as("asrc"))),
+          col("src") === col("asrc"))
+        .join(broadcast(alive.select(col("node").as("adst"))),
+          col("dst") === col("adst"))
+        .select(col("src"), col("dst"))
+      var alive = survivors(sym).localCheckpoint(true)
+      for (_ <- 2 to KcoreRounds)
+        alive = survivors(peel(alive)).localCheckpoint(true)
+      val out = peel(alive)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+        .localCheckpoint(true)
+      sym.unpersist(blocking = false)
+      out
     })
   )
 
@@ -353,6 +397,31 @@ object GraphQueries {
           l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
           $rounds
           SELECT node, label FROM l$LpIters"""
+    },
+    "graph_kcore" -> {
+      val rounds = (2 to KcoreRounds).map { i =>
+        s"""s$i AS (SELECT e.src, e.dst FROM e
+                 JOIN a${i - 1} x ON e.src = x.node
+                 JOIN a${i - 1} y ON e.dst = y.node),
+            a$i AS (SELECT src AS node FROM s$i GROUP BY src
+                 HAVING COUNT(*) >= (SELECT k FROM kk))"""
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                             1000000 + l_partkey % $Buckets AS dst
+                      FROM lineitem),
+          e AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst, src FROM e0),
+          kk AS (SELECT CAST(floor(CAST(COUNT(*) AS DOUBLE)
+                                   / COUNT(DISTINCT src) / 2) AS BIGINT) + 1
+                        AS k FROM e),
+          a1 AS (SELECT src AS node FROM e GROUP BY src
+                 HAVING COUNT(*) >= (SELECT k FROM kk)),
+          $rounds
+          SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM e
+          JOIN a$KcoreRounds x ON e.src = x.node
+          JOIN a$KcoreRounds y ON e.dst = y.node
+          GROUP BY e.src"""
     }
   )
 }

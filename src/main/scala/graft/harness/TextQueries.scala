@@ -551,6 +551,53 @@ object TextQueries {
             sum(col("k")), 6).as("avg_nll"))
     }),
 
+    // Kneser-Ney smoothed bigram NLL per document — the LM-quality
+    // scorer the add-one model above understates (KN backs off to
+    // CONTINUATION probability: how many distinct contexts a word
+    // follows, not how often it occurs — the canonical smoothing for
+    // LM-data perplexity filters). Every ingredient is an integer
+    // census over the bigram model frame: c(w1w2), c(w1·)=Σc(w1w2),
+    // N1+(w1·) distinct followers, N1+(·w2) distinct predecessors,
+    // N1+(··) total bigram types; the absolute discount d=0.75 keeps
+    // every term an exact dyadic rational before the one shared-shape
+    // IEEE chain (round(-ln(p),9) summed as DECIMAL — the
+    // text_perplexity discipline). Follower/predecessor tables are
+    // vocabulary-sized broadcasts; the only corpus-sized shuffles are
+    // the doc-bigram and model censuses.
+    "text_perplexity_kn" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val bg = toks
+        .withColumn("w1s", slice(col("toks"), lit(1), size(col("toks")) - 1))
+        .withColumn("w2s", slice(col("toks"), lit(2), size(col("toks")) - 1))
+        .select(col("doc_id"), explode(zip_with(col("w1s"), col("w2s"),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k"))
+      val model = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("nab"))
+      val ctx = model.groupBy(col("w1"))
+        .agg(sum(col("nab")).as("c1"), count(lit(1)).as("n1f"))
+      val pre = model.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+      val types = model.agg(count(lit(1)).as("nt"))
+      // p_KN(w2|w1) = (max(c12-d,0) + d*N1+(w1.)*N1+(.w2)/N1+(..))/c(w1.)
+      // — one left-associated IEEE chain, written identically in the
+      // DuckDB oracle
+      val p = (greatest(col("nab").cast("double") - lit(0.75), lit(0.0)) +
+        lit(0.75) * col("n1f").cast("double") * col("n1p").cast("double") /
+          col("nt").cast("double")) / col("c1").cast("double")
+      docBg.join(model, Seq("w1", "w2"))
+        .join(broadcast(ctx), Seq("w1"))
+        .join(broadcast(pre), Seq("w2"))
+        .crossJoin(broadcast(types))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          round(sum(round(-log(p), 9).cast(DecimalType(12, 9)) * col("k"))
+            .cast("double") / sum(col("k")), 6).as("avg_nll"))
+    }),
+
     // In-engine quality-classifier training — the fastText/CCNet-style
     // learned filter, trained AS a Spark job instead of a notebook
     // step: batch logistic regression by full-batch gradient descent
@@ -1025,6 +1072,32 @@ object TextQueries {
           JOIN model USING (w1, w2)
           JOIN uni ON docbg.w1 = uni.t
           CROSS JOIN census
+          GROUP BY doc_id""",
+    "text_perplexity_kn" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          bg AS (SELECT doc_id, toks[p] AS w1, toks[p+1] AS w2
+                 FROM tok, UNNEST(range(1, len(toks))) AS u(p)),
+          docbg AS (SELECT doc_id, w1, w2, COUNT(*) AS k
+                    FROM bg GROUP BY doc_id, w1, w2),
+          model AS (SELECT w1, w2, COUNT(*) AS nab FROM bg GROUP BY w1, w2),
+          ctx AS (SELECT w1, CAST(SUM(nab) AS BIGINT) AS c1,
+                         COUNT(*) AS n1f
+                  FROM model GROUP BY w1),
+          pre AS (SELECT w2, COUNT(*) AS n1p FROM model GROUP BY w2),
+          types AS (SELECT COUNT(*) AS nt FROM model)
+          SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+                 round(CAST(SUM(CAST(round(-ln(
+                     (greatest(CAST(nab AS DOUBLE) - 0.75, 0.0)
+                      + 0.75 * CAST(n1f AS DOUBLE) * CAST(n1p AS DOUBLE)
+                        / CAST(nt AS DOUBLE))
+                     / CAST(c1 AS DOUBLE)), 9)
+                   AS DECIMAL(12,9)) * k) AS DOUBLE)
+                       / SUM(k), 6) AS avg_nll
+          FROM docbg
+          JOIN model USING (w1, w2)
+          JOIN ctx USING (w1)
+          JOIN pre USING (w2)
+          CROSS JOIN types
           GROUP BY doc_id""",
     "text_quality_classifier" -> {
       // unrolled full-batch GD: one CTE per iteration, each reading

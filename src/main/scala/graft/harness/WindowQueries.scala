@@ -276,8 +276,47 @@ object WindowQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col("vu"), col("n"), col("num"), col("den"), col("dev"),
           (abs(col("dev")) > col("den") * lit(500000L)).as("spike"))
+    }),
+
+    // One-sided CUSUM changepoint detection per user (Page 1954): the
+    // sequential upward-shift detector S_t = max(0, S_{t-1} + x_t)
+    // with x_t = vu_t − mean_u − k. The recursion is NOT directly
+    // window-expressible, but the classic prefix identity
+    //   S_t = P_t − min(0, min_{j<=t} P_j),  P_t = Σ_{i<=t} x_i
+    // turns it into two passes over ONE user-keyed sort: a running
+    // sum and a running min — everything stays exact BIGINT micros
+    // (per-user baseline = floor(Σvu/n), an integer both engines
+    // compute from the same exact sum). At 100 TB this is a single
+    // hash-partitioned sort per user key, no state, no self-joins —
+    // the batch replay of what a streaming monitor would keep as two
+    // longs of state.
+    "window_cusum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vu"))
+      val mu = base.groupBy(col("user_id"))
+        .agg(floor(sum(col("vu")).cast("double") / count(lit(1)))
+          .cast("long").as("mu"))
+      base.join(mu, Seq("user_id"))
+        .withColumn("x", col("vu") - col("mu") - lit(CusumDrift))
+        .withColumn("p", sum(col("x")).over(w))
+        .withColumn("s_micro",
+          col("p") - least(lit(0L), min(col("p")).over(w)))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("vu"), col("mu"), col("s_micro"),
+          (col("s_micro") > lit(CusumThreshold)).as("alarm"))
     })
   )
+
+  // CUSUM reference drift k (micro units above the per-user mean that
+  // don't count as shift) and alarm threshold h — both exact BIGINT
+  // micros; value domain is ~0..490 units so k=10, h=100 units
+  private val CusumDrift = 10000000L
+  private val CusumThreshold = 100000000L
 
   // z-score formula shared VERBATIM with the DuckDB oracle (the
   // agg_moments discipline): one string, two parsers, identical IEEE
@@ -454,6 +493,33 @@ object WindowQueries {
                  vu * den - num AS dev,
                  abs(vu * den - num) > den * 500000 AS spike
           FROM g"""
-    }
+    },
+    "window_cusum" ->
+      s"""WITH b AS (SELECT user_id, event_id, ts,
+                            CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vu
+                     FROM events),
+          m AS (SELECT user_id,
+                       CAST(floor(CAST(SUM(vu) AS DOUBLE) / COUNT(*))
+                         AS BIGINT) AS mu
+                FROM b GROUP BY user_id),
+          x AS (SELECT b.user_id, event_id, ts, vu, mu,
+                       vu - mu - $CusumDrift AS x
+                FROM b JOIN m USING (user_id)),
+          p AS (SELECT user_id, event_id, ts, vu, mu,
+                       CAST(SUM(x) OVER fr AS BIGINT) AS p
+                FROM x WINDOW fr AS (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          r AS (SELECT user_id, event_id, ts, vu, mu, p,
+                       MIN(p) OVER fr AS pmin
+                FROM p WINDOW fr AS (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT user_id, event_id,
+                 strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, vu, mu,
+                 p - least(CAST(0 AS BIGINT), pmin) AS s_micro,
+                 p - least(CAST(0 AS BIGINT), pmin) > $CusumThreshold
+                   AS alarm
+          FROM r"""
   )
 }

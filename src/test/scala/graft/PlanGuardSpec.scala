@@ -59,6 +59,7 @@ class PlanGuardSpec extends SparkSpec {
     "text_collocations" -> 4L,
     "sample_dsir" -> 4L,
     "text_perplexity" -> 4L,
+    "text_perplexity_kn" -> 4L, // one-row bigram-type census broadcast
     "text_tfidf" -> 4L,
     "text_bm25" -> 4L) // one-row census broadcast onto tf/idf frames
 
