@@ -21,6 +21,12 @@ object StreamQueries {
   private val NearN = 5
   private val NearK = 16
   private val NearBands = 8
+  // streaming CUSUM: known-target reference level (micros), drift
+  // allowance k, alarm threshold h — per-user means span ~33..70
+  // units here, so target+drift = 55 units splits the population
+  private val CusumTarget = 50000000L
+  private val CusumDrift = 5000000L
+  private val CusumThreshold = 200000000L
 
   /** Dedicated child session for a streaming drain: stateful operators
     * create one state store per shuffle partition, and at drain scale 8
@@ -331,6 +337,36 @@ object StreamQueries {
           .as("cohort"), col("offset"), col("n_users"))
     }),
 
+    // Streaming CUSUM monitor (streaming/Cusum.scala): the tabular
+    // known-target form of window_cusum's detector run incrementally —
+    // THREE longs of state per user (S, alarms, events), exact integer
+    // micros per step, each batch re-emitting the current summary
+    // under the max-n_processed drain contract. The oracle replays the
+    // identical trajectory through the batch prefix identity
+    // S_t = P_t − min(0, running_min(P)) and aggregates per user.
+    "stream_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val name = "stream_cusum_mem"
+      val sess = streamSession(s)
+      import sess.implicits._
+      val events = EventsStream.readStream(sess, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vu"))
+        .as[graft.streaming.Cusum.CusumEvent]
+      val out = graft.streaming.Cusum.cusumStream(events,
+        CusumTarget, CusumDrift, CusumThreshold)
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drained(s, sess, name)
+        .withColumn("mx", max(col("n_processed")).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("n_processed") === col("mx"))
+        .select(col("user_id"), col("n_processed"), col("s_micro"),
+          col("n_alarms"))
+    }),
+
     // Streaming CDC apply — the online MERGE: the events changelog
     // streams in as keyed upsert/delete ops ('error' = tombstone),
     // per-key O(1) state keeps the winning op under the
@@ -515,6 +551,34 @@ object StreamQueries {
                  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
           FROM e JOIN f USING (user_id)
           GROUP BY day0, date_diff('day', day0, day)""",
+    // the streaming CUSUM drains to the batch prefix-identity replay
+    "stream_cusum" ->
+      s"""WITH b AS (SELECT user_id, event_id, ts,
+                            CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vu
+                     FROM events),
+          x AS (SELECT user_id, event_id, ts,
+                       vu - ${CusumTarget + CusumDrift} AS x
+                FROM b),
+          p AS (SELECT user_id, event_id, ts,
+                       CAST(SUM(x) OVER fr AS BIGINT) AS p
+                FROM x WINDOW fr AS (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          r AS (SELECT user_id, event_id, p,
+                       MIN(p) OVER fr AS pmin,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM p WINDOW fr AS (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          sv AS (SELECT user_id,
+                        p - least(CAST(0 AS BIGINT), pmin) AS s, rn
+                 FROM r)
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_processed,
+                 MAX(CASE WHEN rn = 1 THEN s END) AS s_micro,
+                 CAST(SUM(CASE WHEN s > $CusumThreshold THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_alarms
+          FROM sv GROUP BY user_id""",
     // the streaming CDC apply drains to the batch latest-wins MERGE
     "stream_cdc_apply" ->
       """WITH r AS (SELECT user_id, ts, event_id, value, event_type,
