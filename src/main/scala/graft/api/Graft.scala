@@ -321,4 +321,16 @@ object Graft {
   def cdcApplyStream(ops: Dataset[graft.streaming.CdcApply.CdcOp])
       : Dataset[graft.streaming.CdcApply.CdcRow] =
     graft.streaming.CdcApply.applyStream(ops)
+
+  /** Streaming CUSUM changepoint monitor: the known-target tabular
+    * form with three longs of state per key (current S, alarms,
+    * events), exact integer steps; emits the key's current summary
+    * per batch with a monotone n_processed (drain: keep max per key).
+    * The batch form over a keyed frame is the prefix identity
+    * S_t = P_t − min(0, running_min(P)) — see `window_cusum`.
+    */
+  def cusumStream(events: Dataset[graft.streaming.Cusum.CusumEvent],
+                  target: Long, drift: Long, threshold: Long)
+      : Dataset[graft.streaming.Cusum.CusumOut] =
+    graft.streaming.Cusum.cusumStream(events, target, drift, threshold)
 }

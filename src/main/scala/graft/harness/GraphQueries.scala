@@ -398,23 +398,30 @@ object GraphQueries {
           $rounds
           SELECT node, label FROM l$LpIters"""
     },
+    // every round references the PREVIOUS alive set twice (both join
+    // endpoints), so inlined CTEs expand the plan exponentially in
+    // the round count — DuckDB 1.0 inlines by default and the
+    // un-hinted form spilled >75 GB at sf1 before dying; MATERIALIZED
+    // pins each round to one evaluation (17.6 s, zero spill at sf1)
     "graph_kcore" -> {
       val rounds = (2 to KcoreRounds).map { i =>
-        s"""s$i AS (SELECT e.src, e.dst FROM e
+        s"""s$i AS MATERIALIZED (SELECT e.src, e.dst FROM e
                  JOIN a${i - 1} x ON e.src = x.node
                  JOIN a${i - 1} y ON e.dst = y.node),
-            a$i AS (SELECT src AS node FROM s$i GROUP BY src
+            a$i AS MATERIALIZED (SELECT src AS node FROM s$i GROUP BY src
                  HAVING COUNT(*) >= (SELECT k FROM kk))"""
       }.mkString(",\n")
-      s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
-                             1000000 + l_partkey % $Buckets AS dst
-                      FROM lineitem),
-          e AS (SELECT src, dst FROM e0
+      s"""WITH e0 AS MATERIALIZED (
+                   SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                          1000000 + l_partkey % $Buckets AS dst
+                   FROM lineitem),
+          e AS MATERIALIZED (SELECT src, dst FROM e0
                 UNION ALL SELECT dst, src FROM e0),
-          kk AS (SELECT CAST(floor(CAST(COUNT(*) AS DOUBLE)
+          kk AS MATERIALIZED (
+                 SELECT CAST(floor(CAST(COUNT(*) AS DOUBLE)
                                    / COUNT(DISTINCT src) / 2) AS BIGINT) + 1
                         AS k FROM e),
-          a1 AS (SELECT src AS node FROM e GROUP BY src
+          a1 AS MATERIALIZED (SELECT src AS node FROM e GROUP BY src
                  HAVING COUNT(*) >= (SELECT k FROM kk)),
           $rounds
           SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
