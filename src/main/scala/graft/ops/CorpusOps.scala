@@ -65,28 +65,46 @@ object CorpusOps {
     * matters. Both passes are count-over-partition WINDOWS, not
     * census-aggregate + join-back: Spark never dedupes common
     * subplans, so the join-back shape re-tokenized the corpus once
-    * per consumer (4 scans total); the window shape tokenizes ONCE
-    * and pays the same one full shuffle (hash-partitioned on the
-    * seed hash) the join's probe side paid anyway, with pass 2's
-    * shuffle bounded by the tiny candidate subset.
+    * per consumer (4 scans total). The seed frame itself is
+    * INTS-ONLY — (id, position, 52-bit hash) via the native one-pass
+    * window hasher — so the census shuffle moves 24 bytes per window
+    * instead of carrying every window's string (~3x the volume, plus
+    * a per-window string allocation in the scan); the window text is
+    * re-derived from the tokenized docs for the CANDIDATE positions
+    * only (one keyed join against the per-doc candidate-position
+    * lists, then a per-row slice+join), and pass 2's exact string
+    * count is bounded by that tiny subset.
     */
   def substringSpans(docs: DataFrame, idCol: String, toksCol: String,
                      w: Int): DataFrame = {
     val id = col(idCol)
-    val seeds = docs.select(id, col(toksCol).as("__toks"))
+    val base = docs.select(id, col(toksCol).as("__toks"))
       .filter(size(col("__toks")) >= w)
-      .select(id, posexplode(TextOps.shingles(col("__toks"), w))
-        .as(Seq("__pos", "__g")))
-      .select(id, (col("__pos") + 1).cast("long").as("__p"),
-        TextOps.minhashX(col("__g")).as("__s"), col("__g"))
+    val seeds = base
+      .select(id,
+        posexplode(call_function("shingle_hash52", col("__toks"), lit(w)))
+          .as(Seq("__pos", "__s")))
+      .select(id, (col("__pos") + 1).cast("long").as("__p"), col("__s"))
     // pass 1: candidates = windows whose 52-bit hash occurs > once
     val cand = seeds
       .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__s"))))
       .filter(col("__c") > 1)
+      .select(id, col("__p"))
     // pass 2: exact string count within the candidate subset — equal
     // strings always share a hash, so no true duplicate was lost in
-    // pass 1, and a false collision between unique windows dies here
-    val hits = cand
+    // pass 1, and a false collision between unique windows dies here.
+    // Window text exists only on this path: candidate positions fold
+    // per doc, meet the tokens in ONE keyed join, and each position
+    // slices its window out in-row (array_join over non-null tokens
+    // is byte-identical to the hasher's concat_ws input).
+    val candDocs = cand.groupBy(id).agg(collect_list(col("__p")).as("__ps"))
+    val candG = base.join(candDocs, Seq(idCol))
+      .select(id, explode(transform(col("__ps"), p =>
+        struct(p.as("p"),
+          array_join(slice(col("__toks"), p.cast("int"), lit(w)), " ")
+            .as("g")))).as("__pg"))
+      .select(id, col("__pg.p").as("__p"), col("__pg.g").as("__g"))
+    val hits = candG
       .withColumn("__c2", count(lit(1)).over(Window.partitionBy(col("__g"))))
       .filter(col("__c2") > 1)
       .select(id, col("__p"))
