@@ -395,6 +395,34 @@ object VectorQueries {
         .select("qid", "vec_id", "sim", "rk")
     }),
 
+    // Retrieval-quality evaluation over the label column: MRR and
+    // hit@5 of the cosine top-10 where "relevant" = shares the query
+    // vector's class label — the eval every embedding-curation loop
+    // runs after re-training (recall gauges above measure the INDEX
+    // against exact search; this measures the EMBEDDING against
+    // ground-truth classes). Reciprocal rank ships as floor(1e9/rank)
+    // — an exact integer for integer ranks — so the hash gate holds;
+    // the per-rank label join touches only the 50xK shortlist.
+    "ann_mrr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val top = VectorOps
+        .bruteForceTopK(q, emb, "qid", "vec_id", "qe", "embedding", 10)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"))
+        .join(broadcast(labels.select(col("vec_id").as("qid"),
+          col("label").as("qlab"))), Seq("qid"))
+        .join(labels.select(col("vec_id"), col("label").as("nlab")),
+          Seq("vec_id"))
+      val firstHit = min(when(col("nlab") === col("qlab"), col("rk")))
+      top.groupBy(col("qid"))
+        .agg(coalesce(firstHit, lit(0L)).as("first_hit_rank"),
+          coalesce(floor(lit(1e9) / firstHit).cast("long"), lit(0L))
+            .as("rr_nano"),
+          (coalesce(firstHit, lit(999L)) <= 5).as("hit_at_5"))
+    }),
+
     // ANN scale path: random-hyperplane LSH buckets (sign bits of 4
     // fixed ±1 planes), then top-k *within the bucket only* — each
     // query meets ~1/16 of the corpus instead of all of it, and the
@@ -1103,6 +1131,28 @@ object VectorQueries {
           FROM (SELECT *, row_number() OVER (PARTITION BY qid
                   ORDER BY sim DESC, vec_id) AS rk FROM s)
           WHERE rk <= 5""",
+    "ann_mrr" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlab
+                    FROM embeddings WHERE vec_id < 50),
+          s AS (SELECT qid, qlab, e.vec_id, e.label AS nlab,
+                       round(list_cosine_similarity(qe::DOUBLE[],
+                                                    e.embedding::DOUBLE[]), 6)
+                         AS sim
+                FROM q, embeddings e WHERE e.vec_id <> qid),
+          t AS (SELECT qid, qlab, nlab,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY sim DESC, vec_id) AS rk
+                FROM s
+                QUALIFY rk <= 10),
+          f AS (SELECT qid,
+                       MIN(CASE WHEN nlab = qlab THEN rk END) AS fh
+                FROM t GROUP BY qid)
+          SELECT qid,
+                 CAST(COALESCE(fh, 0) AS BIGINT) AS first_hit_rank,
+                 COALESCE(CAST(floor(1e9 / fh) AS BIGINT), 0)
+                   AS rr_nano,
+                 COALESCE(fh, 999) <= 5 AS hit_at_5
+          FROM f""",
     "ann_lsh_topk" -> {
       val bkExpr = planes.map { pl =>
         val lits = pl.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")

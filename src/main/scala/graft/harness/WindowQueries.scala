@@ -309,6 +309,33 @@ object WindowQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col("vu"), col("mu"), col("s_micro"),
           (col("s_micro") > lit(CusumThreshold)).as("alarm"))
+    }),
+
+    // 2-D skyline (Pareto frontier) per part bucket: the dominance
+    // query — keep (price, qty) points no other point beats on both
+    // axes (lower price AND higher quantity, one strict). The naive
+    // form is a quadratic self-anti-join; sorted by (price asc, qty
+    // desc) over DISTINCT points it collapses to ONE window pass — a
+    // point is dominated iff the running max of qty over strictly
+    // preceding rows reaches it (any preceding row with equal qty
+    // must have strictly lower price after the distinct, so >= is
+    // exactly dominance). Prices pin to integer cents, quantities are
+    // integral — exact in any engine; one hash-partitioned sort per
+    // group at any scale.
+    "window_skyline" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g"))
+        .orderBy(col("price_c").asc, col("qty").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.lineitem(s, d)
+        .select((col("l_partkey") % 64).cast("long").as("g"),
+          floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+            .as("price_c"),
+          col("l_quantity").cast("long").as("qty"))
+        .distinct()
+        .withColumn("pm", max(col("qty")).over(w))
+        .filter(col("pm").isNull || col("pm") < col("qty"))
+        .select(col("g"), col("price_c"), col("qty"))
     })
   )
 
@@ -520,6 +547,20 @@ object WindowQueries {
                  p - least(CAST(0 AS BIGINT), pmin) AS s_micro,
                  p - least(CAST(0 AS BIGINT), pmin) > $CusumThreshold
                    AS alarm
-          FROM r"""
+          FROM r""",
+    "window_skyline" ->
+      """WITH pts AS (SELECT DISTINCT CAST(l_partkey % 64 AS BIGINT) AS g,
+                             CAST(floor(l_extendedprice * 100 + 0.5)
+                               AS BIGINT) AS price_c,
+                             CAST(l_quantity AS BIGINT) AS qty
+                      FROM lineitem),
+          m AS (SELECT g, price_c, qty,
+                       MAX(qty) OVER (PARTITION BY g
+                         ORDER BY price_c ASC, qty DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pm
+                FROM pts)
+          SELECT g, price_c, qty FROM m
+          WHERE pm IS NULL OR pm < qty"""
   )
 }

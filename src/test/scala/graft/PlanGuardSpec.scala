@@ -40,6 +40,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_ivf_kmeans_topk" -> 64L, "ann_ivf_recall" -> 64L,
     "ann_ivf_nprobe_recall" -> 64L, "ann_lsh_topk" -> 64L,
     "ann_pq_recall" -> 64L,
+    "ann_mrr" -> 64L, // the fixed 50-query brute-force broadcast
     "ann_int8_topk" -> 64L,
     "ann_int8_ivf_topk" -> 64L, // centroid assignment cross only
     "ann_int8_ivf_recall" -> 64L, // + the 50-query exhaustive half
