@@ -222,8 +222,11 @@ object WindowQueries {
     // |z| > 2). Exactness discipline: values pin to integer micros at
     // the scan; n/Σv are BIGINT but Σv² multiplies THROUGH DECIMAL —
     // a bare BIGINT vu*vu wraps silently at |value| >= ~1360 in
-    // non-ANSI Spark while DuckDB promotes to HUGEINT, so both
-    // engines keep the squared sum exact in a wide integer type
+    // non-ANSI Spark while DuckDB BIGINT multiplication raises an
+    // out-of-range error on overflow (only SUM promotes to HUGEINT),
+    // so the oracle widens the operand with CAST(vu AS HUGEINT)*vu
+    // and Spark squares through DECIMAL — both engines keep the
+    // squared sum exact in a wide integer type over the same domain
     // instead of trusting the value domain. The z formula is ONE
     // shared SQL string (the agg_moments pattern) with a var<=0
     // guard, pinned to integer micros before the gate. One
@@ -486,7 +489,7 @@ object WindowQueries {
           w AS (SELECT user_id, event_id, ts, vu,
                        CAST(COUNT(*) OVER fr AS BIGINT) AS n,
                        CAST(SUM(vu) OVER fr AS BIGINT) AS s1,
-                       SUM(vu*vu) OVER fr AS s2
+                       SUM(CAST(vu AS HUGEINT) * vu) OVER fr AS s2
                 FROM b WINDOW fr AS (PARTITION BY user_id
                   ORDER BY ts, event_id
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),

@@ -20,25 +20,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * order (the file-inbox handoff shape). An event older than the
   * folded prefix would retroactively change S's trajectory, which no
   * append-sink read-back can repair; true out-of-order streams need a
-  * watermark-delayed fold at the cost of bounded-state emission.
+  * watermark-delayed fold at the cost of bounded-state emission. The
+  * contract is ENFORCED, not just documented: the state carries the
+  * last folded (us, event_id) and any batch event at-or-before that
+  * watermark increments `n_violations`, surfaced on every output row —
+  * silent trajectory corruption becomes a loud, monitorable counter.
   */
 object Cusum {
 
   case class CusumEvent(user_id: Long, event_id: Long, us: Long, vu: Long)
-  case class CusumBuf(s: Long, nAlarms: Long, n: Long)
+  case class CusumBuf(s: Long, nAlarms: Long, n: Long,
+                      lastUs: Long = Long.MinValue,
+                      lastEid: Long = Long.MinValue,
+                      nViolations: Long = 0L)
   case class CusumOut(user_id: Long, n_processed: Long, s_micro: Long,
-                      n_alarms: Long)
+                      n_alarms: Long, n_violations: Long)
 
   /** Pure fold shared by the streaming kernel and the replay spec. */
   def step(st: CusumBuf, events: Seq[CusumEvent], target: Long,
            drift: Long, threshold: Long): CusumBuf = {
     var s = st.s; var alarms = st.nAlarms; var n = st.n
+    var lastUs = st.lastUs; var lastEid = st.lastEid
+    var violations = st.nViolations
     events.sortBy(e => (e.us, e.event_id)).foreach { e =>
+      // Ordered-batches contract check: an event at or before the
+      // folded prefix retroactively changes S — count it loudly
+      // (still folded, so trajectories stay deterministic either way).
+      if (e.us < lastUs || (e.us == lastUs && e.event_id <= lastEid))
+        violations += 1
+      else { lastUs = e.us; lastEid = e.event_id }
       s = math.max(0L, s + (e.vu - target - drift))
       if (s > threshold) alarms += 1
       n += 1
     }
-    CusumBuf(s, alarms, n)
+    CusumBuf(s, alarms, n, lastUs, lastEid, violations)
   }
 
   def cusumStream(events: Dataset[CusumEvent], target: Long, drift: Long,
@@ -52,7 +67,8 @@ object Cusum {
           val st = step(state.getOption.getOrElse(CusumBuf(0L, 0L, 0L)),
             it.toSeq, target, drift, threshold)
           state.update(st)
-          Iterator.single(CusumOut(uid, st.n, st.s, st.nAlarms))
+          Iterator.single(CusumOut(uid, st.n, st.s, st.nAlarms,
+            st.nViolations))
       }
   }
 }

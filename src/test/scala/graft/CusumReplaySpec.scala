@@ -117,6 +117,22 @@ class CusumReplaySpec extends SparkSpec {
       "the rising user keeps alarming across batches")
   }
 
+  test("an event older than the folded prefix is counted loudly") {
+    val st1 = Cusum.step(Cusum.CusumBuf(0L, 0L, 0L),
+      b1.filter(_._1 == 1L)
+        .map(e => Cusum.CusumEvent(e._1, e._2, e._3, e._4)),
+      Target, Drift, H)
+    assert(st1.nViolations === 0L, "in-order fold must not flag")
+    // us=15 lands between the already-folded us=10 and us=20 events —
+    // a late arrival the append-sink contract cannot repair
+    val st2 = Cusum.step(st1, Seq(Cusum.CusumEvent(1L, 9L, 15L, 100L)),
+      Target, Drift, H)
+    assert(st2.nViolations === 1L,
+      "late event must increment the violation counter")
+    assert(st2.lastUs === st1.lastUs && st2.lastEid === st1.lastEid,
+      "a violating event must not advance the order watermark")
+  }
+
   test("the step fold is split-invariant") {
     val evs = b1.filter(_._1 == 3L) ++ b2.filter(_._1 == 3L)
     val whole = Cusum.step(Cusum.CusumBuf(0L, 0L, 0L),

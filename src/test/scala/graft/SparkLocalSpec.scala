@@ -25,8 +25,10 @@ class SparkLocalSpec extends AnyFunSuite {
     } finally {
       // 128 MB of zeros per run otherwise accretes in /tmp forever —
       // enough runs starve the sf1 gate's DuckDB spill space
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 }
