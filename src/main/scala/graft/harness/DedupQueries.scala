@@ -94,6 +94,19 @@ object DedupQueries {
       .select("da", "db").distinct()
   }
 
+  /** The df-capped candidate pair set, cached once per (session, sf):
+    * the self-join over the posting lists is the single most expensive
+    * candidate build in the family, and BOTH exact verifiers consume
+    * it — `pairsFrame` (Jaccard) and `dedup_containment` (asymmetric
+    * overlap). Before r13 containment re-ran the whole build (3.3 s at
+    * sf0.1, the costliest non-preamble dedup row); one cached frame
+    * serves both. Pair-count-sized, so safe to pin.
+    */
+  private def candidatesFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "posting_candidates") {
+      postingCandidates(shingleFrame(s, d))
+    }
+
   /** (da, db, nab, na, nb, jaccard) for the given candidate pairs,
     * verified exactly over the full (uncapped) shingle frame
     * (CorpusOps.jaccardVerify at this module's threshold).
@@ -111,8 +124,7 @@ object DedupQueries {
     */
   private def pairsFrame(s: SparkSession, d: String): DataFrame =
     cachedFrame(s, d, "verified_pairs") {
-      val sh = shingleFrame(s, d)
-      jaccardPairs(sh, postingCandidates(sh))
+      jaccardPairs(shingleFrame(s, d), candidatesFrame(s, d))
     }
 
   /** (node, component) over the verified near-dup pair graph, computed
@@ -147,6 +159,7 @@ object DedupQueries {
     shingleFrame(s, d)
     minhashFrame(s, d)
     simhashFrame(s, d)
+    candidatesFrame(s, d)
     pairsFrame(s, d)
     componentsFrame(s, d)
     spansFrame(s, d)
@@ -238,9 +251,8 @@ object DedupQueries {
     // Same blocked-candidates + exact-verify posture; shares the
     // shingle frame with the whole dedup family.
     "dedup_containment" -> ((s, d) => {
-      val sh = shingleFrame(s, d)
-      graft.ops.CorpusOps.containmentVerify(sh, postingCandidates(sh),
-        "doc_id", CONT)
+      graft.ops.CorpusOps.containmentVerify(shingleFrame(s, d),
+        candidatesFrame(s, d), "doc_id", CONT)
     }),
 
     // MinHash + LSH: 16 md5-min hashes -> 8 bands of 2 -> bucket join
