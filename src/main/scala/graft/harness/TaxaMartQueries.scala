@@ -357,6 +357,166 @@ object TaxaMartQueries {
         .filter(col("rn") === 1)
         .select(col("entry_acc"), col("pdb_id"), col("coverage"),
           col("resolution"))
+    }),
+
+    // webfront_proteome (mysql/proteomes.py:20-34,159-176): one row
+    // per proteome with xrefs — name, is_reference flag, owning taxon
+    // and the counts JSON {"entries":{"total":..,<db>:..},
+    // "proteins":..,"structures":..} (entries_per_db built at
+    // proteomes.py:125-131, totals at :165-172). Identical key order
+    // discipline as mart_taxa_counts: total first, then db-sorted.
+    // Proteome dim = customer (the xref_proteome_bundle analogy);
+    // the reference only writes proteomes present in the xrefs store,
+    // so the aggregates inner-join.
+    "mart_proteome_counts" -> ((s, d) => {
+      val dim = Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat(lit("UPC"), col("c_custkey").cast("string")).as("accession"),
+        col("c_name").as("name"),
+        (col("c_custkey") % 7 === 0).as("is_reference"),
+        concat(lit("N"), col("c_nationkey").cast("string"))
+          .as("taxonomy_id"))
+      val prot = Tables.orders(s, d).select(
+        col("o_orderkey").as("protein"), col("o_custkey"))
+      val pm = prot.join(matches(s, d), "protein")
+      val ps = prot.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("num_proteins"))
+      val ej = pm.groupBy(col("o_custkey"), col("db"))
+        .agg(countDistinct(col("entry")).as("n_entries"))
+        .groupBy(col("o_custkey")).agg(
+          sum(col("n_entries")).as("total_entries"),
+          concat_ws(",", sort_array(collect_list(
+            concat(lit("\""), col("db"), lit("\":"),
+              col("n_entries").cast("string"))))).as("per_db"))
+      val st = pm.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("pdb")).as("n_structures"))
+      dim
+        .join(ps.withColumnRenamed("o_custkey", "c_custkey"),
+          Seq("c_custkey"))
+        .join(ej.withColumnRenamed("o_custkey", "c_custkey"),
+          Seq("c_custkey"))
+        .join(st.withColumnRenamed("o_custkey", "c_custkey"),
+          Seq("c_custkey"))
+        .select(col("accession"), col("name"), col("is_reference"),
+          col("taxonomy_id"), col("num_proteins"),
+          concat(lit("{\"entries\":{\"total\":"),
+            col("total_entries").cast("string"),
+            lit(","), col("per_db"),
+            lit("},\"proteins\":"), col("num_proteins").cast("string"),
+            lit(",\"structures\":"), col("n_structures").cast("string"),
+            lit("}")).as("counts"))
+    }),
+
+    // webfront_proteomeperentry (mysql/proteomes.py:36-47,126-143):
+    // one row per (proteome, entry) with the entry's protein count in
+    // that proteome and the per-row counts JSON
+    // {"proteins":..,"structures":..} — the proteome-axis twin of
+    // mart_taxa_per_entry, one keyed aggregation end to end.
+    "mart_proteome_per_entry" -> ((s, d) => {
+      val prot = Tables.orders(s, d).select(
+        col("o_orderkey").as("protein"), col("o_custkey"))
+      prot.join(matches(s, d), "protein")
+        .groupBy(col("o_custkey"), col("entry"))
+        .agg(countDistinct(col("protein")).as("num_proteins"),
+          countDistinct(col("pdb")).as("n_structures"))
+        .select(
+          concat(lit("UPC"), col("o_custkey").cast("string"))
+            .as("accession"),
+          col("entry").as("entry_acc"), col("num_proteins"),
+          concat(lit("{\"proteins\":"), col("num_proteins").cast("string"),
+            lit(",\"structures\":"), col("n_structures").cast("string"),
+            lit("}")).as("counts"))
+    }),
+
+    // webfront_proteomeperentrydb (mysql/proteomes.py:48-61,144-157):
+    // one row per (proteome, member database) with the db's protein
+    // count and counts JSON {"entries":..,"proteins":..,
+    // "structures":..} — the db-rollup sibling of the per-entry mart.
+    "mart_proteome_per_entry_db" -> ((s, d) => {
+      val prot = Tables.orders(s, d).select(
+        col("o_orderkey").as("protein"), col("o_custkey"))
+      prot.join(matches(s, d), "protein")
+        .groupBy(col("o_custkey"), col("db"))
+        .agg(countDistinct(col("protein")).as("num_proteins"),
+          countDistinct(col("entry")).as("n_entries"),
+          countDistinct(col("pdb")).as("n_structures"))
+        .select(
+          concat(lit("UPC"), col("o_custkey").cast("string"))
+            .as("accession"),
+          col("db").as("source_database"), col("num_proteins"),
+          concat(lit("{\"entries\":"), col("n_entries").cast("string"),
+            lit(",\"proteins\":"), col("num_proteins").cast("string"),
+            lit(",\"structures\":"), col("n_structures").cast("string"),
+            lit("}")).as("counts"))
+    }),
+
+    // webfront_structure (mysql/structures.py:34-95,117-153): one row
+    // per PDB structure — name, experiment type, resolution and the
+    // counts JSON {"domain_architectures":..,"entries":{"total":..,
+    // <db>:..},"proteomes":..,"proteins":..,"sets":..,"taxa":..}
+    // (num_entries built at structures.py:119-123). EVERY structure
+    // gets a row (the reference iterates the full structures pickle),
+    // so the xref aggregate left-joins and an unmatched structure
+    // renders {"total":0} with no per-db arm — the conditional comma
+    // is shared verbatim with the oracle.
+    "mart_structure_counts" -> ((s, d) => {
+      val chains = Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        concat(lit("PDB"), col("s_suppkey").cast("string")).as("pdb_id"),
+        col("s_name").as("name"),
+        element_at(array(lit("X-ray diffraction"), lit("Solution NMR"),
+          lit("Electron microscopy")),
+          (col("s_suppkey") % 3 + 1).cast("int")).as("experiment_type"),
+        ((col("s_suppkey") % 35 + 10) / lit(10.0)).as("resolution"),
+        (col("s_suppkey") % 5).cast("int").as("cs"),
+        ((col("s_suppkey") % 5) + 3).cast("int").as("ce"))
+      val m = matches(s, d).select(col("protein"), col("db"), col("entry"),
+        col("clan"), col("l_suppkey"), col("ms"), col("me"))
+      val hits = RelOps.intervalJoin(m, chains,
+        m("l_suppkey") === chains("s_suppkey"),
+        col("ms"), col("me"), col("cs"), col("ce"))
+      val protInfo = proteins(s, d).select(col("protein"), col("proteome"),
+        concat(lit("N"), col("c_nationkey").cast("string")).as("taxon"))
+      val domorg = matches(s, d).groupBy(col("protein"))
+        .agg(md5(concat_ws("-", sort_array(collect_set(col("db")))))
+          .as("dom_org"))
+      val enriched = hits.join(protInfo, Seq("protein"))
+        .join(domorg, Seq("protein"))
+      val ej = enriched.groupBy(col("pdb_id"), col("db"))
+        .agg(countDistinct(col("entry")).as("n_entries"))
+        .groupBy(col("pdb_id")).agg(
+          sum(col("n_entries")).as("total_entries"),
+          concat_ws(",", sort_array(collect_list(
+            concat(lit("\""), col("db"), lit("\":"),
+              col("n_entries").cast("string"))))).as("per_db"))
+      val agg = enriched.groupBy(col("pdb_id")).agg(
+        countDistinct(col("protein")).as("n_proteins"),
+        countDistinct(col("taxon")).as("n_taxa"),
+        countDistinct(col("proteome")).as("n_proteomes"),
+        countDistinct(col("clan")).as("n_sets"),
+        countDistinct(col("dom_org")).as("n_domorgs"))
+      chains.select(col("pdb_id"), col("name"), col("experiment_type"),
+          col("resolution"))
+        .join(agg, Seq("pdb_id"), "left_outer")
+        .join(ej, Seq("pdb_id"), "left_outer")
+        .select(col("pdb_id").as("accession"), col("name"),
+          lit("pdb").as("source_database"), col("experiment_type"),
+          col("resolution"),
+          concat(lit("{\"domain_architectures\":"),
+            coalesce(col("n_domorgs"), lit(0L)).cast("string"),
+            lit(",\"entries\":{\"total\":"),
+            coalesce(col("total_entries"), lit(0L)).cast("string"),
+            when(col("per_db").isNotNull,
+              concat(lit(","), col("per_db"))).otherwise(lit("")),
+            lit("},\"proteomes\":"),
+            coalesce(col("n_proteomes"), lit(0L)).cast("string"),
+            lit(",\"proteins\":"),
+            coalesce(col("n_proteins"), lit(0L)).cast("string"),
+            lit(",\"sets\":"),
+            coalesce(col("n_sets"), lit(0L)).cast("string"),
+            lit(",\"taxa\":"),
+            coalesce(col("n_taxa"), lit(0L)).cast("string"),
+            lit("}")).as("counts"))
     })
   )
 
@@ -589,6 +749,124 @@ object TaxaMartQueries {
           WHERE coverage > 0.5 OR (coverage = 0.5 AND resolution < 4.0)
           QUALIFY ROW_NUMBER() OVER (PARTITION BY entry_acc
                                      ORDER BY coverage DESC, resolution ASC,
-                                              pdb_id ASC) = 1"""
+                                              pdb_id ASC) = 1""",
+    "mart_proteome_counts" ->
+      s"""WITH $protCte,
+          dim AS (SELECT c_custkey,
+                         'UPC' || CAST(c_custkey AS VARCHAR) AS accession,
+                         c_name AS name,
+                         c_custkey % 7 = 0 AS is_reference,
+                         'N' || CAST(c_nationkey AS VARCHAR) AS taxonomy_id
+                  FROM customer),
+          pr AS (SELECT o_orderkey AS protein, o_custkey FROM orders),
+          pm AS (SELECT pr.o_custkey, m.* FROM pr JOIN m USING (protein)),
+          ps AS (SELECT o_custkey, COUNT(*) AS num_proteins
+                 FROM pr GROUP BY o_custkey),
+          perdb AS (SELECT o_custkey, db, COUNT(DISTINCT entry) AS n_entries
+                    FROM pm GROUP BY 1, 2),
+          ej AS (SELECT o_custkey,
+                        CAST(SUM(n_entries) AS BIGINT) AS total_entries,
+                        string_agg('"' || db || '":' ||
+                                   CAST(n_entries AS VARCHAR),
+                                   ',' ORDER BY '"' || db || '":' ||
+                                   CAST(n_entries AS VARCHAR)) AS per_db
+                 FROM perdb GROUP BY o_custkey),
+          st AS (SELECT o_custkey, COUNT(DISTINCT pdb) AS n_structures
+                 FROM pm GROUP BY o_custkey)
+          SELECT d.accession, d.name, d.is_reference, d.taxonomy_id,
+                 ps.num_proteins,
+                 '{"entries":{"total":' || CAST(ej.total_entries AS VARCHAR) ||
+                 ',' || ej.per_db ||
+                 '},"proteins":' || CAST(ps.num_proteins AS VARCHAR) ||
+                 ',"structures":' || CAST(st.n_structures AS VARCHAR) || '}'
+                   AS counts
+          FROM dim d
+               JOIN ps ON ps.o_custkey = d.c_custkey
+               JOIN ej ON ej.o_custkey = d.c_custkey
+               JOIN st ON st.o_custkey = d.c_custkey""",
+    "mart_proteome_per_entry" ->
+      s"""WITH $protCte,
+          pr AS (SELECT o_orderkey AS protein, o_custkey FROM orders),
+          pm AS (SELECT pr.o_custkey, m.* FROM pr JOIN m USING (protein))
+          SELECT 'UPC' || CAST(o_custkey AS VARCHAR) AS accession,
+                 entry AS entry_acc,
+                 COUNT(DISTINCT protein) AS num_proteins,
+                 '{"proteins":' ||
+                 CAST(COUNT(DISTINCT protein) AS VARCHAR) ||
+                 ',"structures":' ||
+                 CAST(COUNT(DISTINCT pdb) AS VARCHAR) || '}' AS counts
+          FROM pm GROUP BY o_custkey, entry""",
+    "mart_proteome_per_entry_db" ->
+      s"""WITH $protCte,
+          pr AS (SELECT o_orderkey AS protein, o_custkey FROM orders),
+          pm AS (SELECT pr.o_custkey, m.* FROM pr JOIN m USING (protein))
+          SELECT 'UPC' || CAST(o_custkey AS VARCHAR) AS accession,
+                 db AS source_database,
+                 COUNT(DISTINCT protein) AS num_proteins,
+                 '{"entries":' || CAST(COUNT(DISTINCT entry) AS VARCHAR) ||
+                 ',"proteins":' ||
+                 CAST(COUNT(DISTINCT protein) AS VARCHAR) ||
+                 ',"structures":' ||
+                 CAST(COUNT(DISTINCT pdb) AS VARCHAR) || '}' AS counts
+          FROM pm GROUP BY o_custkey, db""",
+    "mart_structure_counts" ->
+      s"""WITH $protCte,
+          chains AS (SELECT s_suppkey,
+                            'PDB' || CAST(s_suppkey AS VARCHAR) AS pdb_id,
+                            s_name AS name,
+                            ['X-ray diffraction','Solution NMR',
+                             'Electron microscopy']
+                              [CAST(s_suppkey % 3 + 1 AS INT)]
+                              AS experiment_type,
+                            (s_suppkey % 35 + 10) / 10.0 AS resolution,
+                            CAST(s_suppkey % 5 AS INT) AS cs,
+                            CAST(s_suppkey % 5 + 3 AS INT) AS ce
+                     FROM supplier),
+          pinfo AS (SELECT protein, proteome,
+                           'N' || CAST(c_nationkey AS VARCHAR) AS taxon
+                    FROM prot),
+          dorg AS (SELECT protein,
+                          md5(string_agg(DISTINCT db, '-' ORDER BY db))
+                            AS dom_org
+                   FROM m GROUP BY protein),
+          hits AS (SELECT m.*, c.pdb_id, p.proteome, p.taxon, d.dom_org
+                   FROM m JOIN chains c
+                        ON m.l_suppkey = c.s_suppkey
+                       AND m.ms <= c.ce AND c.cs <= m.me
+                        JOIN pinfo p USING (protein)
+                        JOIN dorg d USING (protein)),
+          perdb AS (SELECT pdb_id, db, COUNT(DISTINCT entry) AS n_entries
+                    FROM hits GROUP BY 1, 2),
+          ej AS (SELECT pdb_id,
+                        CAST(SUM(n_entries) AS BIGINT) AS total_entries,
+                        string_agg('"' || db || '":' ||
+                                   CAST(n_entries AS VARCHAR),
+                                   ',' ORDER BY '"' || db || '":' ||
+                                   CAST(n_entries AS VARCHAR)) AS per_db
+                 FROM perdb GROUP BY pdb_id),
+          agg AS (SELECT pdb_id,
+                         COUNT(DISTINCT protein) AS n_proteins,
+                         COUNT(DISTINCT taxon) AS n_taxa,
+                         COUNT(DISTINCT proteome) AS n_proteomes,
+                         COUNT(DISTINCT clan) AS n_sets,
+                         COUNT(DISTINCT dom_org) AS n_domorgs
+                  FROM hits GROUP BY pdb_id)
+          SELECT c.pdb_id AS accession, c.name,
+                 'pdb' AS source_database, c.experiment_type, c.resolution,
+                 '{"domain_architectures":' ||
+                 CAST(COALESCE(a.n_domorgs, 0) AS VARCHAR) ||
+                 ',"entries":{"total":' ||
+                 CAST(COALESCE(e.total_entries, 0) AS VARCHAR) ||
+                 CASE WHEN e.per_db IS NOT NULL
+                      THEN ',' || e.per_db ELSE '' END ||
+                 '},"proteomes":' ||
+                 CAST(COALESCE(a.n_proteomes, 0) AS VARCHAR) ||
+                 ',"proteins":' ||
+                 CAST(COALESCE(a.n_proteins, 0) AS VARCHAR) ||
+                 ',"sets":' || CAST(COALESCE(a.n_sets, 0) AS VARCHAR) ||
+                 ',"taxa":' || CAST(COALESCE(a.n_taxa, 0) AS VARCHAR) || '}'
+                   AS counts
+          FROM chains c LEFT JOIN agg a USING (pdb_id)
+               LEFT JOIN ej e USING (pdb_id)"""
   )
 }
