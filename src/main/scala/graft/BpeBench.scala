@@ -1,0 +1,37 @@
+package graft
+
+/** A/B harness for the batched BPE trainer (r13 carried item): trains
+  * `rounds` merges over `sfDir`'s documents at a given `batchM` and
+  * prints one JSON line with pass count, scheduler job count, and wall
+  * seconds — run with batchM=1 (classic one-merge-per-pass) vs the
+  * default 256 to quantify the scheduler-round-trip saving. The merge
+  * sequences are bit-identical by construction (BpeSpec proves it);
+  * this tool only measures.
+  *
+  * Usage: BpeBench <sfDir> [rounds=1000] [batchM=256]
+  */
+object BpeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/target/sf3v")
+    val rounds = args.lift(1).map(_.toInt).getOrElse(1000)
+    val batchM = args.lift(2).map(_.toInt).getOrElse(256)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counts = graft.ops.Bpe.wordCounts(Tables.documents(spark, sfDir), "text")
+      .localCheckpoint(true)
+    val vocab = counts.count()
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val t0 = System.nanoTime()
+    val (merges, _) = graft.ops.Bpe.train(spark, counts, rounds, batchM)
+    val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0
+    println(s"""{"tool":"bpe_bench","sf":"$sfDir","vocab":$vocab,""" +
+      s""""rounds":${merges.length},"batchM":$batchM,"jobs":$jobs,"sec":$sec}""")
+    spark.stop()
+  }
+}

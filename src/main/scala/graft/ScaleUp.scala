@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding` gets a tiny first-component nudge per
   *    replica so replicas are near but not exact neighbors.
   *
-  * Usage: ScaleUp <srcDir> <outDir> [factor=10] [mode=fixed|vocab]
+  * Usage: ScaleUp <srcDir> <outDir> [factor=10] [mode=fixed|vocab|zipf]
   *
   * `vocab` mode additionally scales the documents token VOCABULARY
   * with the corpus (suffix = replica + doc_id%256, so distinct
@@ -34,13 +34,40 @@ import org.apache.spark.sql.functions._
   * (SpaceSaving, KMV, HLL) out of its exact/under-capacity regime —
   * the stress the fixed-vocab rehearsal can never produce (31 x 30
   * = 930 < k = 4096 even at 30x).
+  *
+  * `zipf` mode re-routes a harmonic (zipf s=1) HEAD of the fact keys
+  * onto a few hot existing keys after replication — the root-taxon /
+  * mega-entry shape that melts the reference's per-entry xref pass
+  * (interpro/xrefs/entries.py:387-407; SURVEY §4.6). Head masses are
+  * sized by what the key feeds:
+  *  - `orders.o_custkey` 50% head over 8 keys (hot1 ~18% of all
+  *    orders): every consumer is LINEAR in the hot-key rows (equi
+  *    joins, lineage-rollup explode, window partitionBy o_custkey),
+  *    so the skew stresses shuffle placement, not output size;
+  *  - `lineitem.l_orderkey` 0.18% head (hot1 ~4k rows vs ~4 uniform,
+  *    a 1000x group-size skew): its consumers are QUADRATIC
+  *    (join_self_pairs, per-order part-set pair expansion), so the
+  *    head is capped where hot1² stays ~8M pairs — bigger heads
+  *    measure output explosion, not skew handling;
+  *  - `lineitem.l_partkey` 30% head: feeds only broadcast joins and
+  *    (pa,pb)-keyed aggregations — demonstrates that broadcast-hash
+  *    plans are skew-immune (no shuffle by the hot key at all);
+  *  - `events.user_id` 20% head (hot1 ~7% of events): per-user
+  *    window sorts and streaming state see one mega-user.
+  * Draws are pmod(hash(stable ids, salt), 1e6) — deterministic, no
+  * RNG; redirect targets are existing replica-0 keys so every FK
+  * stays valid and the oracle SQL still runs on the skewed dirs.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val vocabMode = args.lift(3).contains("vocab")
+    val mode = args.lift(3).getOrElse("fixed")
+    require(Set("fixed", "vocab", "zipf")(mode),
+      s"mode must be fixed|vocab|zipf, got $mode")
+    val vocabMode = mode == "vocab"
+    val zipfMode = mode == "zipf"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -62,6 +89,31 @@ object ScaleUp {
         }
         perReplica(shifted, i)
       }.reduce(_ unionAll _)
+
+    /** The `n` smallest existing keys of `df.key` — zipf redirect
+      * targets must be real rows so FKs survive the re-route. */
+    def smallestKeys(df: DataFrame, key: String, n: Int): Seq[Long] =
+      df.select(col(key)).distinct().orderBy(col(key)).limit(n)
+        .collect().map(_.getLong(0)).toSeq
+
+    /** Re-route a harmonic head of rows onto `hot` keys: hot(k)
+      * (1-based) receives headPpm/(H_n·k) ppm of ALL rows — a zipf
+      * s=1 law over the head; the remaining rows keep their original
+      * key. The draw hashes the row's stable id columns plus a
+      * per-redirect salt (two redirects on one table must not
+      * correlate, or the hot order's lineitems would all collapse
+      * onto the hot parts and its part-SET would stay tiny). */
+    def zipfHead(df: DataFrame, key: String, hot: Seq[Long], headPpm: Int,
+                 salt: String, idCols: Seq[String]): DataFrame = {
+      val hN = (1 to hot.size).map(1.0 / _).sum
+      val cum = hot.indices.map(k => (1 to k + 1)
+        .map(j => math.round(headPpm / (hN * j))).sum)
+      val draw = pmod(hash(idCols.map(col) :+ lit(salt): _*), lit(1000000))
+      val routed = hot.zip(cum).foldRight(col(key)) {
+        case ((hk, c), tail) => when(draw < lit(c.toInt), lit(hk)).otherwise(tail)
+      }
+      df.withColumn(key, routed.cast(df.schema(key).dataType))
+    }
 
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -91,13 +143,33 @@ object ScaleUp {
     write("customer", replicate(customer, Map("c_custkey" -> custS)))
     write("supplier", replicate(supplier, Map("s_suppkey" -> suppS)))
     write("part", replicate(part, Map("p_partkey" -> partS)))
-    write("orders", replicate(orders,
-      Map("o_orderkey" -> ordS, "o_custkey" -> custS)))
-    write("lineitem", replicate(lineitem,
-      Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)))
-    write("events", replicate(events,
+    val ordersRep = replicate(orders,
+      Map("o_orderkey" -> ordS, "o_custkey" -> custS))
+    write("orders",
+      if (!zipfMode) ordersRep
+      else zipfHead(ordersRep, "o_custkey",
+        smallestKeys(customer, "c_custkey", 8), 500000, "oc",
+        Seq("o_orderkey")))
+    val liRep = replicate(lineitem,
+      Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS))
+    write("lineitem",
+      if (!zipfMode) liRep
+      else {
+        val hotOrders = zipfHead(liRep, "l_orderkey",
+          smallestKeys(orders, "o_orderkey", 8), 1800, "lo",
+          Seq("l_orderkey", "l_linenumber", "l_suppkey"))
+        zipfHead(hotOrders, "l_partkey",
+          smallestKeys(part, "p_partkey", 8), 300000, "lp",
+          Seq("l_orderkey", "l_linenumber", "l_suppkey"))
+      })
+    val eventsRep = replicate(events,
       Map("event_id" -> stride(events, "event_id"),
-          "user_id" -> stride(events, "user_id"))))
+          "user_id" -> stride(events, "user_id")))
+    write("events",
+      if (!zipfMode) eventsRep
+      else zipfHead(eventsRep, "user_id",
+        smallestKeys(events, "user_id", 8), 200000, "eu",
+        Seq("event_id")))
     write("documents", replicate(documents,
       Map("doc_id" -> stride(documents, "doc_id")),
       (d, i) =>

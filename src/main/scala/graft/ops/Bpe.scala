@@ -45,28 +45,77 @@ object Bpe {
     out.toSeq
   }
 
-  /** Learn `rounds` merges from the word-frequency table. Each round:
-    * a pair-count aggregate weighted by word frequency (vocab-sized
-    * shuffle), a driver-side argmax of ONE row (the model, not data),
-    * and a typed per-word re-segmentation. Returns (merges, final
-    * segmentation) — segmentations feed vocabulary export or an
-    * encode pass.
+  /** Longest batchable prefix of a descending (count desc, pair asc)
+    * candidate list — the merges the SEQUENTIAL algorithm would pick
+    * in exactly this order, provable from one census:
+    *
+    *  - Symbol-disjointness: a candidate sharing no symbol (left,
+    *    right, or merged string) with any earlier selection has its
+    *    pair count UNCHANGED by applying those selections (no
+    *    occurrence of it can be consumed or produced). The scan stops
+    *    at the first overlapping candidate — skipping it and
+    *    continuing would be unsound, since its true count at its
+    *    sequential turn is unknown.
+    *  - Created-pair bound: applying (a,b)→ab creates pairs (x,ab) /
+    *    (ab,y) only where an existing pair (x,a) / (b,y) occurs, so a
+    *    created pair's count is ≤ that existing pair's count. Every
+    *    existing pair sharing a symbol with the selected set sits AT
+    *    or AFTER the stop point (anything before it was selected), so
+    *    created counts are ≤ `bound` = max(stop candidate's count,
+    *    largest count possibly hiding below an incomplete census).
+    *    Selections are therefore trimmed to the prefix STRICTLY above
+    *    `bound` — a created pair can then never tie-or-beat a later
+    *    batch member at its sequential turn. The head (the true
+    *    argmax, preceded by nothing) survives unconditionally.
     */
-  def train(spark: SparkSession, counts: DataFrame, rounds: Int)
-      : (Seq[Merge], Dataset[WordSeg]) = {
+  private[ops] def selectBatch(cands: Seq[(String, String, Long)],
+                               unseenBound: Long): Seq[(String, String, Long)] = {
+    val d = scala.collection.mutable.Set.empty[String]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var bound = unseenBound
+    var i = 0
+    var stopped = false
+    while (i < cands.length && !stopped) {
+      val c @ (l, r, n) = cands(i)
+      if (d(l) || d(r) || d(l + r)) { bound = math.max(bound, n); stopped = true }
+      else { sel += c; d += l; d += r; d += (l + r) }
+      i += 1
+    }
+    sel.head +: sel.tail.takeWhile(_._3 > bound).toSeq
+  }
+
+  /** Learn `rounds` merges from the word-frequency table. Merges come
+    * in provably-sequential-equal BATCHES (see [[selectBatch]]): each
+    * pass runs ONE pair-count aggregate weighted by word frequency
+    * (vocab-sized shuffle), collects the top `batchM` candidates,
+    * selects the batchable prefix on the driver (the model, not
+    * data), and applies the whole batch in ONE typed per-word
+    * re-segmentation — so a 32k-merge training run costs
+    * 32k/avg-batch scheduler round-trips instead of 32k (r13 carried
+    * item; the learned sequence is bit-identical, BpeSpec proves it
+    * against the classic algorithm and against `batchM = 1`).
+    * Returns (merges, final segmentation) — segmentations feed
+    * vocabulary export or an encode pass. `batchM = 1` degenerates to
+    * the classic one-merge-per-pass loop.
+    */
+  def train(spark: SparkSession, counts: DataFrame, rounds: Int,
+            batchM: Int = 256): (Seq[Merge], Dataset[WordSeg]) = {
     import spark.implicits._
+    require(batchM >= 1, s"batchM must be >= 1, got $batchM")
     var segs: Dataset[WordSeg] = counts.select(col("word"), col("n"))
       .as[(String, Long)]
       .map { case (w, n) =>
         WordSeg(w, n, w.map(_.toString) :+ Eow)
       }
-      // cache the working frame: every round reads it twice (pair
+      // cache the working frame: every pass reads it twice (pair
       // census + re-segmentation); it is vocab-sized by construction
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var round = 0
+    var passes = 0
     var exhausted = false
-    while (round < rounds && !exhausted) {
+    while (merges.length < rounds && !exhausted) {
+      // collect batchM+1 rows: the extra row is the tie-safe bound on
+      // every pair the collect did NOT see (census is sorted desc)
       val top = segs.flatMap(ws =>
           ws.syms.sliding(2).collect {
             case Seq(a, b) => ((a, b), ws.n)
@@ -74,22 +123,32 @@ object Bpe {
         .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
         .map { case ((a, b), n) => (a, b, n) }
         .orderBy(col("_3").desc, col("_1"), col("_2"))
-        .limit(1).collect()
+        .limit(batchM + 1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, n) = top.head
-        merges += Merge(merges.length, l, r, n)
-        val next = segs.map(ws => ws.copy(syms = mergePair(ws.syms, l, r)))
-          .localCheckpoint(true)
+        val unseenBound = if (top.length > batchM) top.last._3 else -1L
+        val batch = selectBatch(top.take(batchM).toSeq, unseenBound)
+          .take(rounds - merges.length)
+        batch.foreach { case (l, r, n) =>
+          merges += Merge(merges.length, l, r, n)
+        }
+        val ms = batch.map { case (l, r, _) => (l, r) }
+        val next = segs.map { ws =>
+          var s = ws.syms
+          ms.foreach { case (l, r) => s = mergePair(s, l, r) }
+          ws.copy(syms = s)
+        }.localCheckpoint(true)
         // the new checkpoint is materialized (eager) and no longer
-        // reads from the previous round's blocks — release them, or
-        // block-manager storage grows O(rounds x vocab) over a
+        // reads from the previous pass's blocks — release them, or
+        // block-manager storage grows O(passes x vocab) over a
         // realistic 10k-50k-merge training run
         segs.unpersist(blocking = false)
         segs = next
       }
-      round += 1
+      passes += 1
     }
+    System.err.println(
+      s"bpe.train: ${merges.length} merges in $passes passes (batchM=$batchM)")
     (merges.toSeq, segs)
   }
 

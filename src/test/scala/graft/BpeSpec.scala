@@ -56,6 +56,19 @@ class BpeSpec extends SparkSpec {
     assert(got === refSegs)
   }
 
+  test("batched merge sequence equals the one-merge-per-pass loop") {
+    val counts = Bpe.wordCounts(Tables.documents(spark, sf), "text")
+    val rounds = 40
+    val (seqSeq, _) = Bpe.train(spark, counts, rounds, batchM = 1)
+    val (seqBat, segsBat) = Bpe.train(spark, counts, rounds, batchM = 256)
+    assert(seqBat.map(m => (m.rank, m.left, m.right, m.n)) ===
+      seqSeq.map(m => (m.rank, m.left, m.right, m.n)))
+    // and the batch-applied segmentations equal the sequential ones
+    val wordMap = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (_, refSegs) = refTrain(wordMap, rounds)
+    assert(segsBat.collect().map(ws => ws.word -> ws.syms).toMap === refSegs)
+  }
+
   test("encodeCorpus equals the per-word encode summed over each document") {
     val docs = Tables.documents(spark, sf).limit(50)
     val counts = Bpe.wordCounts(Tables.documents(spark, sf), "text")
