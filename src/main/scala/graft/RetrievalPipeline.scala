@@ -82,6 +82,52 @@ object RetrievalPipeline {
     val hits = hit.filter(col("__v").isNotNull).count()
     stages += "recall_expected" -> expected
     stages += "recall_hits" -> hits
+
+    // 5. ONLINE serving end-to-end on the same artifact: the query
+    //    batch arrives as a FILE STREAM and every micro-batch runs
+    //    the two-stage serve — int8-IVF shortlist (25 candidates,
+    //    partition-pruned probes) + exact double-L2 re-rank to top-5
+    //    of only the shortlisted pairs (VectorIndex.searchRerank) —
+    //    the stream_ann_rerank query's stage run against THIS build.
+    val inbox = s"$outDir/query-inbox"
+    queries.write.mode("overwrite").parquet(inbox)
+    val rrOut = s"$outDir/rerank"
+    val qStream = spark.readStream.schema(emb.schema).parquet(inbox)
+    val sq = qStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          VectorIndex.searchRerank(batch.sparkSession, s"$outDir/index",
+              batch, "vec_id", "embedding",
+              Tables.embeddings(batch.sparkSession, sfDir),
+              NProbe, shortK = 25, k = TopK)
+            .write.mode("append").parquet(s"$rrOut/data")
+        ()
+      }
+      .option("checkpointLocation", s"$rrOut/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val reranked = spark.read.parquet(s"$rrOut/data")
+    stages += "stream_rerank_results" -> reranked.count()
+
+    // 6. re-rank recall@5 vs the exact double-precision L2 truth over
+    //    the raw corpus — the gauge the shortlist size (25) answers to
+    val rawQ = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"),
+        graft.ops.VectorOps.asDouble(col("embedding")).as("qv"))
+    val rawE = emb.select(col("vec_id"),
+      graft.ops.VectorOps.asDouble(col("embedding")).as("v"))
+    val truth = rawE.join(broadcast(rawQ), col("vec_id") =!= col("qid"))
+      .withColumn("dd", round(graft.ops.VectorOps.l2sq(col("qv"), col("v")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("dd"), col("vec_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("vec_id"))
+    val rrHit = truth.join(reranked
+        .select(col("qid").as("__q"), col("vec_id").as("__v")),
+      col("qid") === col("__q") && col("vec_id") === col("__v"),
+      "left_outer")
+    stages += "rerank_recall_expected" -> truth.count()
+    stages += "rerank_recall_hits" -> rrHit.filter(col("__v").isNotNull).count()
     stages.result()
   }
 
@@ -107,10 +153,14 @@ object RetrievalPipeline {
     val recall =
       if (m("recall_expected") == 0) 0.0
       else m("recall_hits").toDouble / m("recall_expected")
+    val rerankRecall =
+      if (m("rerank_recall_expected") == 0) 0.0
+      else m("rerank_recall_hits").toDouble / m("rerank_recall_expected")
     val stageJson = stages.map { case (k, c) => s""""$k":$c""" }
       .mkString("{", ",", "}")
     println(s"""{"pipeline":"retrieval","sf":"$sfDir","sec":$secs,""" +
-      s""""recall_at_$TopK":$recall,"stages":$stageJson}""")
+      s""""recall_at_$TopK":$recall,""" +
+      s""""rerank_recall_at_$TopK":$rerankRecall,"stages":$stageJson}""")
     spark.stop()
   }
 }

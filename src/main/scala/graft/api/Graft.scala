@@ -323,11 +323,31 @@ object Graft {
     graft.streaming.CdcApply.applyStream(ops)
 
   /** Streaming CUSUM changepoint monitor: the known-target tabular
-    * form with three longs of state per key (current S, alarms,
-    * events), exact integer steps; emits the key's current summary
-    * per batch with a monotone n_processed (drain: keep max per key).
-    * The batch form over a keyed frame is the prefix identity
-    * S_t = P_t − min(0, running_min(P)) — see `window_cusum`.
+    * form with six longs of state per key (current S, alarms, events,
+    * the last-folded (us, event_id) order watermark, and its
+    * n_violations counter), exact integer steps; emits the key's
+    * current summary per batch with a monotone n_processed (drain:
+    * keep max per key). The batch form over a keyed frame is the
+    * prefix identity S_t = P_t − min(0, running_min(P)) — see
+    * `window_cusum`.
+    *
+    * STATE-SCHEMA NOTE: the state row is `Cusum.CusumBuf`. The
+    * lastUs/lastEid/nViolations fields were added with the enforced
+    * ordered-batches contract, which CHANGED the state schema — a
+    * streaming checkpoint written by a build without those fields
+    * cannot be restored by this one. Restart such a query from a
+    * fresh checkpoint directory (the sink dedupes on max n_processed
+    * per key, so a replayed warm-up converges to the same answers).
+    *
+    * Replay semantics: the ordered-batches contract is ENFORCED
+    * loudly, not idempotently — an event at-or-before the watermark
+    * still folds into S/n/alarms at its arrival position and bumps
+    * `n_violations`. Under an at-least-once upstream, a replayed
+    * duplicate batch therefore double-folds values (inflating
+    * n_processed/n_alarms) while only the counter distinguishes it;
+    * exactly-once delivery into the detector (the file-source +
+    * checkpoint path used here) is the supported regime, and
+    * n_violations > 0 is the signal to investigate the upstream.
     */
   def cusumStream(events: Dataset[graft.streaming.Cusum.CusumEvent],
                   target: Long, drift: Long, threshold: Long)

@@ -48,6 +48,17 @@ object StreamQueries {
     * index lives on disk (drainDir cleans at JVM exit), so child
     * sessions and repeated drains all reuse the same artifact.
     */
+  /** Schema for streaming query vectors off the staged embeddings
+    * inbox (file streams need an explicit schema). */
+  private val embStreamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("label",
+      org.apache.spark.sql.types.IntegerType)))
+
   private val annIx =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def annIndexDir(s: SparkSession, d: String): String =
@@ -339,10 +350,11 @@ object StreamQueries {
 
     // Streaming CUSUM monitor (streaming/Cusum.scala): the tabular
     // known-target form of window_cusum's detector run incrementally —
-    // THREE longs of state per user (S, alarms, events), exact integer
-    // micros per step, each batch re-emitting the current summary
-    // under the max-n_processed drain contract. The oracle replays the
-    // identical trajectory through the batch prefix identity
+    // SIX longs of state per user (S, alarms, events, plus the
+    // order watermark lastUs/lastEid and its n_violations counter),
+    // exact integer micros per step, each batch re-emitting the
+    // current summary under the max-n_processed drain contract. The
+    // oracle replays the identical trajectory through the batch prefix identity
     // S_t = P_t − min(0, running_min(P)) and aggregates per user.
     "stream_cusum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -419,15 +431,7 @@ object StreamQueries {
       // preamble row instead of whichever drain runs first
       val ixDir = annIndexDir(s, d)
       val outDir = drainDir("graft-annix-drain-")
-      val embSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)),
-        org.apache.spark.sql.types.StructField("label",
-          org.apache.spark.sql.types.IntegerType)))
-      val qs = sess.readStream.schema(embSchema)
+      val qs = sess.readStream.schema(embStreamSchema)
         .parquet(graft.streaming.FileInbox.stage(d, "embeddings"))
         .filter(col("vec_id") < 50)
       val q = qs.writeStream
@@ -435,6 +439,40 @@ object StreamQueries {
           if (!batch.isEmpty)
             graft.sources.VectorIndex.search(batch.sparkSession, ixDir,
                 batch, "vec_id", "embedding", nprobe = 2, k = 5)
+              .write.mode("append").parquet(s"$outDir/data")
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sess.streams.resetTerminated()
+      s.read.parquet(s"$outDir/data")
+    }),
+
+    // Streaming serving END-TO-END: query vectors stream in and each
+    // micro-batch runs the full two-stage serve against the SAME
+    // persisted artifact stream_ann_search probes — int8-IVF
+    // shortlist (k=25, partition-pruned probes over stored codes) +
+    // exact double-L2 re-rank of only the shortlisted pairs to top-5
+    // (sources/VectorIndex.searchRerank; ann_pq_rerank's serving
+    // twin). Per-query results are independent, so the drained union
+    // over any batch split equals the batch composition the oracle
+    // states. RetrievalPipeline runs the same stage on its own
+    // artifact and gauges recall.
+    "stream_ann_rerank" -> ((s, d) => {
+      val sess = streamSession(s)
+      val ixDir = annIndexDir(s, d)
+      val outDir = drainDir("graft-annrr-drain-")
+      val qs = sess.readStream.schema(embStreamSchema)
+        .parquet(graft.streaming.FileInbox.stage(d, "embeddings"))
+        .filter(col("vec_id") < 50)
+      val q = qs.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.sources.VectorIndex.searchRerank(batch.sparkSession, ixDir,
+                batch, "vec_id", "embedding",
+                graft.Tables.embeddings(batch.sparkSession, d),
+                nprobe = 2, shortK = 25, k = 5)
               .write.mode("append").parquet(s"$outDir/data")
           ()
         }
@@ -529,6 +567,26 @@ object StreamQueries {
     // textually the batch composition's oracle: the streamed search
     // must equal it under any batch split (per-query independence)
     "stream_ann_search" -> VectorQueries.oracle("ann_int8_ivf_topk"),
+    // the streamed two-stage serve: the int8-IVF CTEs produce the
+    // shortlist (rk <= 25), the exact double-L2 re-rank (same
+    // list_reduce fold order as the Spark zip_with pair, 6dp round)
+    // keeps the top-5 — textually ann_pq_rerank's rerank stage over
+    // ann_int8_ivf_topk's candidates
+    "stream_ann_rerank" ->
+      s"""WITH ${VectorQueries.int8IvfCtes},
+          short AS (SELECT qid, vec_id FROM i8rank WHERE rk <= 25),
+          rq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+          rr AS (SELECT short.qid, short.vec_id,
+                        round(list_reduce(list_transform(
+                          range(1, ${VectorQueries.Dim + 1}),
+                          i -> (qv[i]-v[i])*(qv[i]-v[i])), (x,y) -> x+y), 6)
+                          AS dd
+                 FROM short JOIN rq ON short.qid = rq.qid
+                            JOIN e ON short.vec_id = e.vec_id)
+          SELECT qid, vec_id, dd,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY dd, vec_id) AS INT) AS rk
+          FROM rr QUALIFY rk <= 5""",
     "stream_topk" ->
       """WITH k AS (SELECT date_trunc('hour', ts) AS w,
                            CAST(user_id % 99 AS VARCHAR) AS key

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.DecimalType
 object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val Dim = 64
+  private[harness] val Dim = 64
   private val KmCells = 8  // embed_kmeans clusters (seed = smallest ids)
   private val KmRounds = 3 // embed_kmeans Lloyd iterations
   private val Planes = 4
@@ -825,7 +825,9 @@ object VectorQueries {
     * ranks, asgc = one-cell corpus) plus the int8 quantizer applied
     * to the same double vectors, dot products exact in BIGINT.
     */
-  private val int8IvfCtes =
+  // shared with StreamQueries: stream_ann_rerank's oracle re-ranks
+  // the same int8-IVF shortlist these CTEs produce
+  private[harness] val int8IvfCtes =
     s"""$ivfSharedCtes,
        qz0 AS (SELECT vec_id, v,
                       list_max(list_transform(v, x -> abs(x))) AS ma

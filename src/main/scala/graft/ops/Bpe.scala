@@ -47,40 +47,60 @@ object Bpe {
 
   /** Longest batchable prefix of a descending (count desc, pair asc)
     * candidate list — the merges the SEQUENTIAL algorithm would pick
-    * in exactly this order, provable from one census:
+    * in exactly this order, provable from one census.
     *
-    *  - Symbol-disjointness: a candidate sharing no symbol (left,
-    *    right, or merged string) with any earlier selection has its
-    *    pair count UNCHANGED by applying those selections (no
-    *    occurrence of it can be consumed or produced). The scan stops
-    *    at the first overlapping candidate — skipping it and
-    *    continuing would be unsound, since its true count at its
-    *    sequential turn is unknown.
-    *  - Created-pair bound: applying (a,b)→ab creates pairs (x,ab) /
-    *    (ab,y) only where an existing pair (x,a) / (b,y) occurs, so a
-    *    created pair's count is ≤ that existing pair's count. Every
-    *    existing pair sharing a symbol with the selected set sits AT
-    *    or AFTER the stop point (anything before it was selected), so
-    *    created counts are ≤ `bound` = max(stop candidate's count,
-    *    largest count possibly hiding below an incomplete census).
-    *    Selections are therefore trimmed to the prefix STRICTLY above
-    *    `bound` — a created pair can then never tie-or-beat a later
-    *    batch member at its sequential turn. The head (the true
-    *    argmax, preceded by nothing) survives unconditionally.
+    * Applying merge (a,b)→ab can change pair counts in only three
+    * directional ways (greedy left-to-right apply, per occurrence):
+    *  - SHRINK pairs (x,a): an "x a b" site loses its "x a";
+    *  - SHRINK pairs (b,y): an "a b y" site loses its "b y";
+    *  - GROW pairs involving the STRING ab (when "ab" already exists
+    *    as a symbol, its (x,ab)/(ab,y) adjacencies gain the created
+    *    occurrences; when it doesn't, the created pairs are new).
+    * A candidate (l,r) is therefore count-INVARIANT under all earlier
+    * selections iff r is no selected left symbol, l is no selected
+    * right symbol, and neither l nor r equals a selected merged
+    * string — sharing a left symbol (a,y) or a right symbol (x,b) is
+    * harmless. The scan stops at the first conflicting candidate:
+    * skipping it and continuing would be unsound, since its true
+    * count at its sequential turn is unknown.
+    *
+    * Created-pair ceiling: a pair created by (a,b)→ab gains ≤
+    * n(x,a) / n(b,y) occurrences (each creation consumes one such
+    * adjacency) on top of ≤ n_old(x,ab)/(ab,y) pre-existing ones. So
+    * with shrinkAdj = max count over non-selected census pairs of the
+    * shrink forms and mergedAdj = max over pairs touching a merged
+    * string (each floored by `unseenBound`, the count every pair NOT
+    * in the collected census is ≤), no pair anywhere can end above
+    * bound = shrinkAdj + max(mergedAdj, 0) after the batch.
+    * Selections are trimmed to the prefix STRICTLY above `bound` — a
+    * created/grown pair can then never tie-or-beat a later batch
+    * member at its sequential turn (ties lose on the strict count).
+    * The head (the true argmax, preceded by nothing) survives
+    * unconditionally.
     */
   private[ops] def selectBatch(cands: Seq[(String, String, Long)],
                                unseenBound: Long): Seq[(String, String, Long)] = {
-    val d = scala.collection.mutable.Set.empty[String]
+    val leftS = scala.collection.mutable.Set.empty[String]
+    val rightS = scala.collection.mutable.Set.empty[String]
+    val mergedS = scala.collection.mutable.Set.empty[String]
     val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var bound = unseenBound
     var i = 0
     var stopped = false
     while (i < cands.length && !stopped) {
-      val c @ (l, r, n) = cands(i)
-      if (d(l) || d(r) || d(l + r)) { bound = math.max(bound, n); stopped = true }
-      else { sel += c; d += l; d += r; d += (l + r) }
+      val c @ (l, r, _) = cands(i)
+      if (leftS(r) || rightS(l) || mergedS(l) || mergedS(r)) stopped = true
+      else { sel += c; leftS += l; rightS += r; mergedS += (l + r) }
       i += 1
     }
+    // conflicting pairs are never selected, so scanning all candidates
+    // for the two adjacency maxima needs no selected-set exclusion
+    val shrinkAdj = cands.iterator
+      .filter { case (l, r, _) => leftS(r) || rightS(l) }
+      .map(_._3).maxOption.getOrElse(-1L).max(unseenBound)
+    val mergedAdj = cands.iterator
+      .filter { case (l, r, _) => mergedS(l) || mergedS(r) }
+      .map(_._3).maxOption.getOrElse(-1L).max(unseenBound)
+    val bound = if (shrinkAdj < 0L) -1L else shrinkAdj + math.max(mergedAdj, 0L)
     sel.head +: sel.tail.takeWhile(_._3 > bound).toSeq
   }
 

@@ -171,4 +171,33 @@ object VectorIndex {
       .select(col("qid"), col("vec_id"), col("cell").cast("long").as("cell"),
         col("idot"), col("rk"))
   }
+
+  /** Two-stage serve against the persisted layout — candidate
+    * generation + re-ranking, the shape every production retrieval
+    * stack runs (ann_pq_rerank's serving twin on THIS artifact): the
+    * int8-IVF [[search]] produces a cheap `shortK` shortlist per
+    * query from partition-pruned probes over the stored codes, then
+    * ONLY the shortlisted pairs fetch raw vectors from `corpus` for
+    * an exact double-precision L2 re-rank to top `k`. The re-rank
+    * join broadcasts the |queries|·shortK shortlist onto the corpus
+    * scan, so raw vectors stream exactly once and only shortlisted
+    * rows compute the exact distance.
+    */
+  def searchRerank(spark: SparkSession, indexDir: String, queries: DataFrame,
+                   idCol: String, vecCol: String, corpus: DataFrame,
+                   nprobe: Int, shortK: Int, k: Int): DataFrame = {
+    val shortlist = search(spark, indexDir, queries, idCol, vecCol,
+        nprobe, shortK)
+      .select(col("qid"), col("vec_id"))
+    val qv = queries.select(col(idCol).as("qid"),
+      VectorOps.asDouble(col(vecCol)).as("qv"))
+    val e = corpus.select(col(idCol).as("vec_id"),
+      VectorOps.asDouble(col(vecCol)).as("v"))
+    e.join(broadcast(shortlist.join(qv, Seq("qid"))), Seq("vec_id"))
+      .withColumn("dd", round(VectorOps.l2sq(col("qv"), col("v")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("dd"), col("vec_id"))).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("dd"), col("rk"))
+  }
 }

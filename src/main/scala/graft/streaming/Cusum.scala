@@ -8,9 +8,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (`window_cusum`) baselines on the per-user mean, which a stream
   * cannot know up front, so the streaming detector runs the classic
   * tabular form S_t = max(0, S_{t-1} + vu_t − target − k) and carries
-  * exactly THREE longs of state per user (current S, alarms so far,
-  * events so far) — state is O(users), independent of stream length,
-  * with every step exact integer micros.
+  * exactly SIX longs of state per user (current S, alarms so far,
+  * events so far, the last-folded (us, event_id) watermark, and the
+  * violation counter) — state is O(users), independent of stream
+  * length, with every step exact integer micros.
   *
   * Multi-batch contract (the sessionize discipline): events fold in
   * (ts, event_id) order within each batch, and each batch re-emits the
@@ -25,6 +26,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * last folded (us, event_id) and any batch event at-or-before that
   * watermark increments `n_violations`, surfaced on every output row —
   * silent trajectory corruption becomes a loud, monitorable counter.
+  * Violating events are still FOLDED at their arrival position (not
+  * skipped), keeping trajectories deterministic either way — so under
+  * an at-least-once upstream a replayed duplicate batch double-folds
+  * values and inflates n_processed/n_alarms; the counter flags it but
+  * cannot distinguish late arrivals from replayed duplicates.
+  * Exactly-once delivery into the detector (the file-source +
+  * checkpoint path used here) is the supported regime.
   */
 object Cusum {
 
