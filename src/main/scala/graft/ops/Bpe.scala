@@ -64,19 +64,25 @@ object Bpe {
     * skipping it and continuing would be unsound, since its true
     * count at its sequential turn is unknown.
     *
-    * Created-pair ceiling: a pair created by (a,b)→ab gains ≤
-    * n(x,a) / n(b,y) occurrences (each creation consumes one such
-    * adjacency) on top of ≤ n_old(x,ab)/(ab,y) pre-existing ones. So
-    * with shrinkAdj = max count over non-selected census pairs of the
-    * shrink forms and mergedAdj = max over pairs touching a merged
-    * string (each floored by `unseenBound`, the count every pair NOT
-    * in the collected census is ≤), no pair anywhere can end above
-    * bound = shrinkAdj + max(mergedAdj, 0) after the batch.
-    * Selections are trimmed to the prefix STRICTLY above `bound` — a
+    * Created-pair ceiling, PER CREATOR: a pair created by (a,b)→ab
+    * gains ≤ n(x,a) / n(b,y) occurrences (each creation consumes one
+    * such adjacency of THIS merge's own symbols) on top of ≤
+    * n_old(x,ab)/(ab,y) pre-existing ones when the string ab already
+    * exists as a symbol. So with shrink_i = max census count over
+    * pairs of form (·, ci.left) / (ci.right, ·) and merged_i = max
+    * over pairs touching the string ci.left+ci.right (each floored by
+    * `unseenBound`, the count every pair NOT in the collected census
+    * is ≤; a complete census needs no floor), no pair anywhere can
+    * end above shrink_i + merged_i after applying ci — and shrink_i
+    * < 0 means ci can create nothing at all. Walking the selections
+    * in order with runningBound = max of earlier contributions, a
+    * selection is kept only while STRICTLY above the bound — a
     * created/grown pair can then never tie-or-beat a later batch
     * member at its sequential turn (ties lose on the strict count).
     * The head (the true argmax, preceded by nothing) survives
-    * unconditionally.
+    * unconditionally. No selected pair contributes to another's
+    * adjacency maxima (such a pair would have conflicted), so the
+    * maxima come from the full candidate list unchanged.
     */
   private[ops] def selectBatch(cands: Seq[(String, String, Long)],
                                unseenBound: Long): Seq[(String, String, Long)] = {
@@ -92,16 +98,34 @@ object Bpe {
       else { sel += c; leftS += l; rightS += r; mergedS += (l + r) }
       i += 1
     }
-    // conflicting pairs are never selected, so scanning all candidates
-    // for the two adjacency maxima needs no selected-set exclusion
-    val shrinkAdj = cands.iterator
-      .filter { case (l, r, _) => leftS(r) || rightS(l) }
-      .map(_._3).maxOption.getOrElse(-1L).max(unseenBound)
-    val mergedAdj = cands.iterator
-      .filter { case (l, r, _) => mergedS(l) || mergedS(r) }
-      .map(_._3).maxOption.getOrElse(-1L).max(unseenBound)
-    val bound = if (shrinkAdj < 0L) -1L else shrinkAdj + math.max(mergedAdj, 0L)
-    sel.head +: sel.tail.takeWhile(_._3 > bound).toSeq
+    // per-symbol adjacency maxima over the census: the largest count
+    // of any pair ending at / starting from a symbol
+    val maxInto = scala.collection.mutable.HashMap.empty[String, Long]
+    val maxFrom = scala.collection.mutable.HashMap.empty[String, Long]
+    cands.foreach { case (l, r, n) =>
+      if (n > maxFrom.getOrElse(l, Long.MinValue)) maxFrom(l) = n
+      if (n > maxInto.getOrElse(r, Long.MinValue)) maxInto(r) = n
+    }
+    def adj(m: scala.collection.mutable.HashMap[String, Long],
+            s: String): Long = m.getOrElse(s, -1L).max(unseenBound)
+    var runningBound = -1L
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var j = 0
+    var trimmed = false
+    while (j < sel.length && !trimmed) {
+      val c @ (l, r, n) = sel(j)
+      if (j > 0 && n <= runningBound) trimmed = true
+      else {
+        kept += c
+        val shrink = math.max(adj(maxInto, l), adj(maxFrom, r))
+        val merged = math.max(adj(maxFrom, l + r), adj(maxInto, l + r))
+        val contribution =
+          if (shrink < 0L) -1L else shrink + math.max(merged, 0L)
+        runningBound = math.max(runningBound, contribution)
+      }
+      j += 1
+    }
+    kept.toSeq
   }
 
   /** Learn `rounds` merges from the word-frequency table. Merges come
@@ -116,10 +140,13 @@ object Bpe {
     * against the classic algorithm and against `batchM = 1`).
     * Returns (merges, final segmentation) — segmentations feed
     * vocabulary export or an encode pass. `batchM = 1` degenerates to
-    * the classic one-merge-per-pass loop.
+    * the classic one-merge-per-pass loop; the default 4096 usually
+    * collects the COMPLETE census (distinct pairs are symbol-pair-,
+    * not corpus-, sized), which drops the unseen-count floor from the
+    * created-pair ceiling and lets tie-heavy tiers batch.
     */
   def train(spark: SparkSession, counts: DataFrame, rounds: Int,
-            batchM: Int = 256): (Seq[Merge], Dataset[WordSeg]) = {
+            batchM: Int = 4096): (Seq[Merge], Dataset[WordSeg]) = {
     import spark.implicits._
     require(batchM >= 1, s"batchM must be >= 1, got $batchM")
     var segs: Dataset[WordSeg] = counts.select(col("word"), col("n"))
