@@ -18,6 +18,10 @@ object BpeBench {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
+      // the job counter below reads the status tracker, which retains
+      // only spark.ui.retainedJobs entries (default 1000) — a
+      // sequential 1000-merge run exceeds it and under-reports
+      .config("spark.ui.retainedJobs", "1000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
