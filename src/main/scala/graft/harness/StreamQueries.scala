@@ -192,7 +192,6 @@ object StreamQueries {
     // + watermarks, stream-stream join state grows forever; this is
     // the only formulation that survives an unbounded stream).
     "stream_join" -> ((s, d) => {
-      val name = "stream_join_mem"
       val sess = streamSession(s)
       // BANDED stream-stream interval join: the state store keys on
       // the EQUALITY columns only, so joining on user_id alone
@@ -230,13 +229,24 @@ object StreamQueries {
           col("c_band") === col("p_band") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
-      val q = joined.writeStream.format("memory").queryName(name)
+      // parquet-sink drain, not the memory sink: the join's output is
+      // click×in-window-purchase pairs — a hot user makes it millions
+      // of rows (the sf1z zipf check tripped a 300 MB driver task on
+      // the memory sink's collect+re-parallelize handoff), and the
+      // file sink keeps result rows executor→storage
+      val outDir = drainDir("graft-streamjoin-drain-")
+      val q = joined
+        .select(col("click_id"), col("purchase_id"),
+          col("c_user").as("user_id"),
+          date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      drained(s, sess, name).select(col("click_id"), col("purchase_id"),
-        col("c_user").as("user_id"),
-        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
-        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      sess.streams.resetTerminated()
+      s.read.parquet(s"$outDir/data")
     }),
 
     // Streaming NEAR-dedup (graft.streaming.NearDedup): per-row HOF
