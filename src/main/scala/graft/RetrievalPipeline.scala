@@ -92,6 +92,14 @@ object RetrievalPipeline {
     val inbox = s"$outDir/query-inbox"
     queries.write.mode("overwrite").parquet(inbox)
     val rrOut = s"$outDir/rerank"
+    // fresh serve dir: the sink appends and the checkpoint persists,
+    // so a re-run with the same outDir would replay the inbox (new
+    // part filenames) on top of last run's rows — inflating
+    // stream_rerank_results and pushing the recall gauge past 1.0.
+    // Overwrite discipline, same as every other stage.
+    val rrPath = new org.apache.hadoop.fs.Path(rrOut)
+    rrPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rrPath, true)
     val qStream = spark.readStream.schema(emb.schema).parquet(inbox)
     val sq = qStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -155,11 +155,18 @@ object ScaleUp {
     write("lineitem",
       if (!zipfMode) liRep
       else {
-        val hotOrders = zipfHead(liRep, "l_orderkey",
-          smallestKeys(orders, "o_orderkey", 8), 1800, "lo",
-          Seq("l_orderkey", "l_linenumber", "l_suppkey"))
-        zipfHead(hotOrders, "l_partkey",
+        // l_partkey redirect FIRST: it salts on l_orderkey, so it must
+        // see the PRE-rewrite (stable) orderkey — hashing the
+        // post-redirect value would collapse hot-order lineitems'
+        // part draws onto (l_linenumber, l_suppkey) entropy, the exact
+        // cross-redirect correlation the salt exists to prevent. The
+        // l_orderkey redirect never reads l_partkey, so its draws stay
+        // functions of stable ids either way.
+        val hotParts = zipfHead(liRep, "l_partkey",
           smallestKeys(part, "p_partkey", 8), 300000, "lp",
+          Seq("l_orderkey", "l_linenumber", "l_suppkey"))
+        zipfHead(hotParts, "l_orderkey",
+          smallestKeys(orders, "o_orderkey", 8), 1800, "lo",
           Seq("l_orderkey", "l_linenumber", "l_suppkey"))
       })
     val eventsRep = replicate(events,

@@ -72,11 +72,21 @@ object Bpe {
     * pairs of form (·, ci.left) / (ci.right, ·) and merged_i = max
     * over pairs touching the string ci.left+ci.right (each floored by
     * `unseenBound`, the count every pair NOT in the collected census
-    * is ≤; a complete census needs no floor), no pair anywhere can
-    * end above shrink_i + merged_i after applying ci — and shrink_i
-    * < 0 means ci can create nothing at all. Walking the selections
-    * in order with runningBound = max of earlier contributions, a
-    * selection is kept only while STRICTLY above the bound — a
+    * is ≤; a complete census needs no floor), applying ci alone can
+    * push no pair above shrink_i + merged_i — and shrink_i < 0 means
+    * ci can create nothing at all. Contributions do NOT compose under
+    * max: one pair can gain from SEVERAL batch members — e.g. with
+    * s_k = ck's string and s_i = ci's string, occurrences "… a_k b_k
+    * a_i b_i …" become (s_k, s_i) after both merges, and when a
+    * merge's string pre-exists as a symbol (string collisions from
+    * earlier passes, 'ABC' formed as AB+C while A,BC adjacencies
+    * remain) the same pair also starts from a census count. So the
+    * ceiling is CUMULATIVE: runningBound = Σ of earlier
+    * contributions. Each creation by ci consumes an adjacency of ci's
+    * own symbols whose live count is itself ≤ its census ceiling plus
+    * earlier selections' contributions, so the sum dominates any
+    * pair's reachable count at any sequential turn inside the batch.
+    * A selection is kept only while STRICTLY above the bound — a
     * created/grown pair can then never tie-or-beat a later batch
     * member at its sequential turn (ties lose on the strict count).
     * The head (the true argmax, preceded by nothing) survives
@@ -121,7 +131,12 @@ object Bpe {
         val merged = math.max(adj(maxFrom, l + r), adj(maxInto, l + r))
         val contribution =
           if (shrink < 0L) -1L else shrink + math.max(merged, 0L)
-        runningBound = math.max(runningBound, contribution)
+        // cumulative, not max: a pair can gain under several batch
+        // members (cross-feeding via created symbols / pre-existing
+        // collided strings), so earlier ceilings add up
+        if (contribution >= 0L)
+          runningBound =
+            (if (runningBound < 0L) 0L else runningBound) + contribution
       }
       j += 1
     }

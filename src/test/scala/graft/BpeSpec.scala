@@ -69,6 +69,31 @@ class BpeSpec extends SparkSpec {
     assert(segsBat.collect().map(ws => ws.word -> ws.syms).toMap === refSegs)
   }
 
+  test("batched equals sequential on collision-rich tiny-alphabet vocabs") {
+    // Stress for the cumulative batch ceiling: words over {a,b,c} are
+    // dense in string collisions ('abc' reachable as ab+c and a+bc
+    // while a,bc adjacencies survive), the shape where one pair can
+    // gain under TWO batch members and a max-of-contributions bound
+    // over-batches. Deterministic PRNG; 20 vocabs x 30 merges, each
+    // checked against the classic single-machine loop.
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val alpha = "abc"
+    (0 until 20).foreach { trial =>
+      val words = (0 until 40).map { _ =>
+        val len = 2 + rng.nextInt(9)
+        (0 until len).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      }.distinct
+      val wordMap = words.map(w => w -> (1L + rng.nextInt(5))).toMap
+      val counts = wordMap.toSeq.toDF("word", "n")
+      val rounds = 30
+      val (got, _) = Bpe.train(spark, counts, rounds)
+      val (want, _) = refTrain(wordMap, rounds)
+      assert(got.map(m => (m.left, m.right, m.n)) === want,
+        s"batched trainer diverged from classic BPE on trial $trial")
+    }
+  }
+
   test("encodeCorpus equals the per-word encode summed over each document") {
     val docs = Tables.documents(spark, sf).limit(50)
     val counts = Bpe.wordCounts(Tables.documents(spark, sf), "text")

@@ -82,13 +82,16 @@ class SkewAndPruningSpec extends SparkSpec {
     // hot key entirely (that immunity is the zipf bench's finding;
     // here the SMJ path itself is under test)
     sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    import sess.implicits._
-    val fact = sess.range(0, 60000).select(
-      when(col("id") % 20 === 0, col("id") % 40).otherwise(lit(7L)).as("k"),
-      concat(lit("payload-"), col("id"),
-        lit("-loremipsumdolorsitamet-padding-")).as("payload"))
-    val dim = sess.range(0, 40).select(
-      col("id").as("k"), concat(lit("dim-"), col("id")).as("dname"))
+    def frames(s: org.apache.spark.sql.SparkSession) = {
+      val fact = s.range(0, 60000).select(
+        when(col("id") % 20 === 0, col("id") % 40).otherwise(lit(7L)).as("k"),
+        concat(lit("payload-"), col("id"),
+          lit("-loremipsumdolorsitamet-padding-")).as("payload"))
+      val dim = s.range(0, 40).select(
+        col("id").as("k"), concat(lit("dim-"), col("id")).as("dname"))
+      (fact, dim)
+    }
+    val (fact, dim) = frames(sess)
     val joined = fact.join(dim, Seq("k"))
     // execute through the frame's OWN QueryExecution: count() plans a
     // separate one, leaving this executedPlan adaptive-but-unrun
@@ -100,9 +103,13 @@ class SkewAndPruningSpec extends SparkSpec {
     // split result equals the plain recompute (and the hot key's rows
     // are all there)
     assert(got === 60000L)
+    // genuinely non-adaptive recompute: frames rebuilt ON sessOff —
+    // fact/dim above are bound to the AQE session, so reusing them
+    // here would re-run the adaptive plan, not compare against it
     val sessOff = spark.newSession()
     sessOff.conf.set("spark.sql.adaptive.enabled", "false")
-    assert(got === fact.join(dim, Seq("k")).count())
+    val (factOff, dimOff) = frames(sessOff)
+    assert(got === factOff.join(dimOff, Seq("k")).count())
   }
 
   test("hive-layout partition filters prune directories at plan time") {
