@@ -339,14 +339,15 @@ object Graft {
     * fresh checkpoint directory (the sink dedupes on max n_processed
     * per key, so a replayed warm-up converges to the same answers).
     *
-    * Replay semantics: the ordered-batches contract is ENFORCED
-    * loudly, not idempotently — an event at-or-before the watermark
-    * still folds into S/n/alarms at its arrival position and bumps
-    * `n_violations`. Under an at-least-once upstream, a replayed
-    * duplicate batch therefore double-folds values (inflating
-    * n_processed/n_alarms) while only the counter distinguishes it;
-    * exactly-once delivery into the detector (the file-source +
-    * checkpoint path used here) is the supported regime, and
+    * Replay semantics: the ordered-batches contract is ENFORCED and
+    * IDEMPOTENT — an event at-or-before the watermark bumps
+    * `n_violations` and is skipped, never folded, so a replayed
+    * duplicate batch from an at-least-once upstream leaves
+    * S/n_processed/n_alarms bit-identical to exactly-once delivery
+    * (CusumReplaySpec pins the case). The cost: a genuinely late
+    * novel event is indistinguishable from a duplicate and is
+    * likewise dropped from the trajectory (folding it out of order
+    * would retroactively corrupt S for every later step);
     * n_violations > 0 is the signal to investigate the upstream.
     */
   def cusumStream(events: Dataset[graft.streaming.Cusum.CusumEvent],

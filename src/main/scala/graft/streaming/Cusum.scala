@@ -26,13 +26,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * last folded (us, event_id) and any batch event at-or-before that
   * watermark increments `n_violations`, surfaced on every output row —
   * silent trajectory corruption becomes a loud, monitorable counter.
-  * Violating events are still FOLDED at their arrival position (not
-  * skipped), keeping trajectories deterministic either way — so under
-  * an at-least-once upstream a replayed duplicate batch double-folds
-  * values and inflates n_processed/n_alarms; the counter flags it but
-  * cannot distinguish late arrivals from replayed duplicates.
-  * Exactly-once delivery into the detector (the file-source +
-  * checkpoint path used here) is the supported regime.
+  * Violating events are SKIPPED (counted, never folded): the folded
+  * prefix is a pure function of the distinct in-order event set, so
+  * an at-least-once upstream's replayed duplicate batch leaves
+  * S/n_processed/n_alarms bit-identical to exactly-once delivery
+  * (CusumReplaySpec pins the duplicated-batch case). The counter
+  * cannot distinguish a replayed duplicate from a genuinely late
+  * novel event — both are at-or-before the watermark — so a late
+  * arrival is dropped from the trajectory rather than folded out of
+  * order (which would corrupt S retroactively for every later step);
+  * n_violations > 0 remains the signal to investigate the upstream.
   */
 object Cusum {
 
@@ -52,14 +55,18 @@ object Cusum {
     var violations = st.nViolations
     events.sortBy(e => (e.us, e.event_id)).foreach { e =>
       // Ordered-batches contract check: an event at or before the
-      // folded prefix retroactively changes S — count it loudly
-      // (still folded, so trajectories stay deterministic either way).
+      // folded prefix is counted loudly and SKIPPED — folding it at
+      // arrival position would corrupt S retroactively, and skipping
+      // makes a replayed duplicate batch (at-least-once upstream)
+      // fold to the exactly-once trajectory bit-identically.
       if (e.us < lastUs || (e.us == lastUs && e.event_id <= lastEid))
         violations += 1
-      else { lastUs = e.us; lastEid = e.event_id }
-      s = math.max(0L, s + (e.vu - target - drift))
-      if (s > threshold) alarms += 1
-      n += 1
+      else {
+        lastUs = e.us; lastEid = e.event_id
+        s = math.max(0L, s + (e.vu - target - drift))
+        if (s > threshold) alarms += 1
+        n += 1
+      }
     }
     CusumBuf(s, alarms, n, lastUs, lastEid, violations)
   }

@@ -131,6 +131,43 @@ class CusumReplaySpec extends SparkSpec {
       "late event must increment the violation counter")
     assert(st2.lastUs === st1.lastUs && st2.lastEid === st1.lastEid,
       "a violating event must not advance the order watermark")
+    assert(st2.s === st1.s && st2.n === st1.n && st2.nAlarms === st1.nAlarms,
+      "a violating event must be skipped, not folded — folding it at " +
+        "arrival position would corrupt the trajectory retroactively")
+  }
+
+  test("a replayed duplicate batch is idempotent on s/n/alarms") {
+    val u1 = (b: Seq[(Long, Long, Long, Long)]) => b.filter(_._1 == 1L)
+      .map(e => Cusum.CusumEvent(e._1, e._2, e._3, e._4))
+    val once = Cusum.step(Cusum.step(Cusum.CusumBuf(0L, 0L, 0L),
+      u1(b1), Target, Drift, H), u1(b2), Target, Drift, H)
+    // at-least-once upstream: batch1 delivered twice before batch2
+    val replayed = Cusum.step(Cusum.step(Cusum.step(
+      Cusum.CusumBuf(0L, 0L, 0L),
+      u1(b1), Target, Drift, H), u1(b1), Target, Drift, H),
+      u1(b2), Target, Drift, H)
+    assert(replayed.s === once.s && replayed.n === once.n &&
+      replayed.nAlarms === once.nAlarms,
+      "duplicate batch must not double-fold the trajectory")
+    assert(replayed.nViolations === u1(b1).size.toLong,
+      "every replayed event is counted on the violation monitor")
+    assert(replayed.lastUs === once.lastUs &&
+      replayed.lastEid === once.lastEid)
+  }
+
+  test("an at-least-once inbox (duplicate file) drains to the exactly-once answer") {
+    val root = java.nio.file.Files.createTempDirectory("cusum-alo-").toFile
+    val inbox = new java.io.File(root, "inbox"); inbox.mkdirs()
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    writeBatch(inbox, "batch1", b1)
+    drain(inbox.toString, out, ckpt)
+    // the upstream redelivers batch1 under a NEW filename — the file
+    // source treats it as fresh data; the detector must not
+    writeBatch(inbox, "batch1_replayed", b1)
+    writeBatch(inbox, "batch2", b2)
+    val got = drain(inbox.toString, out, ckpt)
+    assert(got === batchCusum(b1 ++ b2),
+      "duplicate-file replay must converge to the exactly-once trajectory")
   }
 
   test("the step fold is split-invariant") {
