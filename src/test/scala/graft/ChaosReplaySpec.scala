@@ -1,9 +1,11 @@
 package graft
 
-import graft.streaming.{CdcApply, Funnel, StreamTopK}
+import graft.streaming.{CdcApply, Funnel, NearDedup, Retention, Sessionize, StreamTopK}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
 import org.apache.spark.sql.types._
+
+import scala.concurrent.duration._
 
 /** Chaos pass on the streaming family (r13 verdict item 5): the clean
   * replay specs restart from checkpoints a finished query left behind;
@@ -262,5 +264,240 @@ class ChaosReplaySpec extends SparkSpec {
       1L -> ((10L, Some(60L), Some(100L))),
       2L -> ((5L, None, None))),
       "kill-before-commit replay diverged from the batch funnel cascade")
+  }
+
+  // ---- generic matrix runners (r14 verdict item 6: extend the pass
+  // to the remaining stateful shapes, SAME kill + corruption matrix) --
+
+  /** b0 drain, b1 drain, newest commit killed, b2 arrives, final
+    * drain re-executes the damaged batch — returns the read-back. */
+  private def killRun[T](root: java.io.File,
+                         writeB: (java.io.File, Int) => Unit,
+                         drain: (String, String, String) => T): T = {
+    val inbox = new java.io.File(root, "inbox"); inbox.mkdirs()
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    writeB(inbox, 0); drain(inbox.toString, out, ckpt)
+    writeB(inbox, 1); drain(inbox.toString, out, ckpt)
+    killNewestCommit(ckpt)
+    writeB(inbox, 2)
+    drain(inbox.toString, out, ckpt)
+  }
+
+  /** b0/b1 drains, newest COMMITTED state delta corrupted: the
+    * restart must die loudly, and the documented remediation (fresh
+    * checkpoint + full-inbox replay) must converge — returns the
+    * recovered read-back. */
+  private def corruptRun[T](root: java.io.File,
+                            writeB: (java.io.File, Int) => Unit,
+                            drain: (String, String, String) => T): T = {
+    val inbox = new java.io.File(root, "inbox"); inbox.mkdirs()
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    writeB(inbox, 0); drain(inbox.toString, out, ckpt)
+    writeB(inbox, 1); drain(inbox.toString, out, ckpt)
+    deleteNewestStateDeltas(ckpt)
+    writeB(inbox, 2)
+    intercept[StreamingQueryException] {
+      drain(inbox.toString, out, ckpt)
+    }
+    drain(inbox.toString, s"$root/out2", s"$root/ckpt2")
+  }
+
+  // ---- stream_near_dedup (TTL-evicting LSH bucket state) --------------
+
+  private val dedupSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("ts", TimestampType)))
+  private val textA = "alpha beta gamma delta epsilon zeta eta theta"
+  private val textB = "one two three four five six seven eight nine"
+
+  private def writeDocBatch(inbox: java.io.File, i: Int): Unit = {
+    import spark.implicits._
+    val rows = Seq(
+      Seq((10L, textA, "2026-01-01 10:00:00"),
+        (11L, textB, "2026-01-01 10:00:00")),
+      Seq((20L, textA, "2026-01-01 10:01:00")),
+      Seq((21L, textB, "2026-01-01 10:01:30"),
+        (30L, textA, "2026-01-01 10:01:30")))(i)
+    writeBatch(inbox, s"b$i", rows.toDF("doc_id", "text", "ts_s")
+      .select(col("doc_id"), col("text"),
+        to_timestamp(col("ts_s")).as("ts")))
+  }
+
+  private def drainDedup(inbox: String, out: String, ckpt: String)
+      : Seq[(Long, Long)] = {
+    val sess = drainSession()
+    import sess.implicits._
+    val docs = sess.readStream.schema(dedupSchema).parquet(inbox)
+    val pairs = NearDedup.flagPairsTtl(
+      NearDedup.bandKeys(docs.withWatermark("ts", "0 seconds"),
+        n = 3, k = 16, bands = 8, extraCols = Seq("ts"))
+        .as[NearDedup.BandHit], 2.minutes)
+    val q = pairs.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // NO distinct(): a pair flags once per shared LSH band (identical
+    // texts share all 8), so the multiset is exactly 8 copies of each
+    // pair — any OTHER multiplicity means the damaged-restart dedupe
+    // failed (a re-executed batch re-appending would double it)
+    spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+  }
+
+  private val dedupTruth = Seq((20L, 10L), (21L, 11L), (30L, 10L))
+    .flatMap(Seq.fill(8)(_)).sorted
+
+  test("stream_near_dedup: kill before commit — TTL bucket state survives re-execution, no dup pairs") {
+    val root = java.nio.file.Files.createTempDirectory("chaos-dedup-").toFile
+    assert(killRun(root, writeDocBatch, drainDedup) === dedupTruth,
+      "kill-before-commit replay diverged (or duplicated) the flagged pairs")
+  }
+
+  test("stream_near_dedup: corrupted newest state delta fails loudly; fresh-checkpoint replay recovers") {
+    val root = java.nio.file.Files.createTempDirectory("chaos-dedup-c-").toFile
+    assert(corruptRun(root, writeDocBatch, drainDedup) === dedupTruth,
+      "fresh-checkpoint recovery diverged from the batch recompute")
+  }
+
+  // ---- stream_sessionize (supersession dedup vs re-executed batches) --
+
+  private val sessSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts_us", LongType)))
+  private val Min = 60L * 1000000L
+
+  private def writeSessBatch(inbox: java.io.File, i: Int): Unit = {
+    import spark.implicits._
+    val rows = Seq(
+      Seq((1L, 0L), (1L, 10 * Min), (2L, 5 * Min)),
+      Seq((1L, 30 * Min)), // extends user 1's open session across the kill
+      Seq((1L, 120 * Min), (2L, 25 * Min)))(i)
+    writeBatch(inbox, s"b$i", rows.toDF("user_id", "ts_us"))
+  }
+
+  private def drainSess(inbox: String, out: String, ckpt: String)
+      : Set[(Long, Long, Long, Long)] = {
+    val sess = drainSession()
+    import sess.implicits._
+    val q = Sessionize.sessionize(
+        sess.readStream.schema(sessSchema).parquet(inbox)
+          .as[Sessionize.SessionEvent], gapMinutes = 30)
+      .toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("user_id"), col("start_us"))
+      .agg(max(col("end_us")).as("end_us"), max(col("n_events")).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  private val sessTruth = Set(
+    (1L, 0L, 30 * Min, 3L),          // merged across the killed batch
+    (1L, 120 * Min, 120 * Min, 1L),  // past the gap: a second session
+    (2L, 5 * Min, 25 * Min, 2L))     // re-opened by the final batch
+
+  test("stream_sessionize: kill before commit — open-session state merges exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("chaos-sess-").toFile
+    assert(killRun(root, writeSessBatch, drainSess) === sessTruth,
+      "kill-before-commit replay diverged from the batch sessionization")
+  }
+
+  test("stream_sessionize: corrupted newest state delta fails loudly; fresh-checkpoint replay recovers") {
+    val root = java.nio.file.Files.createTempDirectory("chaos-sess-c-").toFile
+    assert(corruptRun(root, writeSessBatch, drainSess) === sessTruth,
+      "fresh-checkpoint recovery diverged from the batch sessionization")
+  }
+
+  // ---- stream_retention (day-set state, late-day cohort re-base) ------
+
+  private val retSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("epoch_day", IntegerType)))
+
+  private def writeRetBatch(inbox: java.io.File, i: Int): Unit = {
+    import spark.implicits._
+    val rows = Seq(
+      Seq((1L, 100), (2L, 100)),
+      Seq((1L, 102)),
+      // the post-kill batch re-bases user 1's cohort with an EARLIER
+      // day — day0 moves, every offset shifts
+      Seq((1L, 99), (2L, 101)))(i)
+    writeBatch(inbox, s"b$i", rows.toDF("user_id", "epoch_day"))
+  }
+
+  private def drainRet(inbox: String, out: String, ckpt: String)
+      : Map[Long, (Int, Seq[Int])] = {
+    val sess = drainSession()
+    import sess.implicits._
+    val q = Retention.retentionStream(
+        sess.readStream.schema(retSchema).parquet(inbox)
+          .as[Retention.DayEvent])
+      .toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .withColumn("mx", max(col("n_processed"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))))
+      .filter(col("n_processed") === col("mx"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2))))
+      .toMap
+  }
+
+  private val retTruth = Map(
+    1L -> ((99, Seq(0, 1, 3))),  // re-based: 99 is the new day0
+    2L -> ((100, Seq(0, 1))))
+
+  test("stream_retention: kill before commit — day-set state survives re-execution") {
+    val root = java.nio.file.Files.createTempDirectory("chaos-ret-").toFile
+    assert(killRun(root, writeRetBatch, drainRet) === retTruth,
+      "kill-before-commit replay diverged from the batch retention rollup")
+  }
+
+  test("stream_retention: corrupted newest state delta fails loudly; fresh-checkpoint replay recovers") {
+    val root = java.nio.file.Files.createTempDirectory("chaos-ret-c-").toFile
+    assert(corruptRun(root, writeRetBatch, drainRet) === retTruth,
+      "fresh-checkpoint recovery diverged from the batch retention rollup")
+  }
+
+  // ---- matrix completion for the r13 shapes ----------------------------
+
+  private def writeCdcBatch(inbox: java.io.File, i: Int): Unit = {
+    import spark.implicits._
+    val rows = Seq(
+      Seq((1L, 10L, 100L, 1.0, false), (2L, 50L, 101L, 2.0, false)),
+      Seq((1L, 20L, 102L, 0.0, true), (3L, 70L, 103L, 3.0, false)),
+      Seq((1L, 30L, 104L, 4.0, false), (2L, 40L, 105L, 8.0, false)))(i)
+    writeBatch(inbox, s"b$i",
+      rows.toDF("user_id", "us", "event_id", "value", "delete"))
+  }
+
+  test("stream_cdc_apply: corrupted newest state delta fails loudly; fresh-checkpoint replay recovers") {
+    val root = java.nio.file.Files.createTempDirectory("chaos-cdc-c-").toFile
+    val r = corruptRun(root, writeCdcBatch, drainCdc)
+    assert(r(1L) === ((30L, 104L, 4.0, false)) &&
+      r(2L) === ((50L, 101L, 2.0, false)) &&
+      r(3L) === ((70L, 103L, 3.0, false)),
+      "fresh-checkpoint recovery diverged from the batch latest-wins merge")
+  }
+
+  private def writeFunnelBatch(inbox: java.io.File, i: Int): Unit = {
+    import spark.implicits._
+    val rows = Seq(
+      Seq((1L, "view", 50L), (1L, "click", 120L), (1L, "purchase", 140L)),
+      Seq((1L, "view", 10L), (1L, "click", 60L)),
+      Seq((1L, "purchase", 100L), (2L, "view", 5L)))(i)
+    writeBatch(inbox, s"b$i", rows.toDF("user_id", "etype", "us"))
+  }
+
+  test("stream_funnel: corrupted newest state delta fails loudly; fresh-checkpoint replay recovers") {
+    val root = java.nio.file.Files.createTempDirectory("chaos-funnel-c-").toFile
+    assert(corruptRun(root, writeFunnelBatch, drainFunnel) === Map(
+      1L -> ((10L, Some(60L), Some(100L))),
+      2L -> ((5L, None, None))),
+      "fresh-checkpoint recovery diverged from the batch funnel cascade")
   }
 }
