@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding` gets a tiny first-component nudge per
   *    replica so replicas are near but not exact neighbors.
   *
-  * Usage: ScaleUp <srcDir> <outDir> [factor=10] [mode=fixed|vocab|zipf]
+  * Usage: ScaleUp <srcDir> <outDir> [factor=10]
+  *        [mode=fixed|vocab|zipf|zipfdoc]
   *
   * `vocab` mode additionally scales the documents token VOCABULARY
   * with the corpus (suffix = replica + doc_id%256, so distinct
@@ -57,6 +58,23 @@ import org.apache.spark.sql.functions._
   * Draws are pmod(hash(stable ids, salt), 1e6) — deterministic, no
   * RNG; redirect targets are existing replica-0 keys so every FK
   * stays valid and the oracle SQL still runs on the skewed dirs.
+  *
+  * `zipfdoc` mode skews CONTENT, not keys — the two LLM-pipeline hot
+  * shapes the key-side zipf cannot produce (r14 verdict item 2):
+  *  - documents: 15% of the replicated corpus collapses onto ONE
+  *    template (a 36-token body shared verbatim, plus two trailing
+  *    doc-specific tokens in 320 variants — near-duplicates, not
+  *    exact): every LSH band bucket of the template holds ~15% of
+  *    the corpus, the minhash-signature groupBy gets one mega-group,
+  *    and dedup_components receives a single giant component whose
+  *    min-label propagation must converge without frontier blow-up;
+  *  - embeddings: 15% of vectors re-base onto one point (base +
+  *    1e-5-scale per-(vec_id, dim) hash jitter), so k-means plants a
+  *    centroid there and ONE IVF cell holds 15% of the corpus —
+  *    the hot-cell stress for cell-blocked joins (ann_ivf*,
+  *    dedup_semantic, sample_diverse) and for int8 shortlist probes.
+  *  Fact keys replicate exactly as `fixed` (content skew isolated
+  *  from key skew, so regressions attribute cleanly).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -64,10 +82,11 @@ object ScaleUp {
     val out = args.lift(1).getOrElse("/root/repo/target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val mode = args.lift(3).getOrElse("fixed")
-    require(Set("fixed", "vocab", "zipf")(mode),
-      s"mode must be fixed|vocab|zipf, got $mode")
+    require(Set("fixed", "vocab", "zipf", "zipfdoc")(mode),
+      s"mode must be fixed|vocab|zipf|zipfdoc, got $mode")
     val vocabMode = mode == "vocab"
     val zipfMode = mode == "zipf"
+    val zipfDocMode = mode == "zipfdoc"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -177,7 +196,7 @@ object ScaleUp {
       else zipfHead(eventsRep, "user_id",
         smallestKeys(events, "user_id", 8), 200000, "eu",
         Seq("event_id")))
-    write("documents", replicate(documents,
+    val docsRep = replicate(documents,
       Map("doc_id" -> stride(documents, "doc_id")),
       (d, i) =>
         if (i == 0) d
@@ -193,14 +212,52 @@ object ScaleUp {
               d.withColumn("text",
                 regexp_replace(col("text"), "(\\S+)", "$1" + i.toString))
           suffixed.withColumn("n_chars", length(col("text")).cast("long"))
-        }))
-    write("embeddings", replicate(embeddings,
+        })
+    write("documents",
+      if (!zipfDocMode) docsRep
+      else {
+        // the mega near-dup cluster: one 36-token body shared by 15%
+        // of the corpus, two trailing tokens in 320 deterministic
+        // variants keep the members NEAR- rather than exact duplicates
+        val template = "alpha beta gamma delta epsilon zeta eta theta " +
+          "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon " +
+          "phi chi psi omega aleph beth gimel daleth he waw zayin heth " +
+          "teth yodh kaph lamedh"
+        docsRep
+          .withColumn("text",
+            when(pmod(hash(col("doc_id"), lit("zd")), lit(1000000))
+                < lit(150000),
+              concat(lit(template),
+                lit(" var"),
+                pmod(hash(col("doc_id"), lit("zdm")), lit(5))
+                  .cast("string"),
+                lit(" tail"),
+                pmod(col("doc_id"), lit(64)).cast("string")))
+              .otherwise(col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      })
+    val embRep = replicate(embeddings,
       Map("vec_id" -> stride(embeddings, "vec_id")),
       (d, i) =>
         if (i == 0) d
         else d.withColumn("embedding", transform(col("embedding"),
           (x, j) => when(j === 0, (x + lit(i * 0.001f)).cast("float"))
-            .otherwise(x)))))
+            .otherwise(x))))
+    write("embeddings",
+      if (!zipfDocMode) embRep
+      else
+        // the hot IVF cell: 15% of vectors re-base onto one point,
+        // with 1e-5-scale per-(vec_id, dim) hash jitter so members
+        // are near-identical (one k-means centroid claims them all)
+        // but not bit-equal
+        embRep.withColumn("embedding",
+          when(pmod(hash(col("vec_id"), lit("ze")), lit(1000000))
+              < lit(150000),
+            transform(col("embedding"), (_, j) =>
+              (lit(0.25f) + j.cast("float") * lit(0.005f) +
+                pmod(hash(col("vec_id"), j), lit(1000)).cast("float") *
+                  lit(1e-5f)).cast("float")))
+            .otherwise(col("embedding"))))
 
     spark.stop()
   }

@@ -171,8 +171,19 @@ object GraphQueries {
         .limit(TriEdges)
         .select(col("sp"), col("bk"))
       val deg = bb.groupBy(col("sp")).agg(count(lit(1)).as("dg"))
-      val pairs = bb
-        .join(bb.select(col("sp").as("sp2"), col("bk")), Seq("bk"))
+      // Pair generation is the budget fill: up to T²/2 rows when skew
+      // concentrates the backbone in few buckets. The limit() above
+      // collapses bb to ONE partition, so without a spread the whole
+      // explosion runs in a single task (the r14 sf1z straggler:
+      // 16.2 s, 5.4× uniform). Salted repartition of the probe side
+      // by (bucket, sp mod 16) splits each hot bucket's generation
+      // across 16 tasks against the broadcast build side — identical
+      // output rows, no recall trade, no oracle change; only the
+      // task-level parallelism of the fill moves.
+      val bbSpread = bb.repartition(32, col("bk"), pmod(col("sp"), lit(16)))
+      val pairs = bbSpread
+        .join(broadcast(bb.select(col("sp").as("sp2"), col("bk"))),
+          Seq("bk"))
         .filter(col("sp") < col("sp2"))
         .groupBy(col("sp"), col("sp2")).agg(count(lit(1)).as("inter"))
       pairs.join(deg, Seq("sp"))

@@ -93,15 +93,24 @@ object WindowQueries {
 
     // W1/A6: ROW_NUMBER dedup — latest order per customer (first AI name
     // / latest signature, interpro/oracle/entries.py:96-109).
-    "window_rownum" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    // Rank-1 over an all-descending unique ordering IS an argmax, so
+    // the operator lowers to max(struct(ord...)) — a partial/final
+    // aggregate whose map-side partials collapse a hot key before the
+    // shuffle (struct buffers sort- rather than hash-aggregate, but
+    // the sorts are partition-local) — instead of a window, whose hot
+    // partition sorts on ONE task (SCALE.md's named 100× straggler:
+    // 276k rows for the sf1z hot customer). Output is bit-identical
+    // (o_orderkey makes the order total, so rank-1 is unique); the
+    // oracle keeps the row_number form; WindowShapeSpec pins the plan
+    // (no Window, no global sort, partial agg) and the row-for-row
+    // equality to the window form. General top-k per group keeps the
+    // heap operator (window_topk_custom / TopKPerGroupExec).
+    "window_rownum" -> ((s, d) =>
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_custkey"), col("o_orderkey").as("latest_order"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_day"))
-    }),
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("latest_order"),
+          date_format(col("m.o_orderdate"), "yyyy-MM-dd").as("latest_day"))),
 
     // W2: interval condensation via gaps-and-islands (condense_locations
     // sweep, interpro/oracle/matches.py:60-103): islands of chained
