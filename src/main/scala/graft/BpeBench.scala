@@ -34,8 +34,13 @@ object BpeBench {
     val (merges, _) = graft.ops.Bpe.train(spark, counts, rounds, batchM)
     val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
     val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0
+    // block-manager flatness evidence: train unpersists each pass's
+    // checkpoint before the next, so the live RDD count must be O(1)
+    // (the counts frame + the final segmentation), never O(passes)
+    val liveRdds = spark.sparkContext.getPersistentRDDs.size
     println(s"""{"tool":"bpe_bench","sf":"$sfDir","vocab":$vocab,""" +
-      s""""rounds":${merges.length},"batchM":$batchM,"jobs":$jobs,"sec":$sec}""")
+      s""""rounds":${merges.length},"batchM":$batchM,"jobs":$jobs,""" +
+      s""""live_rdds":$liveRdds,"sec":$sec}""")
     spark.stop()
   }
 }

@@ -22,6 +22,9 @@ object CorpusPipeline {
   private val ShingleN = 5
   private val MinhashK = 16
   private val Bands = 8
+  private val BucketCap = 64   // hot-band-bucket backstop: a verbatim
+                               // template pins every band, so uncapped
+                               // buckets go quadratic in its share
   private val Jacc = 0.5
   private val SpanW = 10       // repeated-substring seed width
   private val EvalLo = 230     // hash byte >= 230 → held-out split
@@ -72,7 +75,8 @@ object CorpusPipeline {
     val sig = CorpusOps.minhashSignatures(sh, "doc_id", MinhashK)
     val pairs = stage("neardup_pairs")(
       CorpusOps.jaccardVerify(sh,
-        CorpusOps.lshCandidates(sig, "doc_id", Bands, MinhashK / Bands),
+        CorpusOps.lshCandidates(sig, "doc_id", Bands, MinhashK / Bands,
+          BucketCap),
         "doc_id", Jacc))
     val comps = Graft.connectedComponents(
       pairs.select(col("da"), col("db")), "da", "db")

@@ -23,12 +23,36 @@ object DedupQueries {
   private val CONT = 0.9      // containment (doc-in-doc) threshold
   private val DfCap = 64      // max document frequency of a shingle
                               // allowed to generate candidate pairs
+  private val LshBucketCap = 64 // max members of an LSH band bucket
+                              // allowed to generate candidates — the
+                              // DfCap judgement applied to band
+                              // buckets: a verbatim-shared template
+                              // pins every band to one bucket (more
+                              // bands/planes cannot split identical
+                              // signatures), so an uncapped band join
+                              // goes quadratic in the template's
+                              // corpus share; dedup_lsh_eval gauges
+                              // the recall this cap trades away
   private val SimBits = 64    // simhash signature width: wide enough
                               // that 16-bit blocks give 65536 bucket
                               // values (4-bit blocks of a 16-bit sig
                               // collapse to 16 buckets → quadratic)
   private val SimBlocks = 4   // hamming-search bit blocks; exact for
   private val SimRadius = 3   //   radius <= SimBlocks - 1 (pigeonhole)
+  private val SimBlockCap = 1024 // max members of a simhash bit block
+                              // allowed to generate candidates: a
+                              // template shared by a corpus slice
+                              // collapses the slice onto ONE signature
+                              // — all four of its blocks go hot and
+                              // the block join goes quadratic in the
+                              // slice (measured: 15% of a 50k corpus =
+                              // 32.5M of 38.6M candidate pairs from
+                              // over-cap blocks). The pigeonhole
+                              // exactness becomes "exact unless every
+                              // agreeing block is over the cap" —
+                              // template mass, which dedup_simhash
+                              // (exact-signature groups) still reports
+                              // linearly
   private val BlockCap = 1024 // max docs per edit-distance block
   private val LevMax = 12     // max head edit distance for a near-dup
   private val TrainHi = 204   // hash-split byte bounds shared with
@@ -262,7 +286,8 @@ object DedupQueries {
       val sh = shingleFrame(s, d)
       val sig = minhashFrame(s, d)
       jaccardPairs(sh,
-        graft.ops.CorpusOps.lshCandidates(sig, "doc_id", BANDS, K / BANDS))
+        graft.ops.CorpusOps.lshCandidates(sig, "doc_id", BANDS, K / BANDS,
+          LshBucketCap))
     }),
 
     // LSH quality gauge — the band-tuning dial (the ann_ivf_recall
@@ -284,7 +309,8 @@ object DedupQueries {
       val truth = pairsFrame(s, d).select(col("da"), col("db"))
         .withColumn("t", lit(1L))
       val cand = graft.ops.CorpusOps
-        .lshCandidates(minhashFrame(s, d), "doc_id", BANDS, K / BANDS)
+        .lshCandidates(minhashFrame(s, d), "doc_id", BANDS, K / BANDS,
+          LshBucketCap)
         .withColumn("c", lit(1L))
       truth.join(cand, Seq("da", "db"), "full_outer")
         .agg(coalesce(sum(col("t")), lit(0L)).as("n_truth"),
@@ -317,10 +343,17 @@ object DedupQueries {
     "dedup_simhash_hamming" -> ((s, d) => {
       val sig = simhashFrame(s, d)
       val w = SimBits / SimBlocks
-      val blocks = sig.select(col("doc_id"), explode(array(
+      val blocks0 = sig.select(col("doc_id"), explode(array(
         (0 until SimBlocks).map(b =>
           concat(lit(s"$b:"), substring(col("sig"), 1 + b * w, w))): _*))
         .as("bk"))
+      // hot-block backstop (SimBlockCap): identical-signature template
+      // mass pins all four blocks, so over-cap blocks are dropped —
+      // the lshCandidates bucketCap posture applied to bit blocks
+      val blocks = blocks0.join(
+        blocks0.groupBy(col("bk")).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= SimBlockCap).select(col("bk")),
+        Seq("bk"))
       val cand = blocks.select(col("doc_id").as("da"), col("bk"))
         .join(blocks.select(col("doc_id").as("db"), col("bk").as("__bk2")),
           col("bk") === col("__bk2") && col("da") < col("db"))
@@ -712,7 +745,11 @@ object DedupQueries {
                     WHERE round(CAST(nab AS DOUBLE)/(x.n+y.n-nab), 6)
                           >= $JACC),
           sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
-          bands AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
+          bands0 AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
+          bands AS (SELECT doc_id, bk FROM bands0
+                    JOIN (SELECT bk FROM bands0 GROUP BY bk
+                          HAVING COUNT(*) <= $LshBucketCap) cool
+                    USING (bk)),
           lcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                     FROM bands a JOIN bands b
                       ON a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -738,7 +775,11 @@ object DedupQueries {
           WHERE round(CAST(nab AS DOUBLE)/least(x.n, y.n), 6) >= $CONT""",
     "dedup_minhash_lsh" -> verifySql(
       s"""sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
-          bands AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
+          bands0 AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
+          bands AS (SELECT doc_id, bk FROM bands0
+                    JOIN (SELECT bk FROM bands0 GROUP BY bk
+                          HAVING COUNT(*) <= $LshBucketCap) cool
+                    USING (bk)),
           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                    FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
           m AS (SELECT c.da, c.db FROM cand c
@@ -764,7 +805,11 @@ object DedupQueries {
           tok AS (SELECT doc_id, $simhashDigitCols FROM tk),
           pk AS (SELECT doc_id, $simhashPackCols FROM tok GROUP BY doc_id),
           sig AS (SELECT doc_id, $simhashBits AS sig FROM pk),
-          blocks AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
+          blocks0 AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
+          blocks AS (SELECT doc_id, bk FROM blocks0
+                     JOIN (SELECT bk FROM blocks0 GROUP BY bk
+                           HAVING COUNT(*) <= $SimBlockCap) cool
+                     USING (bk)),
           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                    FROM blocks a JOIN blocks b
                      ON a.bk = b.bk AND a.doc_id < b.doc_id)

@@ -151,13 +151,33 @@ object CorpusOps {
     * band keys, self-join per bucket — only documents sharing a band
     * bucket ever meet, which is what replaces the quadratic all-pairs
     * comparison at corpus scale.
+    *
+    * `bucketCap` is the hot-bucket backstop (the DfCap posture applied
+    * to band buckets): a bucket holding more than `bucketCap` members
+    * generates NO candidates. Band-splitting bounds bucket sizes only
+    * while signatures differ — a template shared verbatim by a slice
+    * of the corpus pins every minhash row to the template's minima, so
+    * ALL its members share ALL band buckets and the self-join goes
+    * quadratic in the slice (measured: one 36-token template over 15%
+    * of a 50k corpus = 2.4e8 candidate rows through 8 bands). Such a
+    * bucket is template mass, not duplication signal — the same
+    * judgement the posting path already makes for shingles above
+    * DfCap — and the recall cost of dropping it is exactly what
+    * `dedup_lsh_eval` gauges.
     */
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
-                    rowsPerBand: Int): DataFrame = {
+                    rowsPerBand: Int,
+                    bucketCap: Int = Int.MaxValue): DataFrame = {
     val bs = sig.select(col(idCol),
       explode(TextOps.bandKeys(bands, rowsPerBand)).as("__bk"))
-    bs.select(col(idCol).as("da"), col("__bk"))
-      .join(bs.select(col(idCol).as("db"), col("__bk").as("__bk2")),
+    val kept =
+      if (bucketCap == Int.MaxValue) bs
+      else bs.join(
+        bs.groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= bucketCap).select(col("__bk")),
+        Seq("__bk"))
+    kept.select(col(idCol).as("da"), col("__bk"))
+      .join(kept.select(col(idCol).as("db"), col("__bk").as("__bk2")),
         col("__bk") === col("__bk2") && col("da") < col("db"))
       .select("da", "db").distinct()
   }

@@ -224,4 +224,37 @@ class CorpusOpsSpec extends SparkSpec {
       } else assert(!got.contains(id), s"doc $id should be absent")
     }
   }
+
+  test("lshCandidates bucket cap drops mega buckets, keeps small ones") {
+    import spark.implicits._
+    // synthetic signature frame (k=4, 2 bands of 2): a "template"
+    // cohort of 40 docs sharing EVERY hash row (the verbatim-template
+    // shape — more bands cannot split identical signatures), one
+    // 5-doc cluster sharing every row, and singletons sharing none
+    val rows =
+      (0L until 40L).map(id => (id, 1L, 2L, 3L, 4L)) ++
+      (100L until 105L).map(id => (id, 9L, 8L, 7L, 6L)) ++
+      (200L until 210L).map(id => (id, 100L + id, 200L + id, 300L + id, 400L + id))
+    val sig = rows.toDF("doc_id", "h1", "h2", "h3", "h4")
+
+    val uncapped = CorpusOps.lshCandidates(sig, "doc_id", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all within-cohort pairs, nothing across
+    val megaPairs = (for (a <- 0L until 40L; b <- a + 1 until 40L)
+      yield (a, b)).toSet
+    val smallPairs = (for (a <- 100L until 105L; b <- a + 1 until 105L)
+      yield (a, b)).toSet
+    assert(uncapped === megaPairs ++ smallPairs)
+
+    // cap 8: the 40-doc template bucket generates nothing; the 5-doc
+    // cluster is untouched — the DfCap judgement applied to buckets
+    val capped = CorpusOps.lshCandidates(sig, "doc_id", 2, 2, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === smallPairs)
+
+    // a cap at exactly the bucket size keeps the bucket (<=, not <)
+    val atCap = CorpusOps.lshCandidates(sig, "doc_id", 2, 2, bucketCap = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atCap === megaPairs ++ smallPairs)
+  }
 }
