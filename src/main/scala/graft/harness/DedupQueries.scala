@@ -556,11 +556,20 @@ object DedupQueries {
       val all = VectorOps.hyperplanes(EmbBands * EmbPlanes, EmbDim)
       val emb = Tables.embeddings(s, d)
         .withColumn("__v", VectorOps.asDouble(col("embedding")))
-      val blocked = emb.withColumn("__bk",
+      val blocked0 = emb.withColumn("__bk",
         explode(array((0 until EmbBands).map(b =>
           concat(lit(s"$b/"), col("label").cast("string"), lit("/"),
             VectorOps.lshBucket(col("__v"),
               all.slice(b * EmbPlanes, (b + 1) * EmbPlanes)))): _*)))
+      // hot-block backstop (BlockCap, the editdistance/phash cap): a
+      // hot near-identical POINT gets identical sign bits under EVERY
+      // hyperplane — more planes cannot split it — so its (band,
+      // label, bucket) block grows with the corpus and the pair join
+      // goes quadratic; over-cap blocks are template mass, dropped
+      val blocked = blocked0.join(
+        blocked0.groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= BlockCap).select(col("__bk")),
+        Seq("__bk"))
       VectorOps.blockedPairs(blocked, "vec_id", "embedding", "__bk")
         .filter(col("sim") >= 0.4)
         .select(split(col("__bk"), "/").getItem(1).cast("int").as("label"),
@@ -962,7 +971,10 @@ object DedupQueries {
         .mkString(", ")
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                      FROM embeddings),
-          b AS (SELECT vec_id, label, v, unnest([$bandKeys]) AS bk FROM e)
+          b0 AS (SELECT vec_id, label, v, unnest([$bandKeys]) AS bk FROM e),
+          b AS (SELECT vec_id, label, v, bk FROM b0
+                JOIN (SELECT bk FROM b0 GROUP BY bk
+                      HAVING COUNT(*) <= $BlockCap) cool USING (bk))
           SELECT DISTINCT a.label, a.vec_id AS ida, b2.vec_id AS idb,
                  round(list_cosine_similarity(a.v, b2.v), 6) AS sim
           FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id

@@ -189,6 +189,22 @@ object VectorQueries {
   // pairs at or above it collapse onto their lowest-id member
   private val SemTau = 0.4
 
+  // dedup_semantic witness-pool backstop: each member is compared to
+  // at most the SemWitPool LOWEST-id members of its cell, making the
+  // per-cell term |cell| x min(|cell|, pool) instead of |cell|^2.
+  // SemDeDup's scale posture — cluster count grows with the corpus so
+  // cells stay bounded — fails for a HOT NEAR-IDENTICAL POINT (the
+  // zipfdoc rehearsal shape): identical vectors land in one cell no
+  // matter how many centroids exist, so that cell grows linearly with
+  // the corpus and the pair join quadratically. The pool keeps the
+  // hot cell linear and exact (every member matches the lowest-id
+  // pool members at sim~1); semantics change ONLY for a dup whose
+  // every matching lower-id witness ranks beyond the pool — at or
+  // under the pool size, output is bit-identical to the uncapped form
+  // (all tested SFs: max cell 7.5k at sf3; the oracle models the pool
+  // so hashes stay green at any scale).
+  private val SemWitPool = 16384
+
   // The harness instantiates the parameterized VectorOps.pq* library
   // operators with (NSub, SubDim, NCodes) and this table's column
   // names; the DuckDB oracle below mirrors the pipeline stage by
@@ -616,8 +632,14 @@ object VectorQueries {
     "dedup_semantic" -> ((s, d) => {
       val a = assign(embFrame(s, d), ivfCentroids(s, d), 1)
         .select(col("vec_id"), col("v"), col("nv"), col("cell"))
-      val wit = a.select(col("cell"), col("vec_id").as("wit"),
-        col("v").as("wv"), col("nv").as("wn"))
+      // witness pool: the SemWitPool lowest-id members per cell via
+      // the k-heap operator (no full per-cell sort — a hot cell would
+      // otherwise sort on one task before the join even starts)
+      val wit = graft.ops.RelOps.topKPerGroupExact(
+          a.select(col("cell"), col("vec_id"), col("v"), col("nv")),
+          Seq(col("cell")), Seq(col("vec_id")), SemWitPool)
+        .select(col("cell"), col("vec_id").as("wit"),
+          col("v").as("wv"), col("nv").as("wn"))
       val dup = a.select(col("cell"), col("vec_id").as("dup"),
         col("v").as("dv"), col("nv").as("dn"))
       val flagged = wit.join(dup, Seq("cell"))
@@ -1190,9 +1212,14 @@ object VectorQueries {
           WHERE rk <= 5""",
     "dedup_semantic" ->
       s"""WITH $ivfSharedCtes,
+          pool AS (SELECT cell, vec_id, v FROM
+                     (SELECT cell, vec_id, v,
+                             row_number() OVER (PARTITION BY cell
+                               ORDER BY vec_id) AS pr FROM asgc)
+                   WHERE pr <= $SemWitPool),
           prs AS (SELECT b.vec_id AS dup, a.vec_id AS wit,
                          round(list_cosine_similarity(a.v, b.v), 6) AS sim
-                  FROM asgc a JOIN asgc b
+                  FROM pool a JOIN asgc b
                     ON a.cell = b.cell AND a.vec_id < b.vec_id),
           fl AS (SELECT dup, MIN(wit) AS witness, MAX(sim) AS max_sim
                  FROM prs WHERE sim >= $SemTau GROUP BY dup)

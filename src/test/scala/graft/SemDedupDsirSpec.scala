@@ -37,6 +37,46 @@ class SemDedupDsirSpec extends SparkSpec {
     rows.filter(_.getBoolean(2)).foreach(r => assert(r.isNullAt(3) && r.isNullAt(4)))
   }
 
+  test("dedup_semantic witness pool: linear backstop, exact at or under pool size") {
+    import spark.implicits._
+    // one "cell" of near-identical vectors (the hot-point shape) plus
+    // a far singleton: ids 0..19 at cos~1 pairwise, id 99 orthogonal
+    val hot = (0L until 20L).map(i => (i, Array(1.0, i * 1e-6, 0.0)))
+    val far = Seq((99L, Array(0.0, 0.0, 1.0)))
+    val df = (hot ++ far).toDF("vec_id", "v")
+      .withColumn("cell", when(col("vec_id") < 50, 0L).otherwise(1L))
+      .withColumn("nv", graft.ops.VectorOps.norm(col("v")))
+    def flagged(pool: Int) = {
+      val wit = graft.ops.RelOps.topKPerGroupExact(
+          df.select(col("cell"), col("vec_id"), col("v"), col("nv")),
+          Seq(col("cell")), Seq(col("vec_id")), pool)
+        .select(col("cell"), col("vec_id").as("wit"),
+          col("v").as("wv"), col("nv").as("wn"))
+      val dup = df.select(col("cell"), col("vec_id").as("dup"),
+        col("v").as("dv"), col("nv").as("dn"))
+      wit.join(dup, Seq("cell")).filter(col("wit") < col("dup"))
+        .withColumn("sim", round(graft.ops.VectorOps.dot(col("wv"), col("dv"))
+          / (col("wn") * col("dn")), 6))
+        .filter(col("sim") >= 0.4)
+        .groupBy(col("dup")).agg(min(col("wit")).as("witness"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // pool >= cell: identical to the uncapped form — every hot member
+    // except the min id drops with witness 0; the far vector keeps
+    val full = flagged(64)
+    assert(full === (1L until 20L).map(_ -> 0L).toMap)
+    // a small pool still flags every hot member (the pool's lowest ids
+    // match at sim~1) with the EXACT min witness — the hot-point cell
+    // is precisely the case the pool keeps linear without recall loss
+    assert(flagged(2) === full)
+    // candidate volume is pool-bounded: the wit side carries at most
+    // pool rows per cell
+    val witRows = graft.ops.RelOps.topKPerGroupExact(
+        df.select(col("cell"), col("vec_id"), col("v"), col("nv")),
+        Seq(col("cell")), Seq(col("vec_id")), 2).count()
+    assert(witRows === 3) // 2 from the hot cell + 1 singleton
+  }
+
   test("sample_dsir: selection is the global top-N by (score desc, doc_id)") {
     val sel = SampleQueries.queries("sample_dsir")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(3)))
