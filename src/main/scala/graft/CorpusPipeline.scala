@@ -22,9 +22,13 @@ object CorpusPipeline {
   private val ShingleN = 5
   private val MinhashK = 16
   private val Bands = 8
-  private val BucketCap = 64   // hot-band-bucket backstop: a verbatim
-                               // template pins every band, so uncapped
-                               // buckets go quadratic in its share
+  private val BucketCap = 64   // witness-pool width per band bucket: a
+                               // verbatim template pins every band, so
+                               // uncapped buckets go quadratic in its
+                               // share; the pool keeps hot buckets
+                               // linear while its lowest-id witnesses
+                               // still connect the whole cluster, so
+                               // components drop every template copy
   private val Jacc = 0.5
   private val SpanW = 10       // repeated-substring seed width
   private val EvalLo = 230     // hash byte >= 230 → held-out split

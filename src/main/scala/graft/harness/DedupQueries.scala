@@ -23,16 +23,25 @@ object DedupQueries {
   private val CONT = 0.9      // containment (doc-in-doc) threshold
   private val DfCap = 64      // max document frequency of a shingle
                               // allowed to generate candidate pairs
-  private val LshBucketCap = 64 // max members of an LSH band bucket
-                              // allowed to generate candidates — the
-                              // DfCap judgement applied to band
-                              // buckets: a verbatim-shared template
-                              // pins every band to one bucket (more
-                              // bands/planes cannot split identical
-                              // signatures), so an uncapped band join
-                              // goes quadratic in the template's
-                              // corpus share; dedup_lsh_eval gauges
-                              // the recall this cap trades away
+  private val LshBucketCap = 64 // witness-pool width per LSH band
+                              // bucket: each bucket's lowest-cap ids
+                              // join against the FULL membership, so
+                              // a hot bucket costs cap·|bucket|
+                              // instead of |bucket|² — a verbatim
+                              // -shared template pins every band to
+                              // one bucket (more bands/planes cannot
+                              // split identical signatures), so an
+                              // uncapped band join goes quadratic in
+                              // the template's corpus share, while
+                              // DROPPING the bucket (the pre-r16
+                              // posture) silently passed the whole
+                              // template cluster through the
+                              // pipeline's dedup stage. Witness pairs
+                              // keep components collapsing the
+                              // cluster; what the cap still trades
+                              // (non-witness×non-witness pairs inside
+                              // hot buckets) is what dedup_lsh_eval
+                              // gauges
   private val SimBits = 64    // simhash signature width: wide enough
                               // that 16-bit blocks give 65536 bucket
                               // values (4-bit blocks of a 16-bit sig
@@ -226,6 +235,44 @@ object DedupQueries {
         .select(col("doc_id"), TextOps.simhashSigPacked(SimBits).as("sig"))
     }
 
+  /** (doc_id, bk) — one row per (document, bit block) of the simhash
+    * signature; the blocking frame for the hamming-radius join.
+    */
+  private def simBlocksFrame(sig: DataFrame): DataFrame = {
+    val w = SimBits / SimBlocks
+    sig.select(col("doc_id"), explode(array(
+      (0 until SimBlocks).map(b =>
+        concat(lit(s"$b:"), substring(col("sig"), 1 + b * w, w))): _*))
+      .as("bk"))
+  }
+
+  /** (da, db, siga, sigb, dist) — verified hamming-radius pairs from
+    * the capped per-block equi-join; shared by dedup_simhash_hamming
+    * and the dedup_simhash_eval gauge. Hot-block backstop
+    * (SimBlockCap): identical-signature template mass pins all four
+    * blocks, so over-cap blocks are dropped.
+    */
+  private def hammingPairsFrame(sig: DataFrame): DataFrame = {
+    val blocks0 = simBlocksFrame(sig)
+    val blocks = blocks0.join(
+      blocks0.groupBy(col("bk")).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= SimBlockCap).select(col("bk")),
+      Seq("bk"))
+    val cand = blocks.select(col("doc_id").as("da"), col("bk"))
+      .join(blocks.select(col("doc_id").as("db"), col("bk").as("__bk2")),
+        col("bk") === col("__bk2") && col("da") < col("db"))
+      .select("da", "db").distinct()
+    // native codegen'd byte loop (graft.functions.HammingBits): one
+    // expression instead of 64 Substring+If trees per candidate pair
+    val dist = call_function("hamming_bits", col("siga"), col("sigb"))
+    cand
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), Seq("db"))
+      .withColumn("dist", dist)
+      .filter(col("dist") <= SimRadius)
+      .select("da", "db", "siga", "sigb", "dist")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup on the normalized fingerprint: one hash-shuffle
     // groupBy — the canonical exact-dedup plan at any scale.
@@ -336,37 +383,46 @@ object DedupQueries {
     // SimHash hamming-radius search: split the signature into
     // SimBlocks bit blocks; any pair within hamming distance
     // SimBlocks-1 must agree on at least one whole block (pigeonhole),
-    // so a per-block equi-join finds ALL radius-<=3 neighbors without
-    // an all-pairs comparison — the same band trick as MinHash LSH,
-    // exact rather than probabilistic. Verification = popcount of the
-    // bit disagreement over the joined signatures.
-    "dedup_simhash_hamming" -> ((s, d) => {
+    // so a per-block equi-join finds radius-<=3 neighbors without an
+    // all-pairs comparison — the same band trick as MinHash LSH, and
+    // deterministic rather than probabilistic. The pigeonhole
+    // guarantee is exact UNLESS every block a pair agrees on is over
+    // SimBlockCap (such blocks are dropped; identical-signature
+    // template mass is still reported linearly by dedup_simhash's
+    // groups, and dedup_simhash_eval gauges the radius-0 recall the
+    // cap trades). Verification = popcount of the bit disagreement
+    // over the joined signatures.
+    "dedup_simhash_hamming" -> ((s, d) =>
+      hammingPairsFrame(simhashFrame(s, d))),
+
+    // SimBlockCap quality gauge (the dedup_lsh_eval posture applied to
+    // the simhash cap): what fraction of the RADIUS-0 truth — the only
+    // hamming truth countable without pair expansion, and exactly the
+    // identical-signature template mass the cap drops — does the
+    // capped block join still surface? Truth pairs are an equivalence
+    // class, so their count is Σ n·(n-1)/2 over signature groups: one
+    // linear agg, no quadratic side anywhere. Radius ≥ 1 misses are
+    // not counted here (a pair is lost only when EVERY agreeing block
+    // is over cap, which at every tested skew happens only for the
+    // radius-0 template slice); n_hot_blocks reports how many blocks
+    // the cap actually silenced.
+    "dedup_simhash_eval" -> ((s, d) => {
       val sig = simhashFrame(s, d)
-      val w = SimBits / SimBlocks
-      val blocks0 = sig.select(col("doc_id"), explode(array(
-        (0 until SimBlocks).map(b =>
-          concat(lit(s"$b:"), substring(col("sig"), 1 + b * w, w))): _*))
-        .as("bk"))
-      // hot-block backstop (SimBlockCap): identical-signature template
-      // mass pins all four blocks, so over-cap blocks are dropped —
-      // the lshCandidates bucketCap posture applied to bit blocks
-      val blocks = blocks0.join(
-        blocks0.groupBy(col("bk")).agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= SimBlockCap).select(col("bk")),
-        Seq("bk"))
-      val cand = blocks.select(col("doc_id").as("da"), col("bk"))
-        .join(blocks.select(col("doc_id").as("db"), col("bk").as("__bk2")),
-          col("bk") === col("__bk2") && col("da") < col("db"))
-        .select("da", "db").distinct()
-      // native codegen'd byte loop (graft.functions.HammingBits): one
-      // expression instead of 64 Substring+If trees per candidate pair
-      val dist = call_function("hamming_bits", col("siga"), col("sigb"))
-      cand
-        .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))
-        .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), Seq("db"))
-        .withColumn("dist", dist)
-        .filter(col("dist") <= SimRadius)
-        .select("da", "db", "siga", "sigb", "dist")
+      val truth = sig.groupBy(col("sig")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L))
+          .as("n_truth0"))
+      val found = hammingPairsFrame(sig).filter(col("dist") === 0)
+        .agg(count(lit(1)).as("n_found0"))
+      val hot = simBlocksFrame(sig)
+        .groupBy(col("bk")).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > SimBlockCap)
+        .agg(count(lit(1)).as("n_hot_blocks"))
+      // three 1-row scalars — broadcast crossJoins, never a shuffle
+      truth.crossJoin(broadcast(found)).crossJoin(broadcast(hot))
+        .select(col("n_truth0"), col("n_found0"),
+          expr("CASE WHEN n_truth0 = 0 THEN 1000000 " +
+            "ELSE (n_found0 * 1000000) DIV n_truth0 END").as("recall0_ppm"),
+          col("n_hot_blocks"))
     }),
 
     // Near-dup cluster assembly: the verified pair list becomes
@@ -755,13 +811,14 @@ object DedupQueries {
                           >= $JACC),
           sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
           bands0 AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
-          bands AS (SELECT doc_id, bk FROM bands0
-                    JOIN (SELECT bk FROM bands0 GROUP BY bk
-                          HAVING COUNT(*) <= $LshBucketCap) cool
-                    USING (bk)),
-          lcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                    FROM bands a JOIN bands b
-                      ON a.bk = b.bk AND a.doc_id < b.doc_id),
+          wit AS (SELECT doc_id, bk FROM (
+                    SELECT doc_id, bk,
+                           ROW_NUMBER() OVER (PARTITION BY bk
+                                              ORDER BY doc_id) AS rk
+                    FROM bands0) z WHERE rk <= $LshBucketCap),
+          lcand AS (SELECT DISTINCT w.doc_id AS da, b.doc_id AS db
+                    FROM wit w JOIN bands0 b
+                      ON w.bk = b.bk AND w.doc_id < b.doc_id),
           tp AS (SELECT t.da FROM truth t
                  JOIN lcand c ON t.da = c.da AND t.db = c.db),
           k AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
@@ -785,12 +842,14 @@ object DedupQueries {
     "dedup_minhash_lsh" -> verifySql(
       s"""sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
           bands0 AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
-          bands AS (SELECT doc_id, bk FROM bands0
-                    JOIN (SELECT bk FROM bands0 GROUP BY bk
-                          HAVING COUNT(*) <= $LshBucketCap) cool
-                    USING (bk)),
-          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                   FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+          wit AS (SELECT doc_id, bk FROM (
+                    SELECT doc_id, bk,
+                           ROW_NUMBER() OVER (PARTITION BY bk
+                                              ORDER BY doc_id) AS rk
+                    FROM bands0) z WHERE rk <= $LshBucketCap),
+          cand AS (SELECT DISTINCT w.doc_id AS da, b.doc_id AS db
+                   FROM wit w JOIN bands0 b
+                     ON w.bk = b.bk AND w.doc_id < b.doc_id),
           m AS (SELECT c.da, c.db FROM cand c
                 JOIN sh a ON a.doc_id = c.da
                 JOIN sh b ON b.doc_id = c.db AND b.s = a.s),""",
@@ -827,6 +886,42 @@ object DedupQueries {
           FROM cand JOIN sig sa ON da = sa.doc_id
                     JOIN sig sb ON db = sb.doc_id
           WHERE $dist <= $SimRadius"""
+    },
+    "dedup_simhash_eval" -> {
+      val w = SimBits / SimBlocks
+      val blockList = (0 until SimBlocks)
+        .map(b => s"'$b:' || substr(sig, ${1 + b * w}, $w)").mkString(", ")
+      val dist = (1 to SimBits)
+        .map(i => s"CASE WHEN substr(sa.sig,$i,1) = substr(sb.sig,$i,1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents),
+          tok AS (SELECT doc_id, $simhashDigitCols FROM tk),
+          pk AS (SELECT doc_id, $simhashPackCols FROM tok GROUP BY doc_id),
+          sig AS (SELECT doc_id, $simhashBits AS sig FROM pk),
+          g AS (SELECT sig, COUNT(*) AS n FROM sig GROUP BY sig),
+          t AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+                         AS n_truth0 FROM g),
+          blocks0 AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
+          blocks AS (SELECT doc_id, bk FROM blocks0
+                     JOIN (SELECT bk FROM blocks0 GROUP BY bk
+                           HAVING COUNT(*) <= $SimBlockCap) cool
+                     USING (bk)),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM blocks a JOIN blocks b
+                     ON a.bk = b.bk AND a.doc_id < b.doc_id),
+          f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found0 FROM cand
+                JOIN sig sa ON da = sa.doc_id
+                JOIN sig sb ON db = sb.doc_id
+                WHERE $dist = 0),
+          h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_blocks FROM
+                (SELECT bk FROM blocks0 GROUP BY bk
+                 HAVING COUNT(*) > $SimBlockCap) z)
+          SELECT n_truth0, n_found0,
+                 CASE WHEN n_truth0 = 0 THEN 1000000
+                      ELSE (n_found0 * 1000000) // n_truth0 END
+                   AS recall0_ppm,
+                 n_hot_blocks
+          FROM t, f, h"""
     },
     "dedup_components" ->
       s"""WITH RECURSIVE $shCte,

@@ -198,11 +198,13 @@ object VectorQueries {
   // matter how many centroids exist, so that cell grows linearly with
   // the corpus and the pair join quadratically. The pool keeps the
   // hot cell linear and exact (every member matches the lowest-id
-  // pool members at sim~1); semantics change ONLY for a dup whose
-  // every matching lower-id witness ranks beyond the pool — at or
-  // under the pool size, output is bit-identical to the uncapped form
-  // (all tested SFs: max cell 7.5k at sf3; the oracle models the pool
-  // so hashes stay green at any scale).
+  // pool members at sim~1); keep/witness change ONLY for a dup whose
+  // every matching lower-id witness ranks beyond the pool, while
+  // max_sim is pool-relative — it can shrink whenever ANY matching
+  // lower-id member ranks beyond the pool (the oracle models the same
+  // pool, so gates stay consistent). At or under the pool size,
+  // output is bit-identical to the uncapped form (all tested SFs: max
+  // cell 7.5k at sf3).
   private val SemWitPool = 16384
 
   // The harness instantiates the parameterized VectorOps.pq* library

@@ -152,32 +152,38 @@ object CorpusOps {
     * bucket ever meet, which is what replaces the quadratic all-pairs
     * comparison at corpus scale.
     *
-    * `bucketCap` is the hot-bucket backstop (the DfCap posture applied
-    * to band buckets): a bucket holding more than `bucketCap` members
-    * generates NO candidates. Band-splitting bounds bucket sizes only
-    * while signatures differ — a template shared verbatim by a slice
-    * of the corpus pins every minhash row to the template's minima, so
-    * ALL its members share ALL band buckets and the self-join goes
-    * quadratic in the slice (measured: one 36-token template over 15%
-    * of a 50k corpus = 2.4e8 candidate rows through 8 bands). Such a
-    * bucket is template mass, not duplication signal — the same
-    * judgement the posting path already makes for shingles above
-    * DfCap — and the recall cost of dropping it is exactly what
-    * `dedup_lsh_eval` gauges.
+    * `bucketCap` is the hot-bucket backstop (the witness-pool posture,
+    * shared with dedup_semantic's SemWitPool): the LEFT side of the
+    * per-bucket self-join is restricted to each bucket's `bucketCap`
+    * lowest ids (via the bounded-heap top-k operator — no window sort
+    * on the hot bucket), while the right side stays the full
+    * membership. Band-splitting bounds bucket sizes only while
+    * signatures differ — a template shared verbatim by a slice of the
+    * corpus pins every minhash row to the template's minima, so ALL
+    * its members share ALL band buckets and an uncapped self-join
+    * goes quadratic in the slice (measured: one 36-token template
+    * over 15% of a 50k corpus = 2.4e8 candidate rows through 8
+    * bands). The witness pool keeps that cost linear
+    * (≤ bucketCap·|bucket| rows per bucket) WITHOUT dropping the
+    * cluster: every member still pairs with the bucket's lowest-id
+    * witnesses, so connected components collapse the whole template
+    * cluster onto one representative downstream. For buckets at or
+    * under the cap every member is a witness and the output is
+    * bit-identical to the uncapped join; what the cap trades at skew
+    * is only the non-witness×non-witness PAIRS inside hot buckets,
+    * which `dedup_lsh_eval` gauges.
     */
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int,
                     rowsPerBand: Int,
                     bucketCap: Int = Int.MaxValue): DataFrame = {
     val bs = sig.select(col(idCol),
       explode(TextOps.bandKeys(bands, rowsPerBand)).as("__bk"))
-    val kept =
+    val wit =
       if (bucketCap == Int.MaxValue) bs
-      else bs.join(
-        bs.groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= bucketCap).select(col("__bk")),
-        Seq("__bk"))
-    kept.select(col(idCol).as("da"), col("__bk"))
-      .join(kept.select(col(idCol).as("db"), col("__bk").as("__bk2")),
+      else RelOps.topKPerGroupExact(bs, Seq(col("__bk")), Seq(col(idCol)),
+        bucketCap).select(col(idCol), col("__bk"))
+    wit.select(col(idCol).as("da"), col("__bk"))
+      .join(bs.select(col(idCol).as("db"), col("__bk").as("__bk2")),
         col("__bk") === col("__bk2") && col("da") < col("db"))
       .select("da", "db").distinct()
   }

@@ -225,7 +225,7 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
-  test("lshCandidates bucket cap drops mega buckets, keeps small ones") {
+  test("lshCandidates bucket cap keeps a witness pool in mega buckets") {
     import spark.implicits._
     // synthetic signature frame (k=4, 2 bands of 2): a "template"
     // cohort of 40 docs sharing EVERY hash row (the verbatim-template
@@ -246,11 +246,18 @@ class CorpusOpsSpec extends SparkSpec {
       yield (a, b)).toSet
     assert(uncapped === megaPairs ++ smallPairs)
 
-    // cap 8: the 40-doc template bucket generates nothing; the 5-doc
-    // cluster is untouched — the DfCap judgement applied to buckets
+    // cap 8: the 40-doc template bucket shrinks to its witness pool —
+    // the 8 LOWEST ids each pair with every higher member, so the
+    // cluster still collapses to one component downstream while the
+    // bucket's cost drops from |bucket|² to cap·|bucket|; the 5-doc
+    // cluster is untouched
+    val witnessPairs = (for (a <- 0L until 8L; b <- a + 1 until 40L)
+      yield (a, b)).toSet
     val capped = CorpusOps.lshCandidates(sig, "doc_id", 2, 2, bucketCap = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(capped === smallPairs)
+    assert(capped === witnessPairs ++ smallPairs)
+    // every template member is adjacent to witness 0 → one component
+    (1L until 40L).foreach(b => assert(capped.contains((0L, b))))
 
     // a cap at exactly the bucket size keeps the bucket (<=, not <)
     val atCap = CorpusOps.lshCandidates(sig, "doc_id", 2, 2, bucketCap = 40)
