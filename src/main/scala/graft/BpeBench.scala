@@ -8,13 +8,14 @@ package graft
   * sequences are bit-identical by construction (BpeSpec proves it);
   * this tool only measures.
   *
-  * Usage: BpeBench <sfDir> [rounds=1000] [batchM=256]
+  * Usage: BpeBench <sfDir> [rounds=1000] [batchM=256] [relaxed=false]
   */
 object BpeBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/sf3v")
     val rounds = args.lift(1).map(_.toInt).getOrElse(1000)
     val batchM = args.lift(2).map(_.toInt).getOrElse(256)
+    val relaxed = args.lift(3).exists(_.toBoolean)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -31,7 +32,8 @@ object BpeBench {
     val vocab = counts.count()
     val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val t0 = System.nanoTime()
-    val (merges, _) = graft.ops.Bpe.train(spark, counts, rounds, batchM)
+    val (merges, _) = graft.ops.Bpe.train(spark, counts, rounds, batchM,
+      relaxedTies = relaxed)
     val sec = math.round((System.nanoTime() - t0) / 1e6) / 1e3
     val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0
     // block-manager flatness evidence: train unpersists each pass's
@@ -39,8 +41,8 @@ object BpeBench {
     // (the counts frame + the final segmentation), never O(passes)
     val liveRdds = spark.sparkContext.getPersistentRDDs.size
     println(s"""{"tool":"bpe_bench","sf":"$sfDir","vocab":$vocab,""" +
-      s""""rounds":${merges.length},"batchM":$batchM,"jobs":$jobs,""" +
-      s""""live_rdds":$liveRdds,"sec":$sec}""")
+      s""""rounds":${merges.length},"batchM":$batchM,"relaxed":$relaxed,""" +
+      s""""jobs":$jobs,"live_rdds":$liveRdds,"sec":$sec}""")
     spark.stop()
   }
 }

@@ -95,16 +95,19 @@ object Bpe {
     * maxima come from the full candidate list unchanged.
     */
   private[ops] def selectBatch(cands: Seq[(String, String, Long)],
-                               unseenBound: Long): Seq[(String, String, Long)] = {
+                               unseenBound: Long,
+                               relaxedTies: Boolean = false,
+                               priorConcats: Set[String] = Set.empty)
+      : Seq[(String, String, Long)] = {
     val leftS = scala.collection.mutable.Set.empty[String]
     val rightS = scala.collection.mutable.Set.empty[String]
     val mergedS = scala.collection.mutable.Set.empty[String]
     val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var i = 0
-    var stopped = false
-    while (i < cands.length && !stopped) {
+    var stopIdx = -1 // index of the first conflicting candidate
+    while (i < cands.length && stopIdx < 0) {
       val c @ (l, r, _) = cands(i)
-      if (leftS(r) || rightS(l) || mergedS(l) || mergedS(r)) stopped = true
+      if (leftS(r) || rightS(l) || mergedS(l) || mergedS(r)) stopIdx = i
       else { sel += c; leftS += l; rightS += r; mergedS += (l + r) }
       i += 1
     }
@@ -124,7 +127,12 @@ object Bpe {
     var trimmed = false
     while (j < sel.length && !trimmed) {
       val c @ (l, r, n) = sel(j)
-      if (j > 0 && n <= runningBound) trimmed = true
+      // strict (bit-identity) mode keeps only while STRICTLY above the
+      // bound — a grown pair may never tie-or-beat a later member;
+      // relaxed mode allows the tie (tie order is the relaxed
+      // contract's free variable), so only a strict excess stops it
+      if (j > 0 && (if (relaxedTies) n < runningBound else n <= runningBound))
+        trimmed = true
       else {
         kept += c
         val shrink = math.max(adj(maxInto, l), adj(maxFrom, r))
@@ -139,6 +147,42 @@ object Bpe {
             (if (runningBound < 0L) 0L else runningBound) + contribution
       }
       j += 1
+    }
+    // Relaxed-tie plateau sweep: when the head scan ended on a CONFLICT
+    // at count c (not a bound trim), every candidate before it was
+    // selected, so at the plateau's sequential turns the live maximum
+    // is at most c: unselected census pairs are ≤ c (desc order),
+    // unseen pairs are ≤ unseenBound ≤ c, head-phase grown pairs are
+    // ≤ runningBound (required ≤ c), and a pair CREATED by a plateau
+    // merge gains at most that merge's own occurrence count = c (each
+    // creation consumes one occurrence) on top of a pre-existing mass
+    // that the concat test forces to zero: a multi-char symbol exists
+    // only as some earlier merge's concat string, so requiring the
+    // candidate's concat to be absent from the full merge HISTORY and
+    // unique within the batch rules out both string collisions and
+    // double-feeding. Ties at c are fine — the relaxed contract lets
+    // the batch's members order before any tied rival — so the whole
+    // plateau batches instead of stopping at its first conflict. Each
+    // kept merge is still individually max-count-valid at its turn;
+    // what is given up vs strict mode is only WHICH tie-break order
+    // the sequence realizes.
+    if (relaxedTies && !trimmed && stopIdx >= 0 && kept.length == sel.length) {
+      val c = cands(stopIdx)._3
+      if (runningBound <= c) {
+        val concats = scala.collection.mutable.Set.empty[String]
+        concats ++= priorConcats
+        kept.foreach { case (l, r, _) => concats += (l + r) }
+        var m = stopIdx
+        while (m < cands.length && cands(m)._3 == c) {
+          val d @ (l, r, _) = cands(m)
+          val s = l + r
+          if (!leftS(r) && !rightS(l) && !mergedS(l) && !mergedS(r) &&
+              !concats(s)) {
+            kept += d; leftS += l; rightS += r; mergedS += s; concats += s
+          }
+          m += 1
+        }
+      }
     }
     kept.toSeq
   }
@@ -159,11 +203,29 @@ object Bpe {
     * collects the COMPLETE census (distinct pairs are symbol-pair-,
     * not corpus-, sized), which drops the unseen-count floor from the
     * created-pair ceiling and lets tie-heavy tiers batch.
+    *
+    * `relaxedTies = false` (the default) keeps the bit-identity
+    * contract: the sequence equals the classic (count desc, pair asc)
+    * loop exactly. At deep tiers that contract serializes training —
+    * counts tie across thousands of candidates and the conflict rule
+    * stops each pass after ~1–2 merges (the r15 32k rehearsal).
+    * `relaxedTies = true` adopts the contract every mainstream
+    * tokenizer already ships — tie ORDER among equal counts is
+    * arbitrary — and under it batches whole tie plateaus (see the
+    * plateau sweep in [[selectBatch]]). Every merge remains
+    * individually max-count-valid at its sequential turn (no pair's
+    * live count can strictly exceed a selected merge's count when it
+    * is applied — BpeRelaxedSpec replays the sequence against a naive
+    * simulator to prove it); what changes is only which tie-break
+    * order the learned sequence realizes, so a relaxed run is a valid
+    * greedy BPE but not byte-equal to the lexicographic one.
     */
   def train(spark: SparkSession, counts: DataFrame, rounds: Int,
-            batchM: Int = 4096): (Seq[Merge], Dataset[WordSeg]) = {
+            batchM: Int = 4096,
+            relaxedTies: Boolean = false): (Seq[Merge], Dataset[WordSeg]) = {
     import spark.implicits._
     require(batchM >= 1, s"batchM must be >= 1, got $batchM")
+    val historyConcats = scala.collection.mutable.Set.empty[String]
     var segs: Dataset[WordSeg] = counts.select(col("word"), col("n"))
       .as[(String, Long)]
       .map { case (w, n) =>
@@ -189,10 +251,11 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         val unseenBound = if (top.length > batchM) top.last._3 else -1L
-        val batch = selectBatch(top.take(batchM).toSeq, unseenBound)
-          .take(rounds - merges.length)
+        val batch = selectBatch(top.take(batchM).toSeq, unseenBound,
+          relaxedTies, historyConcats.toSet).take(rounds - merges.length)
         batch.foreach { case (l, r, n) =>
           merges += Merge(merges.length, l, r, n)
+          historyConcats += (l + r)
         }
         val ms = batch.map { case (l, r, _) => (l, r) }
         val next = segs.map { ws =>
