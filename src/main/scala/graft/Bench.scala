@@ -14,6 +14,22 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // spill accounting for the constrained-heap rehearsal: per-query
+    // deltas of the executor spill counters, so a memory-starved run
+    // shows WHERE the pressure landed instead of just being slower
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     // warm the JVM/codegen/parquet paths so the first measured query
     // doesn't absorb session startup or first-touch footer reads
     Tables.names.foreach { t =>
@@ -69,6 +85,7 @@ object Bench {
       }
       val ran = warmed ++ selected
         .map { case (name, fn) =>
+        val sm0 = spillMem.get(); val sd0 = spillDisk.get()
         val t0 = System.nanoTime()
         // a throwing query must surface as FAILED in the artifact — a
         // swallowed exception would otherwise read as an ultra-fast
@@ -79,9 +96,12 @@ object Bench {
                    false }
         val sec = ms3((System.nanoTime() - t0) / 1e9)
         sweepEphemeral()
+        val spillMb =
+          ((spillMem.get() - sm0) + (spillDisk.get() - sd0)) >> 20
         // one line per query as it completes: survives tail-only log
         // capture and pinpoints a hang/crash to the running query
-        println(s"""{"query":"$name","sec":$sec,"ok":$ok}""")
+        println(s"""{"query":"$name","sec":$sec,"ok":$ok""" +
+          (if (spillMb > 0) s""","spill_mb":$spillMb}""" else "}"))
         (name, sec, ok)
       }
       graft.harness.SharedFrames.release(spark)
@@ -93,7 +113,8 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ms3(if (results.nonEmpty) results.values.sum else 0.0)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val totalSpillMb = (spillMem.get() + spillDisk.get()) >> 20
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"spill_mb":$totalSpillMb,"heap_mb":${Runtime.getRuntime.maxMemory() >> 20},"sf":"$sfDir"}"""
     // the driver stores only the last ~2000 log chars, which the full
     // per-query map exceeds — persist it to a repo file and keep the
     // FINAL stdout line compact enough to always fit the tail capture
