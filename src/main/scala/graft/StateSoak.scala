@@ -30,7 +30,7 @@ import scala.concurrent.duration._
   * of the drain plus the final batch's values. A leak reads as q4
   * still climbing on a shape whose bound says plateau.
   *
-  * Usage: tools/run.sh graft.StateSoak [batches=200] [outDir]
+  * Usage: tools/run.sh graft.StateSoak [batches=200] [shape ...]
   */
 object StateSoak {
 
@@ -38,6 +38,7 @@ object StateSoak {
 
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(200)
+    val only = args.drop(1).toSet
     val root = java.nio.file.Files.createTempDirectory("graft-soak-")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -57,6 +58,7 @@ object StateSoak {
     def soak(shape: String, schema: StructType,
              gen: (Int, scala.util.Random) => Seq[Seq[Any]],
              build: DataFrame => DataFrame): Unit = {
+      if (only.nonEmpty && !only(shape)) return
       val dir = new java.io.File(root.toFile, shape)
       val inbox = new java.io.File(dir, "inbox"); inbox.mkdirs()
       // one parquet file per micro-batch, mtime ascending
@@ -212,6 +214,25 @@ object StateSoak {
         import spark.implicits._
         graft.streaming.StreamTopK.topkStream(
           df.as[graft.streaming.StreamTopK.KeyedEvent], 16, 5).toDF()
+      })
+
+    // the bounded counterpart: windows churn (a fresh one every other
+    // batch, event time advancing an hour per batch) and the 6h TTL
+    // must hold state at the horizon's ~6-8 open sketches, not the
+    // cumulative window count the NoTimeout shape shows above
+    soak("stream_topk_ttl",
+      StructType(Seq(StructField("window_us", LongType),
+        StructField("key", StringType), StructField("ts", TimestampType))),
+      (i, rnd) => (0 until 500).map { _ =>
+        val k = math.min(499, math.abs(rnd.nextGaussian() * 60).toInt)
+        Seq(baseUs + (i / 2).toLong * 3600000000L, s"k$k",
+          new java.sql.Timestamp(1700000000000L + i * 3600000L))
+      },
+      df => {
+        import spark.implicits._
+        graft.streaming.StreamTopK.topkStreamTtl(
+          df.withWatermark("ts", "0 seconds")
+            .as[graft.streaming.StreamTopK.TimedEvent], 16, 5, 6.hours).toDF()
       })
 
     spark.stop()

@@ -105,4 +105,77 @@ class StreamTopKSpec extends SparkSpec {
       assert(est >= actual, s"$k: est $est under-counts true $actual")
     }
   }
+
+  test("TTL variant evicts idle windows and re-seeds on late arrivals") {
+    import org.apache.spark.sql.types.TimestampType
+    val root = java.nio.file.Files.createTempDirectory("stream-topk-ttl-").toFile
+    val inbox = new java.io.File(root, "inbox"); inbox.mkdirs()
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val ttlSchema = StructType(Seq(StructField("window_us", LongType),
+      StructField("key", StringType), StructField("ts", TimestampType)))
+
+    def writeTimed(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      import spark.implicits._
+      val df = rows.toDF("window_us", "key", "s")
+        .selectExpr("window_us", "key", "CAST(s AS TIMESTAMP) AS ts")
+      val tmp = new java.io.File(root, s"__tmp_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(inbox, s"$name.parquet").toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    def drainTtl(): Map[(Long, Int), (String, Long, Long)] = {
+      val sess = spark.newSession()
+      import sess.implicits._
+      val events = sess.readStream.schema(ttlSchema).parquet(inbox.toString)
+        .withWatermark("ts", "0 seconds").as[StreamTopK.TimedEvent]
+      val q = StreamTopK
+        .topkStreamTtl(events, capacity = 16, topN = 3,
+          ttl = scala.concurrent.duration.Duration(1, "hour"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+          r.getLong(5)))
+      val latest = rows.groupBy(_._1).view.mapValues(_.map(_._5).max).toMap
+      rows.filter(r => r._5 == latest(r._1))
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    }
+
+    // batch 1: window 1000 sees a twice, b once
+    writeTimed("b1", Seq((1000L, "a", "2026-01-01 10:00:00"),
+      (1000L, "a", "2026-01-01 10:00:00"), (1000L, "b", "2026-01-01 10:00:00")))
+    val r1 = drainTtl()
+    assert(r1((1000L, 1)) === ("a", 2L, 3L))
+
+    // batch 2: same window inside the TTL → the sketch ACCUMULATES
+    writeTimed("b2", Seq((1000L, "b", "2026-01-01 10:30:00"),
+      (1000L, "b", "2026-01-01 10:30:00"), (1000L, "b", "2026-01-01 10:30:00")))
+    val r2 = drainTtl()
+    assert(r2((1000L, 1)) === ("b", 4L, 6L), "within-TTL state must accumulate")
+
+    // batch 3: event time jumps a day (watermark sails past the TTL),
+    // touching only window 2000 — window 1000's state must evict
+    writeTimed("b3", Seq((2000L, "z", "2026-01-02 12:00:00")))
+    drainTtl()
+
+    // batch 4: a LATE arrival for window 1000 re-seeds an EMPTY sketch:
+    // its new emission counts only itself (n_processed restarts), so
+    // the still-max emission from batch 2 remains the window's answer —
+    // and the fresh row proves the old sketch was gone (an unevicted
+    // sketch would emit n_processed = 7)
+    writeTimed("b4", Seq((1000L, "c", "2026-01-02 12:00:01")))
+    val r4 = drainTtl()
+    assert(r4((1000L, 1)) === ("b", 4L, 6L),
+      "the pre-eviction emission stays the max")
+    val raw = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(5)))
+    assert(raw.contains((1000L, "c", 1L, 1L)),
+      "late arrival must re-seed an empty sketch (count restarts at 1)")
+    assert(!raw.exists(t => t._1 == 1000L && t._4 == 7L),
+      "an n_processed=7 emission would mean the sketch survived the TTL")
+  }
 }
