@@ -148,43 +148,69 @@ object Bpe {
       }
       j += 1
     }
-    // Relaxed-tie plateau sweep: when the head scan ended on a CONFLICT
-    // at count c (not a bound trim), every candidate before it was
-    // selected, so at the plateau's sequential turns the live maximum
-    // is at most c: unselected census pairs are ≤ c (desc order),
-    // unseen pairs are ≤ unseenBound ≤ c, head-phase grown pairs are
-    // ≤ runningBound (required ≤ c), and a pair CREATED by a plateau
-    // merge gains at most that merge's own occurrence count = c (each
-    // creation consumes one occurrence) on top of a pre-existing mass
-    // that the concat test forces to zero: a multi-char symbol exists
-    // only as some earlier merge's concat string, so requiring the
-    // candidate's concat to be absent from the full merge HISTORY and
-    // unique within the batch rules out both string collisions and
-    // double-feeding. Ties at c are fine — the relaxed contract lets
-    // the batch's members order before any tied rival — so the whole
-    // plateau batches instead of stopping at its first conflict. Each
-    // kept merge is still individually max-count-valid at its turn;
-    // what is given up vs strict mode is only WHICH tie-break order
-    // the sequence realizes.
-    if (relaxedTies && !trimmed && stopIdx >= 0 && kept.length == sel.length) {
-      val c = cands(stopIdx)._3
-      if (runningBound <= c) {
-        val concats = scala.collection.mutable.Set.empty[String]
-        concats ++= priorConcats
-        kept.foreach { case (l, r, _) => concats += (l + r) }
-        var m = stopIdx
-        while (m < cands.length && cands(m)._3 == c) {
-          val d @ (l, r, _) = cands(m)
-          val s = l + r
-          if (!leftS(r) && !rightS(l) && !mergedS(l) && !mergedS(r) &&
-              !concats(s)) {
-            kept += d; leftS += l; rightS += r; mergedS += s; concats += s
-          }
-          m += 1
-        }
-      }
+    if (!relaxedTies || kept.length >= cands.length) return kept.toSeq
+    // Relaxed-tie plateau sweep. Let cPlat be the count of the first
+    // candidate the strict machinery left unselected. Every candidate
+    // with a LARGER count was selected (the scan keeps a prefix of the
+    // desc-sorted census), so at the plateau's sequential turns the
+    // live maximum is at most cPlat: unselected census pairs are
+    // ≤ cPlat, unseen pairs are ≤ unseenBound ≤ cPlat, pairs grown by
+    // the strictly-above-plateau HEAD merges are ≤ the head's
+    // cumulative ceiling (required ≤ cPlat below), and a pair CREATED
+    // by a plateau merge gains at most that merge's own occurrence
+    // count = cPlat (each creation consumes one occurrence of the
+    // merge's own adjacency) on top of a pre-existing mass the concat
+    // test forces to zero: a multi-char symbol exists only as some
+    // earlier merge's concat string, so requiring the candidate's
+    // concat to be absent from the full merge HISTORY and unique
+    // within the batch rules out both string collisions and
+    // double-feeding. Ties at cPlat are fine — the relaxed contract
+    // lets the batch's members order before any tied rival — so the
+    // WHOLE plateau batches under structural rules (symbol conflicts
+    // skip, not stop), instead of phase A's numeric ceiling stopping
+    // the pass after ~2 tied picks (cPlat-count selections contribute
+    // ≈cPlat each to the ceiling, tripping it immediately — measured:
+    // 4000 relaxed merges still took 2365 passes before this sweep
+    // was made structural). Selections AT cPlat are re-derived by the
+    // sweep (stricter rules than phase A's numeric allowance — equally
+    // sound); each kept merge remains individually max-count-valid at
+    // its turn, and what is given up vs strict mode is only WHICH
+    // tie-break order the sequence realizes.
+    val cPlat = cands(kept.length)._3
+    val head = kept.takeWhile(_._3 > cPlat)
+    // head ceiling recomputed over ONLY the above-plateau selections
+    var headBound = -1L
+    head.foreach { case (l, r, _) =>
+      val shrink = math.max(adj(maxInto, l), adj(maxFrom, r))
+      val merged = math.max(adj(maxFrom, l + r), adj(maxInto, l + r))
+      val contribution =
+        if (shrink < 0L) -1L else shrink + math.max(merged, 0L)
+      if (contribution >= 0L)
+        headBound = (if (headBound < 0L) 0L else headBound) + contribution
     }
-    kept.toSeq
+    if (headBound > cPlat) return kept.toSeq
+    val hLeft = scala.collection.mutable.Set.empty[String]
+    val hRight = scala.collection.mutable.Set.empty[String]
+    val hMerged = scala.collection.mutable.Set.empty[String]
+    val concats = scala.collection.mutable.Set.empty[String]
+    concats ++= priorConcats
+    head.foreach { case (l, r, _) =>
+      hLeft += l; hRight += r; hMerged += (l + r); concats += (l + r)
+    }
+    val swept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    swept ++= head
+    var m = head.length
+    while (m < cands.length && cands(m)._3 == cPlat) {
+      val d @ (l, r, _) = cands(m)
+      val s = l + r
+      if (!hLeft(r) && !hRight(l) && !hMerged(l) && !hMerged(r) &&
+          !concats(s)) {
+        swept += d; hLeft += l; hRight += r; hMerged += s; concats += s
+      }
+      m += 1
+    }
+    // both results are individually sound batches; take the longer
+    if (swept.length >= kept.length) swept.toSeq else kept.toSeq
   }
 
   /** Learn `rounds` merges from the word-frequency table. Merges come
