@@ -23,11 +23,18 @@ object SparkLocal {
     * run 10-50x the input: trigram/shingle explodes, pair expansions),
     * floored at the core count and capped at 1024.
     */
-  def initialShufflePartitions(sfDir: String, cpus: Int): Int = {
-    def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
-      else f.length
-    val bytes = sizeOf(new java.io.File(sfDir))
-    math.max(cpus, math.min(1024, (bytes / (2L << 20)).toInt))
-  }
+  def initialShufflePartitions(sfDir: String, cpus: Int): Int =
+    // SPARK_GRAFT_WIDTH: rehearsal override. The input-proportional
+    // width is exactly what keeps per-task working sets flat as data
+    // grows (the sf1@6g census runs spill-free because of it), so
+    // forcing the spill machinery requires pinning the width DOWN —
+    // e.g. WIDTH=32 at sf1 makes ~25x fatter sort partitions and
+    // drives ExternalSorter to disk on the big shuffles.
+    sys.env.get("SPARK_GRAFT_WIDTH").map(_.toInt).getOrElse {
+      def sizeOf(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+        else f.length
+      val bytes = sizeOf(new java.io.File(sfDir))
+      math.max(cpus, math.min(1024, (bytes / (2L << 20)).toInt))
+    }
 }
