@@ -62,7 +62,8 @@ class PlanGuardSpec extends SparkSpec {
     "text_perplexity" -> 4L,
     "text_perplexity_kn" -> 4L, // one-row bigram-type census broadcast
     "text_tfidf" -> 4L,
-    "text_bm25" -> 4L) // one-row census broadcast onto tf/idf frames
+    "text_bm25" -> 4L, // one-row census broadcast onto tf/idf frames
+    "dedup_simhash_eval" -> 4L) // three 1-row gauge scalars crossed
 
   /** Collect BNLJ nodes, descending through the adaptive/stage leaf
     * wrappers `TreeNode.collect` cannot see past.
