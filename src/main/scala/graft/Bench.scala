@@ -14,6 +14,21 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // hypervisor-steal gauge: on a shared host the guest's wall times
+    // inflate with cycles the hypervisor gives to OTHER guests, which
+    // /proc/stat's steal column counts. Recording steal over the run
+    // turns "box mood" (the r14/r16 census drifts) from a forensic
+    // reconstruction into a number printed next to the total: a
+    // record with steal over a few percent is ambient-contaminated
+    // and must be re-measured, never read as a code regression.
+    def cpuTicks(): Option[(Long, Long)] =
+      try {
+        val cols = scala.io.Source.fromFile("/proc/stat")
+          .getLines().next().split("\\s+").drop(1).map(_.toLong)
+        // busy = user+nice+system+steal (wanted CPU); steal = col 8
+        Some((cols(0) + cols(1) + cols(2) + cols(7), cols(7)))
+      } catch { case _: Throwable => None }
+    val ticks0 = cpuTicks()
     // spill accounting for the constrained-heap rehearsal: per-query
     // deltas of the executor spill counters, so a memory-starved run
     // shows WHERE the pressure landed instead of just being slower
@@ -114,7 +129,12 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ms3(if (results.nonEmpty) results.values.sum else 0.0)
     val totalSpillMb = (spillMem.get() + spillDisk.get()) >> 20
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"spill_mb":$totalSpillMb,"heap_mb":${Runtime.getRuntime.maxMemory() >> 20},"sf":"$sfDir"}"""
+    // permille of wanted CPU the hypervisor stole over the run
+    val stealPm = for {
+      (b0, s0) <- ticks0; (b1, s1) <- cpuTicks(); if b1 > b0
+    } yield (s1 - s0) * 1000 / (b1 - b0)
+    val stealJson = stealPm.map(v => s""","steal_pm":$v""").getOrElse("")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"spill_mb":$totalSpillMb,"heap_mb":${Runtime.getRuntime.maxMemory() >> 20}$stealJson,"sf":"$sfDir"}"""
     // the driver stores only the last ~2000 log chars, which the full
     // per-query map exceeds — persist it to a repo file and keep the
     // FINAL stdout line compact enough to always fit the tail capture
