@@ -141,12 +141,24 @@ object RelOps {
     * Cost: dim inflates by `salt`; keep salt ~8-32 and the dim small
     * (it usually broadcasts anyway at that size — then salting is
     * unnecessary; this targets dims too big to broadcast).
+    *
+    * The salt hashes the WHOLE fact row, never a per-task counter:
+    * `monotonically_increasing_id` (the tempting spreader) is marked
+    * nondeterministic, which makes the map stage INDETERMINATE — on a
+    * real cluster every shuffle-fetch failure in an indeterminate
+    * stage rolls back the entire stage plus all consumers instead of
+    * re-running one map task. A content hash spreads exactly as well
+    * whenever the hot key's rows differ in any column (true for any
+    * fact with a row identity); fully-identical rows share a salt,
+    * which only re-creates the straggler if ONE byte-identical row
+    * dominates the key — a shape AQE's runtime skew split still
+    * handles downstream.
     */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
                      salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     val salted = fact.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt)))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

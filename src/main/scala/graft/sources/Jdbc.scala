@@ -65,11 +65,28 @@ object Jdbc {
     * `batchSize` batches — the reference's
     * `cur.executemany(query, rows[i:i+1000])` loop
     * (interpro/mysql/entries.py:241-295), distributed.
+    *
+    * `deleteKeyCol`: retry/replay idempotence. A partition's
+    * transaction rolls back if the task dies mid-write, but a task
+    * re-run AFTER its commit (stage retry on a cluster fetch failure)
+    * would re-insert every row. When `deleteKeyCol` is set (it must
+    * lead `sortCols`, so its groups arrive contiguously), the writer
+    * issues `DELETE ... WHERE key = ?` the first time each key group
+    * appears — inside the same transaction as the inserts — so a
+    * replayed task first removes its own previous attempt's rows.
+    * Exactly-once then holds under any sequential re-execution;
+    * CONCURRENT duplicate attempts (speculation) are still unsafe on
+    * a sink with no commit coordinator — disable speculation for JDBC
+    * sink stages, as Spark's own JDBC writer requires.
     */
   def bulkLoadSorted(df: DataFrame, sortCols: Seq[String], url: String,
-                     table: String, batchSize: Int = 1000): Unit =
+                     table: String, batchSize: Int = 1000,
+                     deleteKeyCol: Option[String] = None): Unit = {
+    require(deleteKeyCol.forall(sortCols.headOption.contains),
+      s"deleteKeyCol $deleteKeyCol must lead sortCols $sortCols")
     loadPartitions(df.sortWithinPartitions(sortCols.map(df(_)): _*),
-      url, table, batchSize)
+      url, table, batchSize, deleteKeyCol)
+  }
 
   /** S12: hash-sharded parallel bulk load — the reference's Oracle
     * LOOKUP_MATCH sink list-partitions the table by a 3-char MD5
@@ -80,6 +97,12 @@ object Jdbc {
     * with no cross-partition contention), sort within the shard on the
     * hash, and run the same executemany loop — one connection per
     * shard, all shards concurrent.
+    *
+    * Replay-idempotent by construction: hash partitioning is
+    * deterministic, so a retried shard task owns exactly the same
+    * md5_prefix groups — each group's rows are deleted (same
+    * transaction) before being re-inserted, making a post-commit
+    * stage retry converge on one copy per row instead of two.
     */
   def bulkLoadHashSharded(df: DataFrame, hashCol: String, url: String,
                           table: String, prefixLen: Int = 3,
@@ -90,7 +113,7 @@ object Jdbc {
     loadPartitions(
       withPrefix.repartition(shards, col("md5_prefix"))
         .sortWithinPartitions(col("md5_prefix"), col(hashCol)),
-      url, table, batchSize)
+      url, table, batchSize, deleteKeyCol = Some("md5_prefix"))
   }
 
   /** Driver-side parameterized DML (UPDATE/DELETE/DDL) — the
@@ -128,8 +151,10 @@ object Jdbc {
   }
 
   private def loadPartitions(df: DataFrame, url: String,
-                             table: String, batchSize: Int): Unit = {
+                             table: String, batchSize: Int,
+                             deleteKeyCol: Option[String] = None): Unit = {
     val cols = df.schema.fieldNames.toSeq
+    val delIdx = deleteKeyCol.map(cols.indexOf).filter(_ >= 0)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           val conn = DriverManager.getConnection(url)
@@ -143,9 +168,29 @@ object Jdbc {
             val insert = s"""INSERT INTO $table (${cols.map(c => s"$q$c$q").mkString(", ")})
                              VALUES (${cols.map(_ => "?").mkString(", ")})"""
             val ps = conn.prepareStatement(insert)
+            // replay idempotence: rows arrive sorted by the delete key,
+            // so each key group is purged ONCE, just before its first
+            // insert, in the same transaction — a re-run of a committed
+            // task deletes its own previous rows instead of doubling
+            val del = delIdx.map(_ => conn.prepareStatement(
+              s"DELETE FROM $table WHERE $q${deleteKeyCol.get}$q = ?"))
             try {
               var inBatch = 0
+              var lastKey: Any = null
+              var keySeen = false
               rows.foreach { r =>
+                delIdx.foreach { di =>
+                  val k = r.get(di)
+                  if (!keySeen || k != lastKey) {
+                    // flush pending inserts so delete/insert order is
+                    // preserved inside the transaction
+                    if (inBatch > 0) { ps.executeBatch(); inBatch = 0 }
+                    del.get.setObject(1, k)
+                    del.get.executeUpdate()
+                    lastKey = k
+                    keySeen = true
+                  }
+                }
                 (0 until cols.length).foreach(i => ps.setObject(i + 1, r.get(i)))
                 ps.addBatch()
                 inBatch += 1
@@ -153,7 +198,7 @@ object Jdbc {
               }
               if (inBatch > 0) ps.executeBatch()
               conn.commit()
-            } finally ps.close()
+            } finally { del.foreach(_.close()); ps.close() }
           } finally conn.close()
         }
       }

@@ -84,9 +84,17 @@ class JdbcRoundTripSpec extends SparkSpec {
   test("S12: md5-prefix-sharded parallel bulk load") {
     val conn = DriverManager.getConnection(url)
     try {
-      conn.createStatement().executeUpdate(
+      val st = conn.createStatement()
+      st.executeUpdate(
         """CREATE TABLE graft_md5 ("id" BIGINT, "name" VARCHAR(64),
           |"score" DOUBLE, "md5_prefix" CHAR(3))""".stripMargin.replace("\n", " "))
+      // the production target is LIST-partitioned by the shard key
+      // (each shard's delete touches only its own partition); Derby
+      // has no list partitioning, so without an index its per-key
+      // DELETE table-scans across the other shards' uncommitted
+      // inserts and deadlocks — the index restores the disjointness
+      st.executeUpdate("""CREATE INDEX graft_md5_pfx ON graft_md5 ("md5_prefix")""")
+      st.close()
     } finally conn.close()
 
     Jdbc.bulkLoadHashSharded(seedFrame, "id", url, "graft_md5",
@@ -109,6 +117,53 @@ class JdbcRoundTripSpec extends SparkSpec {
       .select(col("p"), spark_partition_id().as("pid"))
       .groupBy("p").agg(countDistinct("pid").as("n"))
     assert(parts.filter(col("n") > 1).count() === 0)
+  }
+
+  test("bulk loads are replay-idempotent (post-commit task re-run)") {
+    // A task re-executed AFTER its transaction committed (cluster
+    // stage retry on a fetch failure) re-runs the same deterministic
+    // partition. The delete-first transaction must converge on one
+    // copy per row; the plain append path doubles — which is why the
+    // sharded loader always passes its shard key as the delete key.
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE graft_replay ("id" BIGINT, "name" VARCHAR(64),
+          |"score" DOUBLE, "md5_prefix" CHAR(3))""".stripMargin.replace("\n", " "))
+      // see S12: the index stands in for the target's LIST partitioning
+      st.executeUpdate(
+        """CREATE INDEX graft_replay_pfx ON graft_replay ("md5_prefix")""")
+      st.executeUpdate(
+        """CREATE TABLE graft_replay_plain ("k" BIGINT, "name" VARCHAR(64))""")
+      st.executeUpdate(
+        """CREATE INDEX graft_replay_plain_k ON graft_replay_plain ("k")""")
+      st.close()
+    } finally conn.close()
+
+    def loadSharded(): Unit = Jdbc.bulkLoadHashSharded(seedFrame, "id",
+      url, "graft_replay", prefixLen = 3, shards = 8, batchSize = 64)
+    loadSharded(); loadSharded() // second pass = every shard task replayed
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "graft_replay").load()
+    assert(back.count() === 1000, "replayed sharded load must not duplicate")
+    assert(back.select(countDistinct("id")).head.getLong(0) === 1000)
+
+    // the sorted loader: idempotent exactly when a delete key is given
+    val kv = seedFrame.select(col("id").as("k"), col("name")).repartition(3)
+    Jdbc.bulkLoadSorted(kv, Seq("k"), url, "graft_replay_plain",
+      batchSize = 100, deleteKeyCol = Some("k"))
+    Jdbc.bulkLoadSorted(kv, Seq("k"), url, "graft_replay_plain",
+      batchSize = 100, deleteKeyCol = Some("k"))
+    val kvBack = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "graft_replay_plain").load()
+    assert(kvBack.count() === 1000)
+    // and without one, the second pass appends: the honest default
+    Jdbc.bulkLoadSorted(kv, Seq("k"), url, "graft_replay_plain",
+      batchSize = 100)
+    assert(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "graft_replay_plain").load()
+      .count() === 2000)
   }
 
   test("frozen-state update mirrors pronto.py (partial SETs, no-op on empty)") {

@@ -28,9 +28,18 @@ class SkewAndPruningSpec extends SparkSpec {
     // the hot key's rows really spread: with 8 salts the hot key
     // occupies up to 8 distinct (k, salt) join groups
     val spread = fact.withColumn("__salt",
-        pmod(hash(col("k"), monotonically_increasing_id()), lit(8)))
+        pmod(xxhash64(col("k"), col("payload")), lit(8)))
       .filter(col("k") === 7).select(countDistinct(col("__salt"))).head.getLong(0)
     assert(spread > 1, s"hot key stayed on $spread salt(s)")
+    // and the salted plan is fully DETERMINISTIC: a nondeterministic
+    // salt (e.g. monotonically_increasing_id) marks the map stage
+    // indeterminate, turning every cluster fetch failure into a whole-
+    // stage + downstream rollback instead of a one-task retry
+    def allDeterministic(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.expressions.forall(_.collect { case e if !e.deterministic => e }.isEmpty) &&
+        p.children.forall(allDeterministic)
+    assert(allDeterministic(salted.queryExecution.optimizedPlan),
+      "salted join plan carries a nondeterministic expression")
   }
 
   test("orderedPairs: big path returns identical pairs to the in-array path") {
