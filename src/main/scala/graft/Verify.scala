@@ -8,8 +8,24 @@ object Verify {
     val Array(sfDir, outDir, rest @ _*) = args
     val only = rest.toSet // optional query-name filter for local iteration
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER=local-cluster[3,4,2048] runs the whole gate on
+    // a real multi-process mini-cluster (the ExecutorLossDrill posture):
+    // every query then proves itself over genuine cross-process shuffle
+    // fetches and executor-side classloading, not one shared JVM. The
+    // app classes and JDK17 module opens must ship to the executor
+    // processes explicitly; both knobs are no-ops for local[N].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val execOpens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
+      .config("spark.executor.extraClassPath",
+        "/root/repo/target/scala-2.13/classes")
+      .config("spark.executor.extraJavaOptions", execOpens)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         SparkLocal.initialShufflePartitions(sfDir, cpus.toInt))
