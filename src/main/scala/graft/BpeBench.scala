@@ -1,5 +1,7 @@
 package graft
 
+import graft.ops.Loops.LoopOps
+
 /** A/B harness for the batched BPE trainer (r13 carried item): trains
   * `rounds` merges over `sfDir`'s documents at a given `batchM` and
   * prints one JSON line with pass count, scheduler job count, and wall
@@ -28,7 +30,7 @@ object BpeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counts = graft.ops.Bpe.wordCounts(Tables.documents(spark, sfDir), "text")
-      .localCheckpoint(true)
+      .loopCheckpoint()
     val vocab = counts.count()
     val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val t0 = System.nanoTime()

@@ -119,14 +119,77 @@ object ExecutorLossDrill {
       .select(col("k"), col("v"))
     val kvOk = fp(kvIn) == fp(kvBack)
 
-    val ok = aggClean == aggKilled && kvOk && removed.get() >= 2
+    // drill 3: an ITERATIVE loop (the pagerank/label-prop/BPE shape:
+    // per-round lineage truncation via Loops.loopCheckpoint) with an
+    // executor killed BETWEEN rounds. Default mode pins the measured
+    // fragility — localCheckpoint blocks die with their executor and
+    // the next round fails CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (reported,
+    // not gated: it is the documented local-mode trade). Reliable mode
+    // (spark.graft.reliableLoops=true) MUST survive the same kill and
+    // converge bit-identically to the clean run.
+    import graft.ops.Loops.LoopOps
+    val edges = {
+      val e = lineitem.select(col("l_suppkey").cast("long").as("src"),
+        (lit(10000L) + col("l_partkey") % 100).as("dst")).distinct()
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    def killOneExecutor(): Unit = {
+      val mp = marker()
+      import spark.implicits._
+      try spark.range(0, 12).repartition(12).as[java.lang.Long]
+        .mapPartitions { it =>
+          if (new java.io.File(mp).createNewFile()) Runtime.getRuntime.halt(99)
+          it
+        }.count()
+      catch { case _: Throwable => () } // the killer job itself may die with its executor
+      Thread.sleep(2000) // let the master register the loss
+    }
+    def minLabelLoop(killBetweenRounds: Boolean): DataFrame = {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .repartition(12, col("node")).loopCheckpoint()
+      for (i <- 1 to 3) {
+        labels = edges.join(labels, edges("src") === labels("node"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+          .join(labels.select(col("node"), col("label")),
+            col("dst") === col("node"))
+          .select(col("node"), least(col("label"), col("nl")).as("label"))
+          .loopCheckpoint()
+        // kill TWO of the three executors: replacements spawned by the
+        // earlier drills hold no blocks, so a single random kill can
+        // miss the block holders — two of three cannot
+        if (killBetweenRounds && i == 1) { killOneExecutor(); killOneExecutor() }
+      }
+      labels
+    }
+    val loopClean = fp(minLabelLoop(killBetweenRounds = false))
+    val localLoopFailure =
+      try { fp(minLabelLoop(killBetweenRounds = true)); "survived" }
+      catch { case e: Throwable =>
+        val m = String.valueOf(e.getMessage)
+        if (m.contains("CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND")) "ckpt_block_lost"
+        else e.getClass.getSimpleName }
+    spark.conf.set(graft.ops.Loops.ReliableConf, "true")
+    val reliableKilled =
+      try Some(fp(minLabelLoop(killBetweenRounds = true)))
+      catch { case e: Throwable =>
+        System.err.println(s"[drill] reliable loop died: $e"); None }
+    spark.conf.set(graft.ops.Loops.ReliableConf, "false")
+    val loopOk = reliableKilled.contains(loopClean)
+
+    val ok = aggClean == aggKilled && kvOk && loopOk && removed.get() >= 4
     System.err.println(s"agg clean=$aggClean killed=$aggKilled " +
-      s"kv_in=${fp(kvIn)} kv_back=${fp(kvBack)} removed=${removed.get()}")
+      s"kv_in=${fp(kvIn)} kv_back=${fp(kvBack)} " +
+      s"loop clean=$loopClean reliableKilled=$reliableKilled " +
+      s"localLoop=$localLoopFailure removed=${removed.get()}")
     println(s"""{"tool":"executor_loss_drill","sf":"$sfDir",""" +
       s""""executors_removed":${removed.get()},""" +
       s""""agg_removed":$aggRemoved,""" +
       s""""agg":${if (aggClean == aggKilled) "\"match\"" else "\"MISMATCH\""},""" +
-      s""""kv_write":${if (kvOk) "\"match\"" else "\"MISMATCH\""},"ok":$ok}""")
+      s""""kv_write":${if (kvOk) "\"match\"" else "\"MISMATCH\""},""" +
+      s""""local_loop_under_loss":"$localLoopFailure",""" +
+      s""""reliable_loop_under_loss":${if (loopOk) "\"match\"" else "\"MISMATCH\""},""" +
+      s""""ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

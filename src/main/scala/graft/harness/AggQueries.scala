@@ -5,6 +5,7 @@ import graft.ops.{RelOps, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ops.Loops.LoopOps
 
 /** Aggregation operators (SURVEY.md §2.4 A1-A15). The reference's
   * KVStoreBuilder shuffle/spill/reduce and recursive dict merges all map
@@ -480,7 +481,7 @@ object AggQueries {
       // checkpoint the set frame: orderedPairs consumes it in both its
       // small/big branches and the 18M-row-at-30x fact aggregation must
       // not run twice (blocks reclaimed by Bench's ephemeral sweep)
-      val pairs = RelOps.orderedPairs(sets.localCheckpoint(true),
+      val pairs = RelOps.orderedPairs(sets.loopCheckpoint(),
           Seq("l_orderkey"), "ps")
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
       // the per-item frequency table is DIMENSION-sized (distinct

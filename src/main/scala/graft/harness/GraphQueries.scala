@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ops.Loops.LoopOps
 
 /** Graph analytics over harness-derived edge sets — the iterative and
   * multiway-self-join shapes (PageRank power iteration, ordered
@@ -111,7 +112,7 @@ object GraphQueries {
           .select(nodes("node"), nodes("deg"),
             round(lit(1 - PrDamp) / n +
               lit(PrDamp) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
-          .localCheckpoint(true)
+          .loopCheckpoint()
       }
       // the final ranks are checkpoint-materialized; the loop inputs
       // can release immediately
@@ -217,7 +218,7 @@ object GraphQueries {
       var labels = sym.select(col("src").as("node")).distinct()
         .filter(col("node") < BfsSeeds)
         .withColumn("depth", lit(0))
-        .localCheckpoint()
+        .loopCheckpoint()
       for (i <- 1 to BfsHops) {
         val frontier = labels.filter(col("depth") === i - 1)
           .select(col("node").as("fn"))
@@ -226,7 +227,7 @@ object GraphQueries {
           .join(broadcast(labels.select(col("node"))), Seq("node"),
             "left_anti")
           .withColumn("depth", lit(i))
-        labels = labels.unionByName(next).localCheckpoint()
+        labels = labels.unionByName(next).loopCheckpoint()
       }
       sym.unpersist(blocking = false)
       labels
@@ -257,14 +258,14 @@ object GraphQueries {
       sym.count()
       var labels = sym.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
-        .localCheckpoint()
+        .loopCheckpoint()
       for (_ <- 1 to LpIters) {
         labels = sym.join(broadcast(labels), sym("src") === labels("node"))
           .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("dst"))
           .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("b"))
           .select(col("dst").as("node"), (-col("b.nl")).as("label"))
-          .localCheckpoint()
+          .loopCheckpoint()
       }
       sym.unpersist(blocking = false)
       labels
@@ -301,13 +302,13 @@ object GraphQueries {
         .join(broadcast(alive.select(col("node").as("adst"))),
           col("dst") === col("adst"))
         .select(col("src"), col("dst"))
-      var alive = survivors(sym).localCheckpoint(true)
+      var alive = survivors(sym).loopCheckpoint()
       for (_ <- 2 to KcoreRounds)
-        alive = survivors(peel(alive)).localCheckpoint(true)
+        alive = survivors(peel(alive)).loopCheckpoint()
       val out = peel(alive)
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
-        .localCheckpoint(true)
+        .loopCheckpoint()
       sym.unpersist(blocking = false)
       out
     })

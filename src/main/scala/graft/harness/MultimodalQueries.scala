@@ -4,6 +4,7 @@ import graft.Tables
 import graft.ops.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Loops.LoopOps
 
 /** Multimodal-column plumbing (north-star): media as opaque `binary`
   * columns with typed metadata. The test tables carry no real media,
@@ -103,7 +104,7 @@ object MultimodalQueries {
             concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
               .cast("binary").as("blob"))
           .filter(length(col("blob")) > 0))
-        .localCheckpoint()
+        .loopCheckpoint()
       val blocks = sig.select(col("doc_id"), explode(array(
         (0 until 4).map(b =>
           concat(lit(s"$b:"), substring(col("sig"), 1 + b * 16, 16))): _*))

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.ops.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Loops.LoopOps
 
 /** Text-analysis operators for training-data pipelines (north-star ops
   * beyond the reference's surface): token stats, quality scoring,
@@ -44,7 +45,7 @@ object TextQueries {
     // agg_similarity's checkpointed set frame.
     val docTris = docs.select(col("doc_id"), col("lang"),
       call_function("char_ngrams_distinct", col("text"), lit(3)).as("tris"))
-      .localCheckpoint(true)
+      .loopCheckpoint()
     val prof = trainOn(docTris)
       .select(col("lang"), explode(col("tris")).as("tri"))
       .groupBy(col("lang").as("plang"), col("tri"))

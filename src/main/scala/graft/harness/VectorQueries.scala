@@ -5,6 +5,7 @@ import graft.ops.{TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.ops.Loops.LoopOps
 
 /** Similarity search over the `embeddings` table (north-star ops):
   * brute-force cosine top-k as the correctness baseline, with
@@ -334,7 +335,7 @@ object VectorQueries {
             x => x("m")).as("cv"))
           .select(col("cell").as("cid"), col("cv"),
             VectorOps.norm(col("cv")).as("cn"))
-          .localCheckpoint()
+          .loopCheckpoint()
       }
       assign(emb, cents, 1).select(col("vec_id"), col("cell"))
     }),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Loops.LoopOps
 
 /** Corpus-scale BPE tokenizer TRAINING (Sennrich et al. 2016,
   * arXiv:1508.07909) — the learning half next to `text_bpe_tokens`'s
@@ -259,7 +260,7 @@ object Bpe {
       }
       // cache the working frame: every pass reads it twice (pair
       // census + re-segmentation); it is vocab-sized by construction
-      .localCheckpoint(true)
+      .loopCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var passes = 0
     var exhausted = false
@@ -288,7 +289,7 @@ object Bpe {
           var s = ws.syms
           ms.foreach { case (l, r) => s = mergePair(s, l, r) }
           ws.copy(syms = s)
-        }.localCheckpoint(true)
+        }.loopCheckpoint()
         // the new checkpoint is materialized (eager) and no longer
         // reads from the previous pass's blocks — release them, or
         // block-manager storage grows O(passes x vocab) over a

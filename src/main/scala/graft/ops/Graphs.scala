@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.ops.Loops.LoopOps
 
 /** Tree/graph helpers. The reference materializes taxonomy lineage
   * arrays once by parent-pointer chasing (interpro/oracle/taxa.py:38-53)
@@ -30,7 +31,7 @@ object Graphs {
       // Catalyst does not re-optimize a lineage that grows by one join
       // per level (quadratic planning time); blocks of superseded
       // levels are reclaimed by the context cleaner once unreferenced
-      cur = cur.localCheckpoint(eager = false) // materialized by the count
+      cur = cur.loopCheckpoint(eager = false) // materialized by the count
       remaining = cur.filter(col("__cursor").isNotNull).count()
       if (remaining > 0) {
         val up = edges.select(col("__id").as("__pid"), col("__p").as("__pp"))
@@ -109,7 +110,7 @@ object Graphs {
     var labels = symB.select(col("__a").as("__n")).distinct()
       .withColumn("__l", col("__n"))
       .repartition(loopParts, col("__n"))
-      .localCheckpoint()
+      .loopCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -136,7 +137,7 @@ object Graphs {
             col("__l") === col("__jn"))
           .select(col("__n"), least(col("__l"), col("__jl")).as("__l"),
             col("__old"))
-        ).localCheckpoint(eager = false) // materialized by the count
+        ).loopCheckpoint(eager = false) // materialized by the count
       changed = next.filter(col("__l") =!= col("__old")).count()
       // restore hash(__n, loopParts) so the next iteration's joins
       // align exchange-free regardless of which branch produced `next`

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Loops.LoopOps
 
 /** Per-entry taxonomy distribution trees over the MAIN ranks
   * (interpro7dw/interpro/xrefs/entries.py:16-25,349-466).
@@ -93,7 +94,7 @@ object TaxaTree {
       // both the per-level counts below AND the root totals consume
       // this frame; checkpointing it runs the closure+pivot+join
       // upstream once instead of twice
-      .localCheckpoint()
+      .loopCheckpoint()
 
     // Node identity is the FULL PATH of uids, not the uid alone: when
     // a descendant overrides a higher rank slot (real taxonomies have
@@ -127,7 +128,7 @@ object TaxaTree {
       // unpersisted at a safe point and would leak one cached frame
       // per invocation. Checkpoint blocks are reclaimed by the context
       // cleaner once the returned plan is unreferenced.
-      .localCheckpoint()
+      .loopCheckpoint()
 
     // bottom-up assembly: per level, attach the (sorted) children
     // JSON built one level below, emit this level's node JSON, regroup
