@@ -81,6 +81,12 @@ object ExecutorLossDrill {
         "/root/repo/target/scala-2.13/classes")
       .config("spark.executor.extraJavaOptions", addOpens)
       .config("spark.sql.shuffle.partitions", "16")
+      // AQE off: at drill scale its partition coalescing collapses the
+      // loop frames to ONE block on ONE executor, making the
+      // default-mode block-loss outcome a 1-in-3 coin flip instead of
+      // deterministic (every executor must hold blocks so the first
+      // kill always hits a holder)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -95,31 +101,7 @@ object ExecutorLossDrill {
     val lineitem = Tables.lineitem(spark, sfDir)
     val orders = Tables.orders(spark, sfDir)
 
-    // drill 1: kill an executor in the REDUCE stage of an agg → its
-    // map outputs vanish → surviving reducers FetchFail → lost map
-    // partitions resubmit → same answer
-    def agg(wrap: DataFrame => DataFrame): DataFrame =
-      wrap(lineitem.select(col("l_orderkey"), col("l_quantity"))
-        .repartition(16, col("l_orderkey")))
-        .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
-    val aggClean = fp(agg(identity))
-    val aggKilled = fp(agg(killer(_, marker())))
-    val aggRemoved = removed.get()
-
-    // drill 2: kill an executor mid-DSv2-write → its in-flight
-    // DataWriters die uncommitted, retried partitions rewrite, the
-    // job-level truncate-commit keeps exactly the committed files
-    val kvDir = java.nio.file.Files.createTempDirectory("graft-losskv").toString
-    val kvIn = orders.select(col("o_orderkey").cast("string").as("k"),
-      col("o_totalprice").cast("string").as("v"))
-    killer(kvIn.repartition(16, col("k")), marker())
-      .write.format("graftkv").option("bucketsize", 256).mode("append").save(kvDir)
-    val kvBack = spark.read.format("graftkv").load(kvDir)
-      .select(col("k"), col("v"))
-    val kvOk = fp(kvIn) == fp(kvBack)
-
-    // drill 3: an ITERATIVE loop (the pagerank/label-prop/BPE shape:
+    // drill 1 (FIRST, on the fresh cluster): an ITERATIVE loop (the pagerank/label-prop/BPE shape:
     // per-round lineage truncation via Loops.loopCheckpoint) with an
     // executor killed BETWEEN rounds. Default mode pins the measured
     // fragility — localCheckpoint blocks die with their executor and
@@ -155,13 +137,19 @@ object ExecutorLossDrill {
             col("dst") === col("node"))
           .select(col("node"), least(col("label"), col("nl")).as("label"))
           .loopCheckpoint()
-        // kill TWO of the three executors: replacements spawned by the
-        // earlier drills hold no blocks, so a single random kill can
-        // miss the block holders — two of three cannot
+        // kill TWO of the three executors. This drill runs FIRST so
+        // all three fresh executors hold checkpoint blocks: the first
+        // kill always hits a block holder, making the default-mode
+        // block loss deterministic (later drills spawn block-less
+        // replacement executors that a random kill can land on)
         if (killBetweenRounds && i == 1) { killOneExecutor(); killOneExecutor() }
       }
       labels
     }
+    // Loops defaults to RELIABLE on any non-local master (this drill's
+    // mini-cluster included) — pin each mode explicitly so the drill
+    // measures both halves rather than the default
+    spark.conf.set(graft.ops.Loops.ReliableConf, "false")
     val loopClean = fp(minLabelLoop(killBetweenRounds = false))
     val localLoopFailure =
       try { fp(minLabelLoop(killBetweenRounds = true)); "survived" }
@@ -176,6 +164,30 @@ object ExecutorLossDrill {
         System.err.println(s"[drill] reliable loop died: $e"); None }
     spark.conf.set(graft.ops.Loops.ReliableConf, "false")
     val loopOk = reliableKilled.contains(loopClean)
+
+    // drill 2: kill an executor in the REDUCE stage of an agg → its
+    // map outputs vanish → surviving reducers FetchFail → lost map
+    // partitions resubmit → same answer
+    def agg(wrap: DataFrame => DataFrame): DataFrame =
+      wrap(lineitem.select(col("l_orderkey"), col("l_quantity"))
+        .repartition(16, col("l_orderkey")))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+    val aggClean = fp(agg(identity))
+    val aggKilled = fp(agg(killer(_, marker())))
+    val aggRemoved = removed.get()
+
+    // drill 3: kill an executor mid-DSv2-write → its in-flight
+    // DataWriters die uncommitted, retried partitions rewrite, the
+    // job-level truncate-commit keeps exactly the committed files
+    val kvDir = java.nio.file.Files.createTempDirectory("graft-losskv").toString
+    val kvIn = orders.select(col("o_orderkey").cast("string").as("k"),
+      col("o_totalprice").cast("string").as("v"))
+    killer(kvIn.repartition(16, col("k")), marker())
+      .write.format("graftkv").option("bucketsize", 256).mode("append").save(kvDir)
+    val kvBack = spark.read.format("graftkv").load(kvDir)
+      .select(col("k"), col("v"))
+    val kvOk = fp(kvIn) == fp(kvBack)
 
     val ok = aggClean == aggKilled && kvOk && loopOk && removed.get() >= 4
     System.err.println(s"agg clean=$aggClean killed=$aggKilled " +

@@ -28,9 +28,19 @@ import org.apache.spark.sql.Dataset
 object Loops {
   val ReliableConf = "spark.graft.reliableLoops"
 
+  /** Unset, the conf defaults to the master's nature: a single-JVM
+    * local master keeps localCheckpoint (fast, and its one executor
+    * cannot "lose" blocks without losing the app), while ANY real
+    * cluster master defaults to reliable — a library user deploying
+    * on an autoscaled cluster gets survivable loops without reading
+    * this file; the drills set the conf explicitly to measure each
+    * mode.
+    */
   def materialize[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] = {
     val ss = ds.sparkSession
-    if (ss.conf.get(ReliableConf, "false").toBoolean) {
+    val reliable = ss.conf.getOption(ReliableConf)
+      .map(_.toBoolean).getOrElse(!ss.sparkContext.isLocal)
+    if (reliable) {
       if (ss.sparkContext.getCheckpointDir.isEmpty)
         ss.sparkContext.setCheckpointDir(java.nio.file.Files
           .createTempDirectory("graft-reliable-ckpt").toString)
