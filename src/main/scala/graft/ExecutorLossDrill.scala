@@ -57,7 +57,7 @@ object ExecutorLossDrill {
 
   private def fp(df: DataFrame): (Long, String) = {
     val r = df.select(count(lit(1)),
-      sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)"))).head
+      sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)"))).head()
     (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
   }
 
