@@ -92,6 +92,10 @@ object ExecutorLossDrill {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // all three executor JVMs share this machine's filesystem, so a
+    // shared tmp checkpoint dir is correct HERE and declared up front
+    // (Loops fails fast rather than inventing one on non-local masters)
+    SparkLocal.singleMachineCheckpointDir(spark)
     val removed = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =

@@ -34,6 +34,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the local-cluster gate runs reliable loops; its executors share
+    // this machine's filesystem, so a shared tmp checkpoint dir is the
+    // explicit, correct topology statement (Loops itself fails fast)
+    SparkLocal.singleMachineCheckpointDir(spark)
     new java.io.File(outDir).mkdirs()
     // family-by-family with shared-frame release between families —
     // same discipline as Bench (see SharedFrames.release)

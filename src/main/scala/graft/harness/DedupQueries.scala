@@ -249,17 +249,24 @@ object DedupQueries {
   /** (da, db, siga, sigb, dist) — verified hamming-radius pairs from
     * the capped per-block equi-join; shared by dedup_simhash_hamming
     * and the dedup_simhash_eval gauge. Hot-block backstop
-    * (SimBlockCap): identical-signature template mass pins all four
-    * blocks, so over-cap blocks are dropped.
+    * (SimBlockCap) with WITNESS-POOL semantics (r17, the lshCandidates
+    * posture applied here — over-cap blocks were previously dropped):
+    * identical-signature template mass pins all four blocks, so the
+    * LEFT side of each block's self-join is the block's SimBlockCap
+    * lowest ids (bounded-heap top-k, no window sort) while the right
+    * side stays the full membership — cost ≤ cap·|block| per block,
+    * and every template member still pairs with the block's lowest-id
+    * witnesses, so downstream components collapse the cluster; what
+    * the cap trades is only non-witness×non-witness pairs, gauged by
+    * dedup_simhash_eval.
     */
   private def hammingPairsFrame(sig: DataFrame): DataFrame = {
     val blocks0 = simBlocksFrame(sig)
-    val blocks = blocks0.join(
-      blocks0.groupBy(col("bk")).agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") <= SimBlockCap).select(col("bk")),
-      Seq("bk"))
-    val cand = blocks.select(col("doc_id").as("da"), col("bk"))
-      .join(blocks.select(col("doc_id").as("db"), col("bk").as("__bk2")),
+    val wit = graft.ops.RelOps.topKPerGroupExact(blocks0,
+      Seq(col("bk")), Seq(col("doc_id")), SimBlockCap)
+      .select(col("doc_id"), col("bk"))
+    val cand = wit.select(col("doc_id").as("da"), col("bk"))
+      .join(blocks0.select(col("doc_id").as("db"), col("bk").as("__bk2")),
         col("bk") === col("__bk2") && col("da") < col("db"))
       .select("da", "db").distinct()
     // native codegen'd byte loop (graft.functions.HammingBits): one
@@ -387,25 +394,28 @@ object DedupQueries {
     // all-pairs comparison — the same band trick as MinHash LSH, and
     // deterministic rather than probabilistic. The pigeonhole
     // guarantee is exact UNLESS every block a pair agrees on is over
-    // SimBlockCap (such blocks are dropped; identical-signature
-    // template mass is still reported linearly by dedup_simhash's
-    // groups, and dedup_simhash_eval gauges the radius-0 recall the
-    // cap trades). Verification = popcount of the bit disagreement
-    // over the joined signatures.
+    // SimBlockCap AND neither member is among any such block's
+    // witness pool (r17: over-cap blocks keep their cap lowest ids as
+    // a left-side witness pool instead of being dropped, so template
+    // clusters still surface and collapse; dedup_simhash_eval gauges
+    // the residual radius-0 pair recall). Verification = popcount of
+    // the bit disagreement over the joined signatures.
     "dedup_simhash_hamming" -> ((s, d) =>
       hammingPairsFrame(simhashFrame(s, d))),
 
     // SimBlockCap quality gauge (the dedup_lsh_eval posture applied to
     // the simhash cap): what fraction of the RADIUS-0 truth — the only
     // hamming truth countable without pair expansion, and exactly the
-    // identical-signature template mass the cap drops — does the
+    // identical-signature template mass the cap bounds — does the
     // capped block join still surface? Truth pairs are an equivalence
     // class, so their count is Σ n·(n-1)/2 over signature groups: one
     // linear agg, no quadratic side anywhere. Radius ≥ 1 misses are
     // not counted here (a pair is lost only when EVERY agreeing block
-    // is over cap, which at every tested skew happens only for the
-    // radius-0 template slice); n_hot_blocks reports how many blocks
-    // the cap actually silenced.
+    // is over cap and neither member is a witness, which at every
+    // tested skew happens only for the radius-0 template slice);
+    // n_hot_blocks reports how many blocks run in witness-pool mode.
+    // What the pool trades at skew is non-witness×non-witness pairs —
+    // the component-level collapse is gauged by dedup_components_eval.
     "dedup_simhash_eval" -> ((s, d) => {
       val sig = simhashFrame(s, d)
       val truth = sig.groupBy(col("sig")).agg(count(lit(1)).as("n"))
@@ -562,8 +572,9 @@ object DedupQueries {
 
     // Edit-distance near-dup over document heads: first-token blocking
     // (a typo'd copy almost always keeps the first word) with a
-    // hot-block cap — a block of > BlockCap docs is boilerplate, not
-    // duplication, and uncapped it goes quadratic at corpus scale —
+    // hot-block witness pool — a block of > BlockCap docs is template
+    // mass whose uncapped self-join goes quadratic at corpus scale, so
+    // it pairs only against its cap lowest ids (cappedSelfJoin r17) —
     // then exact levenshtein over the 32-char heads within each block.
     // The DP distance itself is the irreducible kernel; everything
     // around it is one keyed self-join.
@@ -617,16 +628,16 @@ object DedupQueries {
           concat(lit(s"$b/"), col("label").cast("string"), lit("/"),
             VectorOps.lshBucket(col("__v"),
               all.slice(b * EmbPlanes, (b + 1) * EmbPlanes)))): _*)))
-      // hot-block backstop (BlockCap, the editdistance/phash cap): a
-      // hot near-identical POINT gets identical sign bits under EVERY
-      // hyperplane — more planes cannot split it — so its (band,
-      // label, bucket) block grows with the corpus and the pair join
-      // goes quadratic; over-cap blocks are template mass, dropped
-      val blocked = blocked0.join(
-        blocked0.groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= BlockCap).select(col("__bk")),
-        Seq("__bk"))
-      VectorOps.blockedPairs(blocked, "vec_id", "embedding", "__bk")
+      // hot-block backstop (BlockCap) with witness-pool semantics
+      // (r17): a hot near-identical POINT gets identical sign bits
+      // under EVERY hyperplane — more planes cannot split it — so its
+      // (band, label, bucket) block grows with the corpus and an
+      // uncapped pair join goes quadratic. The pool keeps the left
+      // side at the block's BlockCap lowest ids (≤ cap·|block| pairs)
+      // instead of dropping the block, so the hot point's cluster
+      // still surfaces and collapses downstream.
+      VectorOps.blockedPairs(blocked0, "vec_id", "embedding", "__bk",
+          leftCap = BlockCap)
         .filter(col("sim") >= 0.4)
         .select(split(col("__bk"), "/").getItem(1).cast("int").as("label"),
           col("ida"), col("idb"), col("sim"))
@@ -874,12 +885,13 @@ object DedupQueries {
           pk AS (SELECT doc_id, $simhashPackCols FROM tok GROUP BY doc_id),
           sig AS (SELECT doc_id, $simhashBits AS sig FROM pk),
           blocks0 AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
-          blocks AS (SELECT doc_id, bk FROM blocks0
-                     JOIN (SELECT bk FROM blocks0 GROUP BY bk
-                           HAVING COUNT(*) <= $SimBlockCap) cool
-                     USING (bk)),
+          wit AS (SELECT doc_id, bk FROM (
+                    SELECT doc_id, bk,
+                           ROW_NUMBER() OVER (PARTITION BY bk
+                                              ORDER BY doc_id) AS rk
+                    FROM blocks0) z WHERE rk <= $SimBlockCap),
           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                   FROM blocks a JOIN blocks b
+                   FROM wit a JOIN blocks0 b
                      ON a.bk = b.bk AND a.doc_id < b.doc_id)
           SELECT da, db, sa.sig AS siga, sb.sig AS sigb,
                  CAST($dist AS BIGINT) AS dist
@@ -902,12 +914,13 @@ object DedupQueries {
           t AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
                          AS n_truth0 FROM g),
           blocks0 AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
-          blocks AS (SELECT doc_id, bk FROM blocks0
-                     JOIN (SELECT bk FROM blocks0 GROUP BY bk
-                           HAVING COUNT(*) <= $SimBlockCap) cool
-                     USING (bk)),
+          wit AS (SELECT doc_id, bk FROM (
+                    SELECT doc_id, bk,
+                           ROW_NUMBER() OVER (PARTITION BY bk
+                                              ORDER BY doc_id) AS rk
+                    FROM blocks0) z WHERE rk <= $SimBlockCap),
           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                   FROM blocks a JOIN blocks b
+                   FROM wit a JOIN blocks0 b
                      ON a.bk = b.bk AND a.doc_id < b.doc_id),
           f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found0 FROM cand
                 JOIN sig sa ON da = sa.doc_id
@@ -1045,14 +1058,19 @@ object DedupQueries {
                       ELSE COALESCE(a.new_text, '') END AS new_text
           FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "dedup_editdistance" ->
+      // hot blocks keep a witness pool of the BlockCap lowest ids on
+      // the LEFT join side (mirrors cappedSelfJoin's r17 semantics)
       s"""WITH h0 AS (SELECT doc_id, substr(text, 1, 32) AS head,
                              string_split(text, ' ')[1] AS t1
                       FROM documents),
-          ok AS (SELECT t1 FROM h0 GROUP BY t1 HAVING COUNT(*) <= $BlockCap),
-          h AS (SELECT h0.* FROM h0 JOIN ok USING (t1))
+          wit AS (SELECT doc_id, head, t1 FROM (
+                    SELECT doc_id, head, t1,
+                           ROW_NUMBER() OVER (PARTITION BY t1
+                                              ORDER BY doc_id) AS rk
+                    FROM h0) z WHERE rk <= $BlockCap)
           SELECT a.doc_id AS da, b.doc_id AS db, a.head AS ha, b.head AS hb,
                  CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
-          FROM h a JOIN h b ON a.t1 = b.t1 AND a.doc_id < b.doc_id
+          FROM wit a JOIN h0 b ON a.t1 = b.t1 AND a.doc_id < b.doc_id
           WHERE levenshtein(a.head, b.head) <= $LevMax""",
     "dedup_embedding" -> {
       val all = graft.ops.VectorOps.hyperplanes(EmbBands * EmbPlanes, EmbDim)
@@ -1067,12 +1085,14 @@ object DedupQueries {
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                      FROM embeddings),
           b0 AS (SELECT vec_id, label, v, unnest([$bandKeys]) AS bk FROM e),
-          b AS (SELECT vec_id, label, v, bk FROM b0
-                JOIN (SELECT bk FROM b0 GROUP BY bk
-                      HAVING COUNT(*) <= $BlockCap) cool USING (bk))
+          wit AS (SELECT vec_id, label, v, bk FROM (
+                    SELECT vec_id, label, v, bk,
+                           ROW_NUMBER() OVER (PARTITION BY bk
+                                              ORDER BY vec_id) AS rk
+                    FROM b0) z WHERE rk <= $BlockCap)
           SELECT DISTINCT a.label, a.vec_id AS ida, b2.vec_id AS idb,
                  round(list_cosine_similarity(a.v, b2.v), 6) AS sim
-          FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id
+          FROM wit a JOIN b0 b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id
           WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.4"""
     },
     "dedup_url" ->

@@ -15,8 +15,9 @@ import graft.ops.Loops.LoopOps
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  // max docs per pHash candidate block before the block is treated as
-  // degenerate content and skipped (see multimodal_phash)
+  // max witnesses per pHash candidate block: hotter blocks keep a
+  // pool of the cap lowest ids on the left join side instead of going
+  // quadratic (cappedSelfJoin's r17 witness semantics)
   private val PhashBlockCap = 1000
 
   val queries: Map[String, Q] = Map(
@@ -109,11 +110,12 @@ object MultimodalQueries {
         (0 until 4).map(b =>
           concat(lit(s"$b:"), substring(col("sig"), 1 + b * 16, 16))): _*))
         .as("bk"))
-      // hot-block cap (same rationale as edit-distance's BlockCap,
-      // added after the 30x rehearsal): a block shared by thousands of
-      // docs is degenerate content — near-uniform signatures at corpus
-      // scale (blank pages, boilerplate) — and uncapped it makes the
-      // candidate self-join quadratic in the duplicate-cluster size
+      // hot-block witness pool (same rationale as edit-distance's
+      // BlockCap; r17 semantics): a block shared by thousands of docs
+      // is near-uniform signature mass at corpus scale (blank pages,
+      // boilerplate) whose uncapped self-join is quadratic — the pool
+      // bounds it at cap·|block| while still pairing every member
+      // with the block's lowest-id witnesses.
       // block, cap, spread pair join — CorpusOps.cappedSelfJoin (the
       // shared expanding-join skeleton; explicit width is load-bearing)
       val parts = scala.util.Try(s.conf
@@ -339,11 +341,13 @@ object MultimodalQueries {
                           THEN '1' ELSE '0' END), '') AS sig
                   FROM t2),
           blocks AS (SELECT doc_id, unnest([$blockList]) AS bk FROM sig),
-          cool AS (SELECT bk FROM blocks GROUP BY bk
-                   HAVING COUNT(*) <= $PhashBlockCap),
-          capped AS (SELECT doc_id, bk FROM blocks JOIN cool USING (bk)),
+          wit AS (SELECT doc_id, bk FROM (
+                    SELECT doc_id, bk,
+                           ROW_NUMBER() OVER (PARTITION BY bk
+                                              ORDER BY doc_id) AS rk
+                    FROM blocks) z WHERE rk <= $PhashBlockCap),
           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                   FROM capped a JOIN capped b
+                   FROM wit a JOIN blocks b
                      ON a.bk = b.bk AND a.doc_id < b.doc_id)
           SELECT da, db, sa.sig AS siga, sb.sig AS sigb,
                  CAST($dist AS BIGINT) AS dist

@@ -429,35 +429,45 @@ object CorpusOps {
 
   /** Candidate pair generation inside capped blocks — the shared
     * skeleton of every "block, cap, self-join" near-dup path
-    * (edit-distance first-token blocks, pHash signature blocks):
-    * blocks with more than `cap` members are dropped (degenerate
-    * content — boilerplate, blank pages — whose pair count would grow
-    * quadratically with the duplicate-cluster size), and BOTH join
-    * sides are spread with a user-specified width on the block key.
-    * The explicit width is load-bearing: these block frames are a few
-    * MB of skinny rows, so AQE's size-based coalescing collapses the
-    * join's shuffle to ~one partition while the join OUTPUT is the
-    * multi-million-pair expansion — the whole per-pair kernel then
-    * runs on one core (the expanding-join rule in SCALE.md). A
-    * user-specified width is never coalesced and identical
-    * partitioning on both sides is reused by the sort-merge join.
-    * Returns one row per unordered pair: (da, db) plus
+    * (edit-distance first-token blocks, pHash signature blocks),
+    * carrying the WITNESS-POOL hot-block semantics of
+    * [[lshCandidates]] (r17 — previously over-cap blocks were DROPPED
+    * entirely, which silently passed >cap template clusters through
+    * downstream connected components; the r16 LSH fix, applied
+    * uniformly): the LEFT join side is restricted to each block's
+    * `cap` LOWEST ids (via the bounded-heap top-k operator — no
+    * window sort on the hot block), the RIGHT side stays the full
+    * membership. Blocks at or under the cap emit every pair,
+    * bit-identical to the uncapped join; an over-cap block emits each
+    * member paired with the block's lowest-id witnesses — ≤
+    * cap·|block| rows, linear in the block instead of quadratic — so
+    * template clusters (boilerplate, blank pages) still collapse onto
+    * one representative downstream, and only non-witness×non-witness
+    * pairs are traded (gauged by the family's *_eval queries).
+    *
+    * BOTH join sides are spread with a user-specified width on the
+    * block key. The explicit width is load-bearing: these block
+    * frames are a few MB of skinny rows, so AQE's size-based
+    * coalescing collapses the join's shuffle to ~one partition while
+    * the join OUTPUT is the multi-million-pair expansion — the whole
+    * per-pair kernel then runs on one core (the expanding-join rule
+    * in SCALE.md). A user-specified width is never coalesced and
+    * identical partitioning on both sides is reused by the sort-merge
+    * join. Returns one row per unordered pair: (da, db) plus
     * `payload` columns carried from each side as <c>_a / <c>_b.
     */
   def cappedSelfJoin(df: DataFrame, idCol: String, keyCol: String,
                      cap: Int, parts: Int,
                      payload: Seq[String] = Nil): DataFrame = {
-    val cool = df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") <= cap).select(col(keyCol))
-    val capped = df.join(cool, Seq(keyCol))
-    def side(suffix: String, id: String) = capped.select(
+    val wit = RelOps.topKPerGroupExact(df, Seq(col(keyCol)),
+      Seq(col(idCol)), cap).drop("rk")
+    def side(src: DataFrame, suffix: String, id: String) = src.select(
       (col(keyCol).as(if (suffix == "a") keyCol else s"__$keyCol") +:
         col(idCol).as(id) +:
         payload.map(c => col(c).as(s"${c}_$suffix"))): _*)
       .repartition(parts,
         if (suffix == "a") col(keyCol) else col(s"__$keyCol"))
-    side("a", "da").join(side("b", "db"),
+    side(wit, "a", "da").join(side(df, "b", "db"),
       col(keyCol) === col(s"__$keyCol") && col("da") < col("db"))
       .drop(s"__$keyCol")
   }

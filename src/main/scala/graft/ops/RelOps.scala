@@ -152,13 +152,28 @@ object RelOps {
     * fact with a row identity); fully-identical rows share a salt,
     * which only re-creates the straggler if ONE byte-identical row
     * dominates the key — a shape AQE's runtime skew split still
-    * handles downstream.
+    * handles downstream. Columns containing MapType anywhere in their
+    * type are excluded from the hash — xxhash64 rejects them with an
+    * AnalysisException (map ordering is undefined) — and the
+    * remaining columns spread just as well; a frame that is ONLY
+    * unhashable columns falls back to hashing the key alone
+    * (degenerate spread, but correct).
     */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
                      salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashCols = fact.schema.fields
+      .filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toIndexedSeq
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt)))
+      pmod(xxhash64((if (hashCols.nonEmpty) hashCols
+                     else IndexedSeq(col(key))): _*), lit(salt)))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -172,12 +172,28 @@ object VectorOps {
     * LSH bucket, coarse centroid id) turns the quadratic cross join
     * into a per-block join — the shape that survives 100 TB. Pairs are
     * emitted once (leftId < rightId).
+    *
+    * `leftCap` is the hot-block witness pool (the lshCandidates
+    * posture, r17 — previously callers DROPPED over-cap blocks): the
+    * left side of each block's self-join is restricted to the block's
+    * `leftCap` lowest ids via the bounded-heap top-k operator, the
+    * right side stays the full membership. Under-cap blocks emit every
+    * pair bit-identically to the uncapped join; a hot near-identical
+    * point (whose block no extra hyperplane can split) emits ≤
+    * leftCap·|block| pairs instead of |block|², and its cluster still
+    * collapses downstream because every member pairs with the lowest-
+    * id witnesses.
     */
-  def blockedPairs(df: DataFrame, id: String, vec: String, block: String): DataFrame = {
+  def blockedPairs(df: DataFrame, id: String, vec: String, block: String,
+                   leftCap: Int = Int.MaxValue): DataFrame = {
     val prepped = df
       .withColumn("__v", asDouble(col(vec)))
       .withColumn("__n", norm(col("__v")))
-    val a = prepped.select(col(block), col(id).as("ida"),
+    val left =
+      if (leftCap == Int.MaxValue) prepped
+      else RelOps.topKPerGroupExact(prepped, Seq(col(block)),
+        Seq(col(id)), leftCap).drop("rk")
+    val a = left.select(col(block), col(id).as("ida"),
       col("__v").as("va"), col("__n").as("na"))
     val b = prepped.select(col(block).as("__blk"), col(id).as("idb"),
       col("__v").as("vb"), col("__n").as("nb"))

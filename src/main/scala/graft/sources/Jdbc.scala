@@ -78,13 +78,28 @@ object Jdbc {
     * CONCURRENT duplicate attempts (speculation) are still unsafe on
     * a sink with no commit coordinator — disable speculation for JDBC
     * sink stages, as Spark's own JDBC writer requires.
+    *
+    * Delete-first is only safe when EVERY row of a key group lives in
+    * the partition issuing the group's DELETE — with non-unique keys
+    * spread across partitions, one partition's DELETE would erase
+    * another partition's already-committed rows for the same key,
+    * silently losing data even on a clean first load. So when
+    * `deleteKeyCol` is set the frame is REPARTITIONED BY THE KEY
+    * first (hash partitioning makes each key's rows partition-
+    * exclusive, exactly like bulkLoadHashSharded's prefix
+    * repartition); without a delete key the caller's partitioning is
+    * kept (pure append, order-free).
     */
   def bulkLoadSorted(df: DataFrame, sortCols: Seq[String], url: String,
                      table: String, batchSize: Int = 1000,
                      deleteKeyCol: Option[String] = None): Unit = {
     require(deleteKeyCol.forall(sortCols.headOption.contains),
       s"deleteKeyCol $deleteKeyCol must lead sortCols $sortCols")
-    loadPartitions(df.sortWithinPartitions(sortCols.map(df(_)): _*),
+    val placed = deleteKeyCol match {
+      case Some(k) => df.repartition(df(k))
+      case None => df
+    }
+    loadPartitions(placed.sortWithinPartitions(sortCols.map(df(_)): _*),
       url, table, batchSize, deleteKeyCol)
   }
 
@@ -171,9 +186,14 @@ object Jdbc {
             // replay idempotence: rows arrive sorted by the delete key,
             // so each key group is purged ONCE, just before its first
             // insert, in the same transaction — a re-run of a committed
-            // task deletes its own previous rows instead of doubling
+            // task deletes its own previous rows instead of doubling.
+            // A null key binds `= NULL` which matches NOTHING in SQL —
+            // the null-keyed group would never purge and would double
+            // on replay — so nulls take the IS NULL statement instead.
             val del = delIdx.map(_ => conn.prepareStatement(
               s"DELETE FROM $table WHERE $q${deleteKeyCol.get}$q = ?"))
+            val delNull = delIdx.map(_ => conn.prepareStatement(
+              s"DELETE FROM $table WHERE $q${deleteKeyCol.get}$q IS NULL"))
             try {
               var inBatch = 0
               var lastKey: Any = null
@@ -185,8 +205,11 @@ object Jdbc {
                     // flush pending inserts so delete/insert order is
                     // preserved inside the transaction
                     if (inBatch > 0) { ps.executeBatch(); inBatch = 0 }
-                    del.get.setObject(1, k)
-                    del.get.executeUpdate()
+                    if (k == null) delNull.get.executeUpdate()
+                    else {
+                      del.get.setObject(1, k)
+                      del.get.executeUpdate()
+                    }
                     lastKey = k
                     keySeen = true
                   }
@@ -198,7 +221,9 @@ object Jdbc {
               }
               if (inBatch > 0) ps.executeBatch()
               conn.commit()
-            } finally { del.foreach(_.close()); ps.close() }
+            } finally {
+              del.foreach(_.close()); delNull.foreach(_.close()); ps.close()
+            }
           } finally conn.close()
         }
       }

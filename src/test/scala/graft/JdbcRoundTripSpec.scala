@@ -166,6 +166,40 @@ class JdbcRoundTripSpec extends SparkSpec {
       .count() === 2000)
   }
 
+  test("delete-first load keeps NON-UNIQUE keys spread across input " +
+      "partitions (and purges null-keyed groups on replay)") {
+    // The r16 advisor's data-loss shape: keys NOT partition-exclusive
+    // in the caller's frame — before the repartition-by-key fix, one
+    // partition's DELETE for a key group erased other partitions'
+    // already-committed rows for the same key even on a CLEAN first
+    // load. 99 keys x 10 rows plus a 10-row NULL-key group, scattered
+    // by VALUE over 8 partitions so every key spans many partitions.
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE graft_replay_multi ("k" BIGINT, "v" BIGINT)""")
+      st.close()
+    } finally conn.close()
+    val df = spark.range(0, 1000).select(
+      when(col("id") < 990, col("id") % 99).as("k"), col("id").as("v"))
+      .repartition(8, col("v"))
+    def load(): Unit = Jdbc.bulkLoadSorted(df, Seq("k"), url,
+      "graft_replay_multi", batchSize = 37, deleteKeyCol = Some("k"))
+    load()
+    def back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "graft_replay_multi").load()
+    assert(back.count() === 1000,
+      "a clean first load must keep every row of every key group")
+    // replay converges on one copy — including the null-keyed group,
+    // which a `WHERE k = ?` bind (= NULL matches nothing) would double
+    load()
+    assert(back.count() === 1000, "replay must not duplicate any group")
+    assert(back.filter(col("k").isNull).count() === 10,
+      "the null-key group must purge via IS NULL and stay at one copy")
+    assert(back.agg(sum(col("v"))).head.getLong(0) === (0L until 1000L).sum)
+  }
+
   test("frozen-state update mirrors pronto.py (partial SETs, no-op on empty)") {
     // the reference's release-control UPDATE (interpro/oracle/
     // pronto.py:5-33): SET list built only from the provided values,

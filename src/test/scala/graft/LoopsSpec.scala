@@ -36,6 +36,30 @@ class LoopsSpec extends SparkSpec {
     } finally spark.conf.set(Loops.ReliableConf, "false")
   }
 
+  test("non-local master without a checkpoint dir FAILS FAST " +
+      "(no silent driver-local tmp dir)") {
+    // the policy is pure so the cluster branch pins without standing
+    // up a cluster master: local masters get the tmp-dir convenience,
+    // an existing dir always stands, and the non-local/no-dir combo —
+    // the one that would scatter checkpoint blocks across node-local
+    // /tmp on a real multi-host cluster — throws with the actionable
+    // message instead of defaulting
+    assert(Loops.needsTempCheckpointDir(isLocalMaster = true,
+      hasCheckpointDir = false), "local + no dir => create tmp dir")
+    assert(!Loops.needsTempCheckpointDir(isLocalMaster = true,
+      hasCheckpointDir = true), "an existing dir stands")
+    assert(!Loops.needsTempCheckpointDir(isLocalMaster = false,
+      hasCheckpointDir = true), "cluster + configured dir stands")
+    val e = intercept[IllegalStateException] {
+      Loops.needsTempCheckpointDir(isLocalMaster = false,
+        hasCheckpointDir = false)
+    }
+    assert(e.getMessage === Loops.MissingCheckpointDirMsg)
+    assert(e.getMessage.contains("setCheckpointDir") &&
+      e.getMessage.contains("cleanCheckpoints"),
+      "the error must tell the operator exactly what to configure")
+  }
+
   test("an iterative loop is bit-identical across modes") {
     import org.apache.spark.sql.DataFrame
     def loop(): DataFrame = {

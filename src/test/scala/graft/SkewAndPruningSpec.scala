@@ -42,6 +42,27 @@ class SkewAndPruningSpec extends SparkSpec {
       "salted join plan carries a nondeterministic expression")
   }
 
+  test("saltedEquiJoin tolerates unhashable (map) fact columns") {
+    // xxhash64 over a MapType throws at analysis — the salt must skip
+    // map-bearing columns (incl. nested ones) and still spread on the
+    // hashable rest, staying row-identical to the plain join
+    val fact = spark.range(0, 2000).select(
+      when(col("id") % 10 === 0, col("id") % 20).otherwise(lit(3L)).as("k"),
+      col("id").as("payload"),
+      map(lit("a"), col("id")).as("attrs"),
+      array(struct(map(lit("b"), col("id")).as("m")).as("s")).as("nested"))
+    val dim = spark.range(0, 20).select(
+      col("id").as("k"), concat(lit("d-"), col("id")).as("dname"))
+    val plain = fact.join(dim, Seq("k"))
+    val salted = RelOps.saltedEquiJoin(fact, dim, "k", salt = 8)
+    assert(salted.count() === plain.count())
+    val spread = fact.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("payload")), lit(8)))
+      .filter(col("k") === 3).select(countDistinct(col("__salt")))
+      .head.getLong(0)
+    assert(spread > 1, "hashable columns must still spread the hot key")
+  }
+
   test("orderedPairs: big path returns identical pairs to the in-array path") {
     // sets straddling the cap on both sides: 0,1,2 (degenerate), 5 and
     // 16 (<= cap, in-array), 17 and 40 (> cap, posexplode self-join)
