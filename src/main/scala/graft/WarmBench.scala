@@ -9,13 +9,18 @@ import org.apache.spark.sql.SparkSession
   * that this tool separates from real plan cost.
   *
   * Usage: tools/run.sh graft.WarmBench <sfDir> <query> [query ...]
-  *        (SPARK_GRAFT_RUNS to change the per-query run count)
+  *        (SPARK_GRAFT_RUNS to change the per-query run count;
+  *        SPARK_GRAFT_CONF="k=v;k=v" sets extra session confs, e.g.
+  *        spark.graft.treeEntries for the group-bound scaling drill)
   */
 object WarmBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,6 +34,7 @@ object WarmBench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
     for (q <- args.drop(1); i <- 1 to runs) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).count()

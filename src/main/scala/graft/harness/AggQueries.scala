@@ -142,9 +142,20 @@ object AggQueries {
     // oracle rebuilds the same trees with static joins.
     "agg_tree_ranks" -> ((s, d) => {
       val taxa = SharedFrames.taxaDims(s, d)
+      // entry-cardinality knob (spark.graft.treeEntries, default 7 =
+      // the oracle-pinned census shape): the final assembly stage is
+      // GROUP-BOUND at synthetic SF (7 entry groups ≤ cores), which is
+      // the named cause of the flat 8→32-core row in SCALE.md. At
+      // production entry counts (InterPro ships ~40k entries) the
+      // stage parallelizes with the data — the knob lets the scaling
+      // drill MEASURE that instead of arguing it (WarmBench with
+      // --conf spark.graft.treeEntries=4096). The DuckDB oracle pins
+      // the default; the drill compares wall-clock, not rows.
+      val entries = scala.util.Try(
+        s.conf.get("spark.graft.treeEntries").toInt).getOrElse(7)
       val hits = Tables.orders(s, d)
-        .groupBy(concat(lit("IPR"), (col("o_orderkey") % 7).cast("string"))
-          .as("entry"),
+        .groupBy(concat(lit("IPR"),
+            (col("o_orderkey") % entries).cast("string")).as("entry"),
           concat(lit("C"), col("o_custkey").cast("string")).as("taxon_id"))
         .agg(count(lit(1)).as("n"))
       graft.ops.TaxaTree.entryRankTrees(hits, taxa,

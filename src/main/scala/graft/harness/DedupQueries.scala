@@ -451,6 +451,49 @@ object DedupQueries {
         Tables.documents(s, d).select(col("doc_id"), col("source")),
         "doc_id", componentsFrame(s, d))),
 
+    // Component-level recall gauge for the capped dedup pipeline —
+    // the claim the pair-level dedup_lsh_eval recall underserves at
+    // skew: what matters downstream is not "every truth PAIR
+    // surfaced" but "every truth duplicate CLUSTER still collapses
+    // onto one representative". For each df-capped-truth cluster
+    // (the verified-pair components — the family's shared truth
+    // labeling), label every member with the component it lands in
+    // under the CAPPED pipeline (witness-pool LSH candidates → exact
+    // Jaccard verify → connected components; members the capped
+    // pipeline never pairs label themselves = kept as spurious
+    // extra representatives). A cluster is INTACT when all members
+    // carry ONE capped label — the capped dedup then keeps exactly
+    // one representative for it. Costs one extra CC over the (tiny)
+    // verified LSH pair set; both CC labelings are O(diameter) keyed
+    // shuffles. At 100 TB this gauge runs on a sample next to
+    // dedup_lsh_eval before committing a cap/band config.
+    "dedup_components_eval" -> ((s, d) => {
+      val truth = componentsFrame(s, d)
+      val lshVerified = jaccardPairs(shingleFrame(s, d),
+        graft.ops.CorpusOps.lshCandidates(minhashFrame(s, d), "doc_id",
+          BANDS, K / BANDS, LshBucketCap))
+        .select(col("da"), col("db"))
+      val capped = graft.ops.Graphs
+        .connectedComponents(lshVerified, "da", "db")
+      val labeled = truth
+        .join(capped.select(col("node"), col("component").as("clabel")),
+          Seq("node"), "left_outer")
+        .select(col("component"),
+          coalesce(col("clabel"), col("node")).as("clabel"))
+      val per = labeled.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("clabel")).as("n_labels"))
+        .filter(col("n_members") > 1)
+      per.agg(count(lit(1)).as("n_truth_clusters"),
+          coalesce(sum(when(col("n_labels") === 1, 1L).otherwise(0L)),
+            lit(0L)).as("n_intact"),
+          coalesce(sum(col("n_members")), lit(0L)).as("n_members"))
+        .select(col("n_truth_clusters"), col("n_intact"), col("n_members"),
+          expr("CASE WHEN n_truth_clusters = 0 THEN 1000000 " +
+            "ELSE (n_intact * 1000000) DIV n_truth_clusters END")
+            .as("intact_ppm"))
+    }),
+
     // Train/eval decontamination: flag train-split documents sharing
     // any N-token shingle with the held-out eval split (the n-gram
     // overlap check run before every pretraining launch). The eval
@@ -967,6 +1010,64 @@ object DedupQueries {
           SELECT d.doc_id, d.source FROM documents d
           WHERE NOT EXISTS (SELECT 1 FROM comp c
                             WHERE c.node = d.doc_id AND c.component <> c.node)""",
+    "dedup_components_eval" ->
+      s"""WITH RECURSIVE $shCte,
+          $postingCandCte
+          pr AS (SELECT da, db, COUNT(*) AS nab FROM m GROUP BY da, db),
+          pairs AS (SELECT da, db FROM pr
+                    JOIN ns x ON da = x.doc_id JOIN ns y ON db = y.doc_id
+                    WHERE round(CAST(nab AS DOUBLE)/(x.n+y.n-nab), 6) >= $JACC),
+          e AS (SELECT da AS a, db AS b FROM pairs
+                UNION SELECT db, da FROM pairs),
+          reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+          comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+          sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+          bands0 AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sig),
+          wit AS (SELECT doc_id, bk FROM (
+                    SELECT doc_id, bk,
+                           ROW_NUMBER() OVER (PARTITION BY bk
+                                              ORDER BY doc_id) AS rk
+                    FROM bands0) z WHERE rk <= $LshBucketCap),
+          lcand AS (SELECT DISTINCT w.doc_id AS da, b.doc_id AS db
+                    FROM wit w JOIN bands0 b
+                      ON w.bk = b.bk AND w.doc_id < b.doc_id),
+          lm AS (SELECT c.da, c.db FROM lcand c
+                 JOIN sh a ON a.doc_id = c.da
+                 JOIN sh b ON b.doc_id = c.db AND b.s = a.s),
+          lpr AS (SELECT da, db, COUNT(*) AS nab FROM lm GROUP BY da, db),
+          lpairs AS (SELECT da, db FROM lpr
+                     JOIN ns x ON da = x.doc_id JOIN ns y ON db = y.doc_id
+                     WHERE round(CAST(nab AS DOUBLE)/(x.n+y.n-nab), 6)
+                           >= $JACC),
+          le AS (SELECT da AS a, db AS b FROM lpairs
+                 UNION SELECT db, da FROM lpairs),
+          lreach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM le)
+            UNION
+            SELECT r.a, le.b FROM lreach r JOIN le ON r.b = le.a),
+          lcomp AS (SELECT a AS node, MIN(b) AS component
+                    FROM lreach GROUP BY a),
+          lab AS (SELECT c.component,
+                         COALESCE(l.component, c.node) AS clabel
+                  FROM comp c LEFT JOIN lcomp l ON c.node = l.node),
+          per AS (SELECT component, COUNT(*) AS n_members,
+                         COUNT(DISTINCT clabel) AS n_labels
+                  FROM lab GROUP BY component HAVING COUNT(*) > 1),
+          k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_clusters,
+                       CAST(COALESCE(SUM(CASE WHEN n_labels = 1
+                                              THEN 1 ELSE 0 END), 0)
+                            AS BIGINT) AS n_intact,
+                       CAST(COALESCE(SUM(n_members), 0) AS BIGINT)
+                         AS n_members
+                FROM per)
+          SELECT n_truth_clusters, n_intact, n_members,
+                 CASE WHEN n_truth_clusters = 0 THEN 1000000
+                      ELSE (n_intact * 1000000) // n_truth_clusters END
+                   AS intact_ppm
+          FROM k""",
     "dedup_decontaminate" ->
       s"""WITH $shCte,
           tagged AS (SELECT doc_id, s, ${hvSql("split1")} AS hv FROM sh),

@@ -311,6 +311,45 @@ object StreamQueries {
           col("rank").as("rk"), col("key"), col("est").as("n"), col("err"))
     }),
 
+    // The DEPLOYABLE windowed top-k (graft.streaming.StreamTopK
+    // .topkStreamTtl): same per-window SpaceSaving summary as
+    // stream_topk, but state carries an EVENT-TIME TTL past the
+    // watermark — the shape the 200-batch StateSoak proved bounded
+    // (one sketch per window ever opened vs ~the lateness horizon).
+    // Under the drain the TTL (90 days, beyond the corpus's 30-day
+    // event span) never fires, so the oracle is the exact batch
+    // answer — the gate proves the TTL plumbing (watermark wiring,
+    // timeout scheduling, timed-out-group short-circuit) changes
+    // nothing inside the horizon; what it trades OUTSIDE the horizon
+    // (late data re-seeds an empty sketch) is pinned by StreamTopKSpec
+    // and the soak.
+    "stream_topk_ttl" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val name = "stream_topk_ttl_mem"
+      val sess = streamSession(s)
+      import sess.implicits._
+      val events = EventsStream.readStream(sess, d)
+        .select(unix_micros(date_trunc("hour", col("ts"))).as("window_us"),
+          pmod(col("user_id"), lit(99L)).cast("string").as("key"),
+          col("ts"))
+        .withWatermark("ts", "1 hour")
+        .as[graft.streaming.StreamTopK.TimedEvent]
+      val topk = graft.streaming.StreamTopK.topkStreamTtl(events,
+        capacity = 4096, topN = 5,
+        ttl = scala.concurrent.duration.Duration(90, "days"))
+      val q = topk.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drained(s, sess, name)
+        .withColumn("mx", max(col("n_processed")).over(
+          Window.partitionBy(col("window_us"))))
+        .filter(col("n_processed") === col("mx"))
+        .select(
+          date_format(timestamp_micros(col("window_us")),
+            "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("rank").as("rk"), col("key"), col("est").as("n"), col("err"))
+    }),
+
     // Streaming funnel: the window_funnel cascade carried as
     // per-user flatMapGroupsWithState state (streaming/Funnel.scala —
     // running min view + the candidate clicks/purchases that could
@@ -620,6 +659,20 @@ object StreamQueries {
                    ORDER BY dd, vec_id) AS INT) AS rk
           FROM rr QUALIFY rk <= 5""",
     "stream_topk" ->
+      """WITH k AS (SELECT date_trunc('hour', ts) AS w,
+                           CAST(user_id % 99 AS VARCHAR) AS key
+                    FROM events),
+          c AS (SELECT w, key, COUNT(*) AS n FROM k GROUP BY w, key),
+          r AS (SELECT w, key, n,
+                       CAST(row_number() OVER (PARTITION BY w
+                         ORDER BY n DESC, key) AS INT) AS rk
+                FROM c)
+          SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, rk, key, n,
+                 CAST(0 AS BIGINT) AS err
+          FROM r WHERE rk <= 5""",
+    // the TTL shape drains to the same exact answer (the 90-day TTL
+    // sits beyond the corpus's event span, so no window evicts)
+    "stream_topk_ttl" ->
       """WITH k AS (SELECT date_trunc('hour', ts) AS w,
                            CAST(user_id % 99 AS VARCHAR) AS key
                     FROM events),
