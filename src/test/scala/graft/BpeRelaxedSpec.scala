@@ -158,6 +158,67 @@ class BpeRelaxedSpec extends SparkSpec {
     }
   }
 
+  test("encode-contract delta vs classic stays bounded on held-out words") {
+    // The downstream number the vocab-SET probe lacks (r16 carried
+    // item): train BOTH contracts to the same depth per fixture, then
+    // encode a held-out word sample (same alphabet, fresh seed) with
+    // each and measure how often the CLASSIC and RELAXED vocabs
+    // disagree on the artifact that matters — the token sequence.
+    // Disagreement is tie-bracketing only, so it is bounded, not zero;
+    // the bounds pinned below sit above the observed (deterministic —
+    // seeded fixtures, deterministic trainers) fixture-corpus rates
+    // with headroom: measured 172/2208 words re-bracketed (7.8%),
+    // 142/2208 with a different token COUNT (6.4%), count-weighted
+    // token budget delta 77/9080 (0.85%) — recorded in SCALE.md r17.
+    import spark.implicits._
+    val rng = new scala.util.Random(43)
+    val heldOut = (0 until 200).map { _ =>
+      val len = 2 + rng.nextInt(11)
+      (0 until len).map(_ => "abc"(rng.nextInt(3))).mkString
+    }.distinct
+    var totSeqDiff = 0L
+    var totCntDiff = 0L
+    var totWords = 0L
+    var totClassicToks = 0L
+    var totRelaxedToks = 0L
+    fixtures.foreach { case (trial, wordMap) =>
+      val counts = wordMap.toSeq.toDF("word", "n")
+      val (relaxed, _) = Bpe.train(spark, counts, 40, relaxedTies = true)
+      val classic = refTrain(wordMap, 40).zipWithIndex
+        .map { case ((l, r, n), i) => Bpe.Merge(i, l, r, n) }
+      val deltas = heldOut.map { w =>
+        val ec = Bpe.encode(w, classic)
+        val er = Bpe.encode(w, relaxed)
+        (ec.length.toLong, er.length.toLong,
+          if (ec.length != er.length) 1L else 0L,
+          if (ec != er) 1L else 0L)
+      }
+      val seqDiff = deltas.map(_._4).sum
+      totSeqDiff += seqDiff
+      totCntDiff += deltas.map(_._3).sum
+      totWords += heldOut.length
+      totClassicToks += deltas.map(_._1).sum
+      totRelaxedToks += deltas.map(_._2).sum
+      assert(seqDiff <= heldOut.length / 2,
+        s"trial $trial: ${seqDiff}/${heldOut.length} held-out words " +
+          "re-bracketed — tie divergence should not dominate the corpus")
+    }
+    info(s"held-out contract delta over ${fixtures.size} fixtures: " +
+      s"seq-diff $totSeqDiff/$totWords, cnt-diff $totCntDiff/$totWords, " +
+      s"tokens classic=$totClassicToks relaxed=$totRelaxedToks")
+    // aggregate bounds across all 12 fixtures: boundary (sequence)
+    // disagreement under 1/3 of held-out encodes, token-count
+    // disagreement under 15%, and the count-weighted token budget
+    // within 5% — the contract delta is priced, not open-ended
+    assert(totSeqDiff * 3 <= totWords,
+      s"boundary disagreement $totSeqDiff/$totWords exceeds 1/3")
+    assert(totCntDiff * 100 <= totWords * 15,
+      s"token-count disagreement $totCntDiff/$totWords exceeds 15%")
+    val budgetDelta = math.abs(totClassicToks - totRelaxedToks)
+    assert(budgetDelta * 100 <= totClassicToks * 5,
+      s"token budget delta $budgetDelta vs $totClassicToks exceeds 5%")
+  }
+
   test("relaxed greedy encode reproduces the trainer's segmentations") {
     val counts = Bpe.wordCounts(Tables.documents(spark, sf), "text")
     val (merges, segs) = Bpe.train(spark, counts, 30, relaxedTies = true)
