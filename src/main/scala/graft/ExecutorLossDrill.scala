@@ -89,6 +89,9 @@ object ExecutorLossDrill {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static cleaner flag: reliable-mode rounds delete their
+      // checkpoint dirs once dereferenced instead of accumulating
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

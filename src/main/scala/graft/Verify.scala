@@ -31,6 +31,11 @@ object Verify {
         SparkLocal.initialShufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // reliable loops (default on the non-local gate master) write
+      // one checkpoint dir per round; without the cleaner flag —
+      // STATIC, so it must be set at context build — dereferenced
+      // rounds accumulate on disk for the whole 240-query session
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

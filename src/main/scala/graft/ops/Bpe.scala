@@ -293,7 +293,13 @@ object Bpe {
         // the new checkpoint is materialized (eager) and no longer
         // reads from the previous pass's blocks — release them, or
         // block-manager storage grows O(passes x vocab) over a
-        // realistic 10k-50k-merge training run
+        // realistic 10k-50k-merge training run. In RELIABLE mode the
+        // superseded round's checkpoint FILES are deleted by the
+        // context cleaner once the dropped reference is GC'd — which
+        // requires spark.cleaner.referenceTracking.cleanCheckpoints=
+        // true at session build (static conf; Loops' fail-fast
+        // message and the harness mains both set/state it), else a
+        // long run accumulates one checkpoint dir per pass on disk
         segs.unpersist(blocking = false)
         segs = next
       }
