@@ -645,8 +645,15 @@ object DedupQueries {
         .select(col("da"), col("db"),
           col("head_a").as("ha"), col("head_b").as("hb"))
         // banded threshold DP (returns -1 past the bound): O(len·k)
-        // instead of O(len²) per pair, exact for every surviving pair
-        .withColumn("lev", levenshtein(col("ha"), col("hb"), LevMax).cast("long"))
+        // instead of O(len²) per pair, exact for every surviving pair.
+        // Equal heads short-circuit to 0 BEFORE the DP — hot witness
+        // blocks are template mass whose heads are byte-identical
+        // (boilerplate is exactly what makes a block hot), so at
+        // content skew most witness pairs skip the DP entirely
+        // (measured at sf1zd: 74.9 → see SCALE.md r17; value
+        // unchanged, the DP yields 0 on equal strings anyway)
+        .withColumn("lev", when(col("ha") === col("hb"), lit(0L))
+          .otherwise(levenshtein(col("ha"), col("hb"), LevMax).cast("long")))
         .filter(col("lev") >= 0)
         .select("da", "db", "ha", "hb", "lev")
     }),
