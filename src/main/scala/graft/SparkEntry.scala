@@ -75,7 +75,8 @@ object SparkEntry {
     "dedup" -> ((s, d) => harness.DedupQueries.warmShared(s, d)),
     "vector" -> ((s, d) => harness.VectorQueries.warmShared(s, d)),
     "stream" -> ((s, d) => { harness.StreamQueries.annIndexDir(s, d); () }),
-    "taxamart" -> ((s, d) => harness.TaxaMartQueries.warmShared(s, d)))
+    "taxamart" -> ((s, d) => harness.TaxaMartQueries.warmShared(s, d)),
+    "graph" -> ((s, d) => harness.GraphQueries.warmShared(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * LLM-pipeline north-star ops (dedup / similarity / text / media). */

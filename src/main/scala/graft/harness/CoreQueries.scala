@@ -74,11 +74,24 @@ object CoreQueries {
     // U3: set intersection (residue overlap test,
     // interpro/oracle/matches.py:194-201).
     "setop_intersect" -> ((s, d) => {
+      // Same set as INTERSECT of the two filtered projections, in ONE
+      // pass: Catalyst plans Intersect as a left-semi join whose two
+      // children each re-run the lineitem⋈orders join (2 joins + 2
+      // extra exchanges). Joining once and flag-aggregating per
+      // partkey computes the identical distinct-partkey set — the
+      // status filter is pushed to the orders scan, the join runs
+      // once, and one keyed agg replaces the semi-join.
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
-      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      joined.filter(col("o_orderstatus") === "F").select("l_partkey")
-        .intersect(joined.filter(col("o_orderstatus") === "O").select("l_partkey"))
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      li.select(col("l_orderkey"), col("l_partkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_partkey"))
+        .agg(max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("__f"),
+          max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("__o"))
+        .filter(col("__f") === 1 && col("__o") === 1)
+        .select(col("l_partkey"))
     }),
 
     // U4: set difference as validation (integrated - known must be empty,

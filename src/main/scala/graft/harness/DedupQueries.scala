@@ -181,21 +181,66 @@ object DedupQueries {
       graft.ops.CorpusOps.minhashSignatures(shingleFrame(s, d), "doc_id", K)
     }
 
+  /** The LSH band-bucket candidate pair set at this module's
+    * BANDS×(K/BANDS) config, computed once per (session, sf): the
+    * band self-join is the second most expensive candidate build in
+    * the family and THREE queries consume exactly it —
+    * `dedup_minhash_lsh` verifies it, `dedup_lsh_eval` scores it
+    * against the df-capped truth, and `dedup_components_eval` labels
+    * components over its verified subset. Before r17 each consumer
+    * re-ran the band join (and two of them the verify join too).
+    */
+  private def lshCandidatesFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "lsh_candidates") {
+      graft.ops.CorpusOps.lshCandidates(minhashFrame(s, d), "doc_id",
+        BANDS, K / BANDS, LshBucketCap)
+    }
+
+  /** The exact-Jaccard-verified LSH pair set (da, db, nab, na, nb,
+    * jaccard) — `dedup_minhash_lsh`'s result frame, shared with
+    * `dedup_components_eval` (which re-ran the whole band+verify
+    * pipeline before r17: two identical verify joins per census).
+    */
+  private def lshVerifiedFrame(s: SparkSession, d: String): DataFrame =
+    cachedFrame(s, d, "lsh_verified") {
+      jaccardPairs(shingleFrame(s, d), lshCandidatesFrame(s, d))
+    }
+
   /** Materialize this family's shared frames up front — the Bench
     * preamble (SparkEntry.preambles): the build cost lands on one
     * named warm row instead of whichever consumer happens to run
     * first alphabetically in the census (r9's recorded
     * dedup_incremental "regression" was exactly the minhash frame
     * build landing on it).
+    *
+    * The builds run on a small driver-side thread pool (guide §2.6 —
+    * overlap independent jobs): the frame DAG has four independent
+    * chains once the shingle frame exists (minhash→LSH bands,
+    * candidates→pairs→components, simhash, spans), and each chain is
+    * a sequence of small stages that leaves most of local[N] idle —
+    * overlapping them backfills the idle cores without changing any
+    * frame's content (each chain touches distinct cache keys; inner
+    * dependencies read already-cached frames). Measured at sf0.1:
+    * warm_dedup_frames 13.3 → ~7 s.
     */
   private[graft] def warmShared(s: SparkSession, d: String): Unit = {
-    shingleFrame(s, d)
-    minhashFrame(s, d)
-    simhashFrame(s, d)
-    candidatesFrame(s, d)
-    pairsFrame(s, d)
-    componentsFrame(s, d)
-    spansFrame(s, d)
+    shingleFrame(s, d) // the shared root: everything below reads it
+    val chains: Seq[() => Unit] = Seq(
+      () => { minhashFrame(s, d); lshCandidatesFrame(s, d);
+              lshVerifiedFrame(s, d); () },
+      () => { candidatesFrame(s, d); pairsFrame(s, d)
+              componentsFrame(s, d); () },
+      () => { simhashFrame(s, d); () },
+      () => { spansFrame(s, d); () })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(chains.map(c => Future(c()))),
+        Duration.Inf)
+    } finally pool.shutdown()
     ()
   }
 
@@ -336,13 +381,11 @@ object DedupQueries {
     // MinHash + LSH: 16 md5-min hashes -> 8 bands of 2 -> bucket join
     // for candidates -> exact Jaccard verification. The band join is
     // the scale path: only documents sharing a band bucket ever meet.
-    "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = shingleFrame(s, d)
-      val sig = minhashFrame(s, d)
-      jaccardPairs(sh,
-        graft.ops.CorpusOps.lshCandidates(sig, "doc_id", BANDS, K / BANDS,
-          LshBucketCap))
-    }),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      // the verified LSH pair set is a shared frame (lshVerifiedFrame):
+      // dedup_components_eval consumes the identical computation, so
+      // the band join + verify join run once per census, not twice
+      lshVerifiedFrame(s, d)),
 
     // LSH quality gauge — the band-tuning dial (the ann_ivf_recall
     // posture applied to minhash): how much of the df-capped exact
@@ -362,10 +405,7 @@ object DedupQueries {
       // the expensive verify pipeline zero times when warm.
       val truth = pairsFrame(s, d).select(col("da"), col("db"))
         .withColumn("t", lit(1L))
-      val cand = graft.ops.CorpusOps
-        .lshCandidates(minhashFrame(s, d), "doc_id", BANDS, K / BANDS,
-          LshBucketCap)
-        .withColumn("c", lit(1L))
+      val cand = lshCandidatesFrame(s, d).withColumn("c", lit(1L))
       truth.join(cand, Seq("da", "db"), "full_outer")
         .agg(coalesce(sum(col("t")), lit(0L)).as("n_truth"),
           coalesce(sum(col("c")), lit(0L)).as("n_cand"),
@@ -469,10 +509,7 @@ object DedupQueries {
     // dedup_lsh_eval before committing a cap/band config.
     "dedup_components_eval" -> ((s, d) => {
       val truth = componentsFrame(s, d)
-      val lshVerified = jaccardPairs(shingleFrame(s, d),
-        graft.ops.CorpusOps.lshCandidates(minhashFrame(s, d), "doc_id",
-          BANDS, K / BANDS, LshBucketCap))
-        .select(col("da"), col("db"))
+      val lshVerified = lshVerifiedFrame(s, d).select(col("da"), col("db"))
       val capped = graft.ops.Graphs
         .connectedComponents(lshVerified, "da", "db")
       val labeled = truth

@@ -260,10 +260,23 @@ object VectorQueries {
     * (r9 recorded ann_int8... / ann_ivf_kmeans_topk noise was this
     * attribution).
     */
+  /** The corpus gram matrix (d(d+1)/2 rows — metadata-sized at any
+    * corpus scale while its build is a full corpus pass): embed_gram
+    * reports it and embed_corr assembles the correlation matrix from
+    * it, so computing it once per (session, sf) halves the family's
+    * full-corpus moment passes (§2.4 — a real pipeline runs PCA and
+    * the redundancy report off ONE gram).
+    */
+  private def gramFrame(s: SparkSession, d: String): DataFrame =
+    SharedFrames.cachedFrame(s, d, "pca_gram") {
+      graft.ops.Pca.gram(Tables.embeddings(s, d), "embedding", Dim)
+    }
+
   private[graft] def warmShared(s: SparkSession, d: String): Unit = {
     ivfCentroids(s, d)
     pqCodebook(s, d)
     pqEncoded(s, d)
+    gramFrame(s, d)
     ()
   }
 
@@ -276,8 +289,7 @@ object VectorQueries {
     // map-side, so d(d+1)/2 rows per partition reach the exchange
     // regardless of corpus size. 12dp-rounded terms summed as
     // DECIMAL(38,12) make every cell bit-reproducible in DuckDB.
-    "embed_gram" -> ((s, d) =>
-      graft.ops.Pca.gram(Tables.embeddings(s, d), "embedding", Dim)),
+    "embed_gram" -> ((s, d) => gramFrame(s, d)),
 
     // Pearson correlation matrix of the embedding dimensions — the
     // feature-redundancy report a curation pipeline prints next to
@@ -288,7 +300,7 @@ object VectorQueries {
     // floor(x*1e6+0.5)/1e6. The joins are broadcasts of d- and
     // d(d+1)/2-row frames — metadata-sized at any corpus scale.
     "embed_corr" -> ((s, d) => {
-      val g = graft.ops.Pca.gram(Tables.embeddings(s, d), "embedding", Dim)
+      val g = gramFrame(s, d)
       val m = graft.ops.Pca.columnMoments(Tables.embeddings(s, d),
         "embedding")
       val diag = g.filter(col("i") === col("j"))
