@@ -225,23 +225,13 @@ object DedupQueries {
     */
   private[graft] def warmShared(s: SparkSession, d: String): Unit = {
     shingleFrame(s, d) // the shared root: everything below reads it
-    val chains: Seq[() => Unit] = Seq(
+    SharedFrames.buildConcurrently(Seq(
       () => { minhashFrame(s, d); lshCandidatesFrame(s, d);
               lshVerifiedFrame(s, d); () },
       () => { candidatesFrame(s, d); pairsFrame(s, d)
               componentsFrame(s, d); () },
       () => { simhashFrame(s, d); () },
-      () => { spansFrame(s, d); () })
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
-    try {
-      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      Await.result(Future.sequence(chains.map(c => Future(c()))),
-        Duration.Inf)
-    } finally pool.shutdown()
-    ()
+      () => { spansFrame(s, d); () }))
   }
 
   /** Tokenized documents for the repeated-substring family (spans +

@@ -35,6 +35,28 @@ object SharedFrames {
       keep
     }
 
+  /** Run independent frame-build chains concurrently on a small
+    * driver-side pool (optimization guide §2.6 — overlap independent
+    * jobs): each chain is a sequence of small stages that leaves most
+    * of local[N] idle, and the FIFO scheduler backfills one chain's
+    * stage tails with the others' tasks. Callers must ensure the
+    * chains touch DISTINCT cache keys (shared roots built before the
+    * fan-out): `cachedFrame`'s TrieMap is thread-safe, but two threads
+    * racing the same key would each run the build job once.
+    */
+  def buildConcurrently(chains: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      Await.result(scala.concurrent.Future.sequence(
+        chains.map(c => Future(c()))), Duration.Inf)
+      ()
+    } finally pool.shutdown()
+  }
+
   def cachedFrame(s: SparkSession, d: String, key: String)
                  (build: => DataFrame): DataFrame = {
     frameCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }

@@ -92,9 +92,12 @@ object TaxaMartQueries {
         explode(col("lineage")).as("node_id"))
     }
 
-  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
-    matchNodes(s, d); proteinNodes(s, d); ()
-  }
+  private[graft] def warmShared(s: SparkSession, d: String): Unit =
+    // independent cache keys (proteins/matches roots are plain
+    // expressions) — overlap the two builds, guide §2.6
+    SharedFrames.buildConcurrently(Seq(
+      () => { matchNodes(s, d); () },
+      () => { proteinNodes(s, d); () }))
 
   val queries: Map[String, Q] = Map(
     // taxon2xrefs end-to-end (xrefs/taxa.py:44-260): per taxon node

@@ -272,13 +272,13 @@ object VectorQueries {
       graft.ops.Pca.gram(Tables.embeddings(s, d), "embedding", Dim)
     }
 
-  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
-    ivfCentroids(s, d)
-    pqCodebook(s, d)
-    pqEncoded(s, d)
-    gramFrame(s, d)
-    ()
-  }
+  private[graft] def warmShared(s: SparkSession, d: String): Unit =
+    // three independent chains (distinct cache keys; embFrame/subFrame
+    // roots are plain expressions, not cached) — overlap them, §2.6
+    SharedFrames.buildConcurrently(Seq(
+      () => { ivfCentroids(s, d); () },
+      () => { pqCodebook(s, d); pqEncoded(s, d); () },
+      () => { gramFrame(s, d); () }))
 
   val queries: Map[String, Q] = Map(
     // Raw second-moment (gram) matrix of the embedding corpus — the
