@@ -117,14 +117,29 @@ object DedupQueries {
     * exact-Jaccard verification still runs over the full shingle sets.
     */
   private def postingCandidates(sh: DataFrame): DataFrame = {
-    val rare = sh.join(
-      sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= DfCap).select(col("s")),
-      Seq("s"))
-    rare.select(col("doc_id").as("da"), col("s"))
-      .join(rare.select(col("doc_id").as("db"), col("s").as("__sb")),
-        col("s") === col("__sb") && col("da") < col("db"))
-      .select("da", "db").distinct()
+    // ONE bounded shuffle instead of the r16 join cascade (df census +
+    // rare-filter join + posting self-join = the shingle frame crossing
+    // an exchange three times): a bounded-heap head of each posting
+    // list (TopKPerGroupExec — O(groups·(cap+1)) memory, so a
+    // boilerplate shingle in 1M docs never materializes as a mega-row)
+    // arrives complete for df ≤ cap shingles and as exactly cap+1 rows
+    // for over-cap ones, which the size filter drops — the same
+    // "above-cap shingles never generate candidates" semantics, then
+    // the ordered_pairs generator streams each rare list's pairs with
+    // no self-join at all. Sorted lists make pa < pb by construction.
+    // The generator is called directly, NOT via RelOps.orderedPairs:
+    // the size filter already bounds every list to <= DfCap elements,
+    // and orderedPairs' over-cap branch (posexplode self-join) plans a
+    // keyless BroadcastNestedLoopJoin when keys is empty — a dead
+    // subtree here, but PlanGuardSpec rightly rejects un-allowlisted
+    // BNLJs from executed plans.
+    val heads = graft.ops.RelOps.topKPerGroupExact(sh,
+      Seq(col("s")), Seq(col("doc_id")), DfCap + 1)
+    heads.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, DfCap))
+      .select(call_function("ordered_pairs", col("ds")))
+      .select(col("pa").as("da"), col("pb").as("db")).distinct()
   }
 
   /** The df-capped candidate pair set, cached once per (session, sf):

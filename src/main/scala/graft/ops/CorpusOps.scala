@@ -219,7 +219,17 @@ object CorpusOps {
                           idCol: String): DataFrame = {
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val a = sh.select(col(idCol).as("da"), col("s"))
-    val b = sh.select(col(idCol).as("db"), col("s").as("__sb"))
+    // Pre-filter the probe side to candidate documents before the
+    // intersection join (guide §3.2 — reduce the big side before
+    // shuffling it): the candidate set is cap-bounded by every blocked
+    // generator that feeds this verifier, so its distinct right-side
+    // ids broadcast into a semi-join and only candidate documents'
+    // shingle rows ever reach the (s, db) exchange. Without this the
+    // FULL inverted index crossed that exchange to intersect against
+    // a pair set that references a vanishing fraction of it.
+    val b = sh.join(broadcast(cand.select(col("db").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("db"), col("s").as("__sb"))
     cand.select(col("da"), col("db").as("__db"))
       .join(a, Seq("da"))
       .join(b, col("s") === col("__sb") && col("__db") === col("db"))

@@ -130,34 +130,73 @@ object TaxaTree {
       // cleaner once the returned plan is unreferenced.
       .loopCheckpoint()
 
-    // bottom-up assembly: per level, attach the (sorted) children
-    // JSON built one level below, emit this level's node JSON, regroup
-    // by parent PATH — one join+agg per rank
-    var childAgg: DataFrame = null // (__entry, __ppid, __ch)
-    for (i <- (0 until n).reverse) {
-      val lvl = grouped.filter(col("lvl") === i)
-      val withCh = if (childAgg == null) lvl.withColumn("__ch", lit(""))
-      else lvl.join(childAgg,
-          lvl("entry") === childAgg("__entry") && lvl("pid") === childAgg("__ppid"),
-          "left_outer")
-        .withColumn("__ch", coalesce(col("__ch"), lit("")))
-      val js = withCh.select(col("entry"), col("ppid"), col("uid"),
-        nodeJson(col("uid"), col("rank"), col("name"), col("p"), col("s"),
-          col("__ch")).as("js"))
-      childAgg = js.groupBy(col("entry").as("__entry"), col("ppid").as("__ppid"))
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("uid"), col("js")))),
-          x => x("js")), ",").as("__ch"))
-    }
+    // bottom-up assembly in ONE shuffle: group the level rows by entry
+    // and build each entry's nested JSON executor-side (the reference
+    // holds exactly this per-entry dict in memory, entries.py:349-466;
+    // per-group state is the entry's tree — rank-bounded depth,
+    // hit-taxa-bounded width). The r16 form ran one join+agg PER RANK
+    // (8 × 2 exchanges over (entry, path)-keyed frames — 16 Exchange /
+    // 16 SortMergeJoin in the plan); every node row now crosses one
+    // exchange once and the fold happens in memory per entry, which is
+    // both the local win (plan: 16 joins → 1 HashAggregate) and the
+    // 100 TB shape (8 fewer passes over the node set; parallelism =
+    // entries, the same axis the join cascade bottomed out on).
+    // Children sort by uid on UTF-8 BYTES — the exact order the
+    // replaced array_sort(struct(uid, js)) used (UTF8String binary
+    // compare), not Java's UTF-16 String order.
+    val assembled = grouped
+      .groupBy(col("entry"))
+      .agg(assembleTree(
+        collect_list(struct(col("uid"), col("pid"), col("ppid"),
+          col("rank"), col("name"), col("p"), col("s")))).as("__ch"))
 
     val totals = withUids.groupBy(col("entry"))
       .agg(sum(col("n")).as("p"),
         sum(when(col("is_sp"), 1L).otherwise(0L)).as("s"))
-    totals.join(childAgg,
-        totals("entry") === childAgg("__entry") && childAgg("__ppid") === "1",
-        "left_outer")
+    totals.join(assembled, Seq("entry"), "left_outer")
       .select(col("entry"),
         nodeJson(lit("1"), lit(null).cast("string"), lit("root"),
           col("p"), col("s"), coalesce(col("__ch"), lit(""))).as("tree"))
   }
+
+  /** One entry's node rows → the root's children JSON (sorted, comma
+    * joined). Field-for-field the same rendering as [[nodeJson]] /
+    * [[jsonStr]]; recursion depth = rank count.
+    */
+  private case class TreeNode(uid: String, pid: String, ppid: String,
+                              rank: String, name: String, p: Long, s: Long)
+
+  private def utf8Less(a: String, b: String): Boolean = {
+    // UTF8String.binaryCompare semantics: unsigned byte order over the
+    // UTF-8 encoding (Java String.compareTo differs above U+FFFF and
+    // for supplementary-plane mixes)
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def escJson(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private val assembleTree = udf((nodes: Seq[TreeNode]) => {
+    val byParent = nodes.groupBy(_.ppid)
+    def render(nd: TreeNode): String = {
+      val ch = byParent.getOrElse(nd.pid, Seq.empty)
+        .sortWith((u, v) => utf8Less(u.uid, v.uid))
+        .map(render).mkString(",")
+      s"""{"id":"${nd.uid}","rank":${escJson(nd.rank)},"name":${
+        escJson(nd.name)},"proteins":${nd.p},"species":${nd.s},"children":[$ch]}"""
+    }
+    byParent.getOrElse("1", Seq.empty)
+      .sortWith((u, v) => utf8Less(u.uid, v.uid))
+      .map(render).mkString(",")
+  })
 }
