@@ -73,6 +73,7 @@ object SparkEntry {
     "agg" -> ((s, d) => { harness.SharedFrames.taxaLineage(s, d); () }),
     "kernel" -> ((s, d) => { harness.SharedFrames.taxaLineage(s, d); () }),
     "dedup" -> ((s, d) => harness.DedupQueries.warmShared(s, d)),
+    "text" -> ((s, d) => harness.TextQueries.warmShared(s, d)),
     "vector" -> ((s, d) => harness.VectorQueries.warmShared(s, d)),
     "stream" -> ((s, d) => { harness.StreamQueries.annIndexDir(s, d); () }),
     "taxamart" -> ((s, d) => harness.TaxaMartQueries.warmShared(s, d)),

@@ -113,7 +113,23 @@ object SinkQueries {
           Seq("doc_id"))
         .write.mode("overwrite").partitionBy("shard")
         .option("compression", "gzip").json(s"$outDir/data")
-      s.read.json(s"$outDir/data")
+      // explicit read-back schema (§6): schema INFERENCE on a
+      // schemaless json read is a full extra pass over every gzip
+      // shard before the real scan — the written schema is known
+      // statically, so declare it and read the data once. Same rows,
+      // same types (longs parse as longs, shard partition col as int).
+      val readSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.IntegerType)))
+      s.read.schema(readSchema).json(s"$outDir/data")
         .groupBy(col("shard").cast("int").as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),

@@ -143,9 +143,22 @@ object TaxaMartQueries {
     // taxa.py:125-131; key order fixed total-first/db-sorted so the
     // rendering is deterministic cross-engine).
     "mart_taxa_counts" -> ((s, d) => {
-      val p = proteins(s, d)
-      val cDim = p.select(col("n_regionkey"), col("c_nationkey"),
-        col("c_custkey")).distinct()
+      // Node dims via a NARROW distinct (§2.3 — shuffle keys, not
+      // payloads): the r16 form ran the full proteins() join (orders ⋈
+      // customer ⋈ nation, two fact-sized exchanges) and then
+      // distinct'd the 3-int lineage triple over every order row —
+      // a third fact-sized exchange. The customer set is determined by
+      // o_custkey alone, so distinct the single int first (one narrow
+      // exchange with map-side partial) and attach the dimension keys
+      // after, when the frame is customer-sized.
+      val cDim = Tables.orders(s, d).select(col("o_custkey")).distinct()
+        .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey"), col("c_nationkey"), col("c_custkey"))
       val nDim = cDim.select(col("n_regionkey"), col("c_nationkey")).distinct()
       val rDim = nDim.select(col("n_regionkey")).distinct()
       val rs = col("n_regionkey").cast("string")

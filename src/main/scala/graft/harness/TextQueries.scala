@@ -18,6 +18,32 @@ object TextQueries {
 
   private def widened(df: DataFrame): DataFrame = Tables.widened(df)
 
+  /** Per-document bigram census (doc_id, w1, w2, k) — the corpus
+    * exploded into adjacent token pairs and counted, the shared root
+    * of both perplexity scorers ([[SharedFrames]], §2.4): the bigram
+    * LM itself is this frame's (w1, w2) regroup, so caching it means
+    * ONE bigram explode per (session, sf) where the two queries
+    * previously ran four (each rebuilt the explode for its docBg and
+    * its model branch). The frame is (doc, bigram-type)-sized —
+    * strictly smaller than the exploded bigram stream it replaces.
+    */
+  private def docBigramsFrame(s: SparkSession, d: String): DataFrame =
+    SharedFrames.cachedFrame(s, d, "text_docbigrams") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("w1s", slice(col("toks"), lit(1), size(col("toks")) - 1))
+        .withColumn("w2s", slice(col("toks"), lit(2), size(col("toks")) - 1))
+        .select(col("doc_id"), explode(zip_with(col("w1s"), col("w2s"),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k"))
+    }
+
+  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
+    docBigramsFrame(s, d); ()
+  }
+
   /** Shared trigram-profile classifier: per-language top-20 trigram
     * profiles learned from `trainOn(docTris)` (the full corpus or a
     * hash split), then every document scored by folding the one-row
@@ -418,13 +444,19 @@ object TextQueries {
     // vocab has no such token so the plain shape is the honest one
     // here.
     "text_inverted_index" -> ((s, d) =>
+      // ONE token-keyed exchange instead of two (§2.4): the r16 form
+      // ran distinct() on (token, doc_id) — a full exchange — and then
+      // re-shuffled by token for the postings agg. collect_set dedups
+      // doc ids inside the same token-keyed aggregation (map-side
+      // partial sets merge), so the distinct's exchange disappears;
+      // df = |set| is the same distinct-doc count.
       Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("token"),
           col("doc_id"))
-        .distinct()
         .groupBy(col("token"))
-        .agg(count(lit(1)).as("df"),
-          concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+        .agg(collect_set(col("doc_id")).as("ds"))
+        .select(col("token"), size(col("ds")).cast("long").as("df"),
+          concat_ws(",", transform(sort_array(col("ds")),
             _.cast("string"))).as("postings"))),
 
     // tf-idf top terms per document — the classic relevance weight,
@@ -439,11 +471,18 @@ object TextQueries {
       import org.apache.spark.sql.types.DecimalType
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      // ONE corpus explode instead of two (§2.4): the r16 form exploded
+      // the token stream separately for tf (groupBy doc,t) and df
+      // (distinct + groupBy t). tf rows are already unique per (doc,t),
+      // so df = tf's per-token row count — the df branch now reads the
+      // materialized tf frame (checkpoint: both the weight build and
+      // the scoring join consume it; blocks reclaimed by Bench's
+      // ephemeral sweep) instead of re-exploding the corpus.
       val tf = tok.groupBy(col("doc_id"), col("t"))
         .agg(count(lit(1)).as("tf"))
+        .loopCheckpoint()
       val census = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
-      val w = tok.select(col("doc_id"), col("t")).distinct()
-        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val w = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(census))
         .select(col("t"),
           round(log(col("nd") / col("df")), 6).cast(DecimalType(12, 6))
@@ -527,16 +566,14 @@ object TextQueries {
       import org.apache.spark.sql.types.DecimalType
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val bg = toks
-        .withColumn("w1s", slice(col("toks"), lit(1), size(col("toks")) - 1))
-        .withColumn("w2s", slice(col("toks"), lit(2), size(col("toks")) - 1))
-        .select(col("doc_id"), explode(zip_with(col("w1s"), col("w2s"),
-          (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("k"))
-      val model = bg.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("nab"))
+      // shared doc-bigram census (§2.4): text_perplexity_kn consumes
+      // the identical frame, and the bigram MODEL is its regroup —
+      // c(w1,w2) = Σ_docs k — so the corpus is exploded into bigrams
+      // once per (session, sf) instead of four times (2 queries × the
+      // docBg and model branches each re-running the explode).
+      val docBg = docBigramsFrame(s, d)
+      val model = docBg.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("k")).as("nab"))
       val uni = toks.select(explode(col("toks")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("n"))
       val census = uni.agg(count(lit(1)).as("v"))
@@ -567,18 +604,11 @@ object TextQueries {
     // the doc-bigram and model censuses.
     "text_perplexity_kn" -> ((s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val bg = toks
-        .withColumn("w1s", slice(col("toks"), lit(1), size(col("toks")) - 1))
-        .withColumn("w2s", slice(col("toks"), lit(2), size(col("toks")) - 1))
-        .select(col("doc_id"), explode(zip_with(col("w1s"), col("w2s"),
-          (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("k"))
-      val model = bg.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("nab"))
+      // same shared doc-bigram census as text_perplexity (§2.4); every
+      // KN ingredient below is a regroup of it
+      val docBg = docBigramsFrame(s, d)
+      val model = docBg.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("k")).as("nab"))
       val ctx = model.groupBy(col("w1"))
         .agg(sum(col("nab")).as("c1"), count(lit(1)).as("n1f"))
       val pre = model.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
@@ -664,13 +694,26 @@ object TextQueries {
       import org.apache.spark.sql.types.DecimalType
       val docs = widened(Tables.documents(s, d))
       val toks = TextOps.tokens(col("text"))
-      val dl = docs.select(col("doc_id"), size(toks).as("dl"))
-      val census = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
-      val hits = docs
-        .select(col("doc_id"), explode(toks).as("t"))
+      val census = docs.select(size(toks).as("dl"))
+        .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+      // dl (doc length) is functionally dependent on doc_id, so it
+      // rides the SAME scan as the term explode and survives the tf
+      // aggregation as max(dl) — the r16 form joined a separate
+      // corpus-sized dl frame onto the scored hits (a full-corpus
+      // shuffle to attach one int per doc, §2.4/§2.3). tf rows are
+      // unique per (doc, t), so df = tf's per-term row count — the idf
+      // branch reads the materialized tf frame (4 query terms × docs,
+      // tiny) instead of re-exploding the corpus for a distinct pass.
+      // Corpus passes: 4 → 2 (census + hits), corpus-sized joins: 1 → 0.
+      val tf = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          explode(col("toks")).as("t"))
         .filter(col("t").isin(Bm25Terms: _*))
-      val idf = hits.select(col("doc_id"), col("t")).distinct()
-        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .loopCheckpoint()
+      val idf = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(census))
         .select(col("t"),
           round(log(lit(1.0) +
@@ -682,10 +725,8 @@ object TextQueries {
           (lit(0.25) + lit(0.75) *
             (col("dl").cast("double") /
               (col("sdl").cast("double") / col("nd").cast("double")))))
-      val scored = hits.groupBy(col("doc_id"), col("t"))
-        .agg(count(lit(1)).as("tf"))
+      val scored = tf
         .join(broadcast(idf), Seq("t"))
-        .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(census))
         .withColumn("c_micro",
           floor(col("idf").cast("double") * tfp * lit(1e6) + lit(0.5))

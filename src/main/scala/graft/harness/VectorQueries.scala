@@ -87,12 +87,20 @@ object VectorQueries {
     * rounds = loop the same assign+update stages over [[ivfCentroids]].
     */
   private def ivfKmeansTopk(s: SparkSession, d: String,
-                            nprobe: Int = 2): DataFrame = {
+                            nprobe: Int = 2): DataFrame =
+    ivfSearch(assign(embFrame(s, d), ivfCentroids(s, d), nprobe), nprobe)
+
+  /** The cell-blocked search half of [[ivfKmeansTopk]] over a prebuilt
+    * assignment frame (rows with rc ≤ some bound ≥ nprobe): filtering
+    * `rc` from a wider assignment reproduces the narrower one exactly
+    * (same row_number window), which lets ann_ivf_nprobe_recall share
+    * ONE materialized assignment across its probe levels (§2.4).
+    */
+  private def ivfSearch(a1: DataFrame, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a1 = assign(embFrame(s, d), ivfCentroids(s, d), nprobe)
     val corpus = a1.filter(col("rc") === 1)
       .select(col("vec_id"), col("v"), col("nv"), col("cell"))
-    val qp = a1.filter(col("vec_id") < 50)
+    val qp = a1.filter(col("vec_id") < 50 && col("rc") <= nprobe)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nv").as("qn"), col("cell"))
     // a corpus vector lives in exactly one cell and the two probed
@@ -272,13 +280,30 @@ object VectorQueries {
       graft.ops.Pca.gram(Tables.embeddings(s, d), "embedding", Dim)
     }
 
+  /** The exact cosine top-5 ground truth for the 50 eval queries —
+    * a 250-row frame whose build is a 50×corpus broadcast-streamed
+    * ranking pass. Shared (§2.4): `ann_cosine_topk` reports it,
+    * `ann_ivf_recall` scores against it, and `ann_ivf_nprobe_recall`'s
+    * three union arms each re-ran the whole pass before this frame
+    * existed (5 builds per census → 1).
+    */
+  private def bfCos5Frame(s: SparkSession, d: String): DataFrame =
+    SharedFrames.cachedFrame(s, d, "bf_cos_top5") {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      VectorOps.bruteForceTopK(q, emb, "qid", "vec_id", "qe", "embedding", 5)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+    }
+
   private[graft] def warmShared(s: SparkSession, d: String): Unit =
-    // three independent chains (distinct cache keys; embFrame/subFrame
+    // independent chains (distinct cache keys; embFrame/subFrame
     // roots are plain expressions, not cached) — overlap them, §2.6
     SharedFrames.buildConcurrently(Seq(
       () => { ivfCentroids(s, d); () },
       () => { pqCodebook(s, d); pqEncoded(s, d); () },
-      () => { gramFrame(s, d); () }))
+      () => { gramFrame(s, d); () },
+      () => { bfCos5Frame(s, d); () }))
 
   val queries: Map[String, Q] = Map(
     // Raw second-moment (gram) matrix of the embedding corpus — the
@@ -418,13 +443,10 @@ object VectorQueries {
     // ANN baseline: 50 query vectors against the full corpus, top-5
     // by (rounded cosine desc, vec_id) — the query side is broadcast,
     // the corpus streams, so the plan scales with corpus size only.
-    "ann_cosine_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      VectorOps.bruteForceTopK(q, emb, "qid", "vec_id", "qe", "embedding", 5)
-        .select("qid", "vec_id", "sim", "rk")
-    }),
+    "ann_cosine_topk" -> ((s, d) =>
+      // reads the shared ground-truth frame (§2.4) — same expression
+      // as before, built once per (session, sf)
+      bfCos5Frame(s, d).select("qid", "vec_id", "sim", "rk")),
 
     // Retrieval-quality evaluation over the label column: MRR and
     // hit@5 of the cosine top-10 where "relevant" = shares the query
@@ -524,12 +546,7 @@ object VectorQueries {
     // usable, computed in-engine (no notebook step): fraction of
     // brute-force top-5 pairs the IVF search also returns.
     "ann_ivf_recall" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val bf = VectorOps.bruteForceTopK(q, emb, "qid", "vec_id", "qe",
-          "embedding", 5)
-        .select(col("qid"), col("vec_id"))
+      val bf = bfCos5Frame(s, d).select(col("qid"), col("vec_id"))
       val ivf = ivfKmeansTopk(s, d)
         .select(col("qid").as("__q"), col("vec_id").as("__v"))
       bf.join(ivf, col("qid") === col("__q") && col("vec_id") === col("__v"),
@@ -548,14 +565,18 @@ object VectorQueries {
     // probe levels share the cached refined centroids, so each added
     // level costs one cell-blocked search join, nothing else.
     "ann_ivf_nprobe_recall" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val bf = VectorOps.bruteForceTopK(q, emb, "qid", "vec_id", "qe",
-          "embedding", 5)
-        .select(col("qid"), col("vec_id"))
+      // §2.4 twice over: the ground truth reads the shared frame
+      // (three union arms previously re-ran the whole brute-force
+      // pass each), and the corpus-wide IVF assignment materializes
+      // ONCE at the widest probe level — filtering rc ≤ np from it
+      // reproduces each narrower level exactly (same row_number
+      // window), so the three arms share one assignment build where
+      // the r16 plan ran it six times (corpus + query side per arm).
+      val bf = bfCos5Frame(s, d).select(col("qid"), col("vec_id"))
+      val a4 = assign(embFrame(s, d), ivfCentroids(s, d), 4)
+        .loopCheckpoint()
       Seq(1, 2, 4).map { np =>
-        val ivf = ivfKmeansTopk(s, d, np)
+        val ivf = ivfSearch(a4, np)
           .select(col("qid").as("__q"), col("vec_id").as("__v"))
         bf.join(ivf,
             col("qid") === col("__q") && col("vec_id") === col("__v"),
