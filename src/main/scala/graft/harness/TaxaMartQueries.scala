@@ -1,6 +1,7 @@
 package graft.harness
 
 import graft.Tables
+import graft.ops.Loops.LoopOps
 import graft.ops.RelOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -151,6 +152,11 @@ object TaxaMartQueries {
       // o_custkey alone, so distinct the single int first (one narrow
       // exchange with map-side partial) and attach the dimension keys
       // after, when the frame is customer-sized.
+      // ...and materialize the customer-sized result: the nodes union
+      // below has three arms and is itself consumed twice (nodes +
+      // children), so an unmaterialized cDim would replay the fact
+      // scan up to six times (checkpoint blocks are reclaimed by
+      // Bench's ephemeral sweep).
       val cDim = Tables.orders(s, d).select(col("o_custkey")).distinct()
         .join(Tables.customer(s, d)
             .select(col("c_custkey"), col("c_nationkey")),
@@ -159,6 +165,7 @@ object TaxaMartQueries {
             .select(col("n_nationkey"), col("n_regionkey"))),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("n_regionkey"), col("c_nationkey"), col("c_custkey"))
+        .loopCheckpoint()
       val nDim = cDim.select(col("n_regionkey"), col("c_nationkey")).distinct()
       val rDim = nDim.select(col("n_regionkey")).distinct()
       val rs = col("n_regionkey").cast("string")
