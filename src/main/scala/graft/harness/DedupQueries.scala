@@ -631,13 +631,19 @@ object DedupQueries {
         .join(fp(existing).select(col("fp")).distinct(), Seq("fp"))
         .select(col("doc_id"), lit("exact").as("reason"))
       val sig = minhashFrame(s, d)
+      // __hv is a pure function of doc_id, so the band frame computes
+      // it inline — the r16 form joined the documents scan onto the
+      // bands TWICE (existing-bucket census + incoming probe) just to
+      // attach a hash both sides could derive locally (§2.4: the two
+      // fact-sized joins disappear outright).
+      val hvOf = TextOps.hexByteValue(
+        md5(concat(lit("inc1:"), col("doc_id").cast("string"))))
       val bands = sig.select(col("doc_id"),
         explode(TextOps.bandKeys(BANDS, K / BANDS)).as("bk"))
-      val ids = docs.select(col("doc_id"), col("__hv"))
-      val exBk = bands.join(ids, Seq("doc_id")).filter(col("__hv") < IncomingLo)
+        .withColumn("__hv", hvOf)
+      val exBk = bands.filter(col("__hv") < IncomingLo)
         .select(col("bk")).distinct()
-      val nearHit = bands.join(ids, Seq("doc_id"))
-        .filter(col("__hv") >= IncomingLo)
+      val nearHit = bands.filter(col("__hv") >= IncomingLo)
         .join(exBk, Seq("bk"))
         .select(col("doc_id"), lit("near").as("reason")).distinct()
       // exact flag wins when both fire (min over reason strings:

@@ -1,6 +1,7 @@
 package graft.harness
 
 import graft.Tables
+import graft.ops.Loops.LoopOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -227,6 +228,11 @@ object GoaQueries {
           col("c_nationkey") === col("n_nationkey"))
         .select(col("ek"), col("l_orderkey").as("protein"),
           col("c_nationkey"), col("n_regionkey"))
+        // both the taxonomy-distribution and key-species branches
+        // aggregate this fact-sized join cascade — materialize it once
+        // (§2.4; blocks reclaimed by Bench's ephemeral sweep) instead
+        // of running the 3-join chain twice
+        .loopCheckpoint()
       val taxd = base.groupBy(col("ek"), col("n_regionkey"))
         .agg(countDistinct(col("c_nationkey")).as("nn"),
           min(col("c_nationkey")).as("n1"),
