@@ -478,22 +478,24 @@ object AggQueries {
     // (P-loop-NTPase-scale hot group) takes the posexplode self-join
     // path instead of materializing O(n^2) structs in one row.
     "agg_similarity" -> ((s, d) => {
+      // checkpoint the set frame: orderedPairs consumes it in both its
+      // small/big branches, the frequency census below explodes it,
+      // and the 18M-row-at-30x fact aggregation must not run three
+      // times (blocks reclaimed by Bench's ephemeral sweep)
       val sets = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      // per-item frequency straight off the fact (distinct orders per
-      // part == "how many ps arrays contain pk"), NOT via
-      // sets.explode: the sets subtree is also the pair generator's
-      // input, and deriving cnt from it recomputed the 18M-row
-      // set-build a second time at 30x
-      val cnt = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey").as("pk"))
-        .agg(countDistinct(col("l_orderkey")).as("np"))
-      // checkpoint the set frame: orderedPairs consumes it in both its
-      // small/big branches and the 18M-row-at-30x fact aggregation must
-      // not run twice (blocks reclaimed by Bench's ephemeral sweep)
-      val pairs = RelOps.orderedPairs(sets.loopCheckpoint(),
-          Seq("l_orderkey"), "ps")
+        .loopCheckpoint()
+      // per-item frequency from the MATERIALIZED set frame (§2.4):
+      // np = |orders whose set contains pk| — ps is collect_set, so
+      // explode+count over the checkpointed arrays is the same number
+      // as the countDistinct(l_orderkey) fact pass it replaces, minus
+      // a full second fact scan and the distinct's Expand. (The r13
+      // form avoided sets.explode because the set build was NOT
+      // materialized then and recomputed per consumer.)
+      val cnt = sets.select(explode(col("ps")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("np"))
+      val pairs = RelOps.orderedPairs(sets, Seq("l_orderkey"), "ps")
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
       // the per-item frequency table is DIMENSION-sized (distinct
       // parts), orders smaller than the pair fact it enriches —
