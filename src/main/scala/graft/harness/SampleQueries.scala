@@ -1,6 +1,7 @@
 package graft.harness
 
 import graft.Tables
+import graft.ops.Loops.LoopOps
 import graft.ops.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -272,22 +273,31 @@ object SampleQueries {
     // and cross-engine identical.
     "sample_dsir" -> ((s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      val tok = Tables.widened(Tables.documents(s, d))
+      // ONE corpus explode instead of two (§2.4 — the text_tfidf
+      // pattern): the per-(doc, token) counts materialize once and
+      // both the n-gram importance model (a vocab-sized regroup) and
+      // the scoring aggregation read them. Scores are identical:
+      // Σ_occurrences w = Σ_t k·w exactly (DECIMAL × integer), the
+      // model censuses are integer sums either way.
+      val tf = Tables.widened(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"),
           explode(TextOps.tokens(col("text"))).as("t"))
-      val cnt = tok.groupBy(col("t")).agg(
-        count(lit(1)).as("c_s"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+        .groupBy(col("doc_id"), col("lang"), col("t"))
+        .agg(count(lit(1)).as("k"))
+        .loopCheckpoint()
+      val cnt = tf.groupBy(col("t")).agg(
+        sum(col("k")).as("c_s"),
+        sum(when(col("lang") === "en", col("k")).otherwise(0L)).as("c_t"))
       val tot = cnt.agg(sum(col("c_s")).as("tot_s"), sum(col("c_t")).as("tot_t"),
         count(lit(1)).as("v"))
       val w = cnt.crossJoin(broadcast(tot)).select(col("t"),
         round(log((col("c_t") + lit(1.0)) / (col("tot_t") + col("v"))) -
               log((col("c_s") + lit(1.0)) / (col("tot_s") + col("v"))), 6)
           .cast(DecimalType(12, 6)).as("w"))
-      tok.join(broadcast(w), Seq("t"))
+      tf.join(broadcast(w), Seq("t"))
         .groupBy(col("doc_id"))
-        .agg(first(col("lang")).as("lang"), count(lit(1)).as("n_tok"),
-          sum(col("w")).cast("double").as("score"))
+        .agg(first(col("lang")).as("lang"), sum(col("k")).as("n_tok"),
+          sum(col("w") * col("k")).cast("double").as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(DsirN)
     })
