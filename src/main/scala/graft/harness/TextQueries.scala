@@ -18,30 +18,39 @@ object TextQueries {
 
   private def widened(df: DataFrame): DataFrame = Tables.widened(df)
 
-  /** Per-document bigram census (doc_id, w1, w2, k) — the corpus
-    * exploded into adjacent token pairs and counted, the shared root
-    * of both perplexity scorers ([[SharedFrames]], §2.4): the bigram
-    * LM itself is this frame's (w1, w2) regroup, so caching it means
-    * ONE bigram explode per (session, sf) where the two queries
-    * previously ran four (each rebuilt the explode for its docBg and
-    * its model branch). The frame is (doc, bigram-type)-sized —
-    * strictly smaller than the exploded bigram stream it replaces.
+  /** The corpus exploded into adjacent token pairs — the raw bigram
+    * stream both perplexity scorers aggregate. NOT cached: it is
+    * corpus-sized, and an sf1 A/B showed reading a corpus-sized cache
+    * twice per query costs ~2× the codegen'd explode it would save
+    * (text_perplexity 2.4 → 4.0 s steady-state) — the §5 caching rule
+    * (cache only when recompute beats the memory pressure) in action.
     */
-  private def docBigramsFrame(s: SparkSession, d: String): DataFrame =
-    SharedFrames.cachedFrame(s, d, "text_docbigrams") {
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .withColumn("w1s", slice(col("toks"), lit(1), size(col("toks")) - 1))
-        .withColumn("w2s", slice(col("toks"), lit(2), size(col("toks")) - 1))
-        .select(col("doc_id"), explode(zip_with(col("w1s"), col("w2s"),
-          (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("k"))
+  private def bigramStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("w1s", slice(col("toks"), lit(1), size(col("toks")) - 1))
+      .withColumn("w2s", slice(col("toks"), lit(2), size(col("toks")) - 1))
+      .select(col("doc_id"), explode(zip_with(col("w1s"), col("w2s"),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The bigram LM — c(w1,w2) over the whole corpus. Bigram-TYPE-sized
+    * (bounded by vocab², orders smaller than the stream it summarizes),
+    * so THIS is the frame worth sharing (§2.4): both perplexity
+    * scorers join it and every KN ingredient (context / follower /
+    * predecessor censuses) is a tiny regroup of it. Sharing the model
+    * saves each query one full corpus explode + aggregation; the
+    * per-query doc-bigram census still streams its explode directly
+    * (see [[bigramStream]]).
+    */
+  private def bigramModelFrame(s: SparkSession, d: String): DataFrame =
+    SharedFrames.cachedFrame(s, d, "text_bigram_model") {
+      bigramStream(s, d).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("nab"))
     }
 
   private[graft] def warmShared(s: SparkSession, d: String): Unit = {
-    docBigramsFrame(s, d); ()
+    bigramModelFrame(s, d); ()
   }
 
   /** Shared trigram-profile classifier: per-language top-20 trigram
@@ -566,14 +575,14 @@ object TextQueries {
       import org.apache.spark.sql.types.DecimalType
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      // shared doc-bigram census (§2.4): text_perplexity_kn consumes
-      // the identical frame, and the bigram MODEL is its regroup —
-      // c(w1,w2) = Σ_docs k — so the corpus is exploded into bigrams
-      // once per (session, sf) instead of four times (2 queries × the
-      // docBg and model branches each re-running the explode).
-      val docBg = docBigramsFrame(s, d)
-      val model = docBg.groupBy(col("w1"), col("w2"))
-        .agg(sum(col("k")).as("nab"))
+      // the doc-bigram census streams its own explode (corpus-sized —
+      // deliberately uncached, see bigramStream); the MODEL it joins
+      // is the shared bigram-type-sized frame, saving this query the
+      // second corpus explode + aggregation it previously ran
+      val docBg = bigramStream(s, d)
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k"))
+      val model = bigramModelFrame(s, d)
       val uni = toks.select(explode(col("toks")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("n"))
       val census = uni.agg(count(lit(1)).as("v"))
@@ -604,11 +613,13 @@ object TextQueries {
     // the doc-bigram and model censuses.
     "text_perplexity_kn" -> ((s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      // same shared doc-bigram census as text_perplexity (§2.4); every
-      // KN ingredient below is a regroup of it
-      val docBg = docBigramsFrame(s, d)
-      val model = docBg.groupBy(col("w1"), col("w2"))
-        .agg(sum(col("k")).as("nab"))
+      // same split as text_perplexity: the doc-bigram census streams
+      // its own explode, the shared bigram-type-sized MODEL is cached,
+      // and every KN ingredient below is a tiny regroup of the model
+      val docBg = bigramStream(s, d)
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k"))
+      val model = bigramModelFrame(s, d)
       val ctx = model.groupBy(col("w1"))
         .agg(sum(col("nab")).as("c1"), count(lit(1)).as("n1f"))
       val pre = model.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
